@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column helpers shared by every operator module.
+  *
+  * Determinism is a first-class requirement here: results are hash-compared
+  * against a DuckDB oracle (Verify.scala), and floating-point aggregation
+  * order differs between engines (and between Spark runs, since partial
+  * aggregation order depends on partitioning). The fix is to aggregate
+  * EXACTLY (decimal) and only convert to double at the very end — a single
+  * deterministic IEEE operation both engines perform identically. This also
+  * holds at 100 TB: decimal sums are associative, so Spark's partial
+  * (map-side) aggregation still applies.
+  */
+object Cols {
+
+  /** Exact sum: cast to decimal(28,scale) before summing, emit double.
+    * Mirrors `CAST(sum(CAST(x AS DECIMAL(28,s))) AS DOUBLE)` in the oracle. */
+  def decSum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** Exact average: exact decimal sum divided by count, both deterministic.
+    * Mirrors `CAST(sum(CAST(x AS DECIMAL(28,s))) AS DOUBLE) / count(x)`. */
+  def decAvg(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double") /
+      count(c).cast("double")
+
+  /** Oracle-SQL fragment equivalents (kept adjacent so Spark and DuckDB
+    * expressions stay in sync when edited). */
+  def sqlDecSum(x: String, scale: Int = 6): String =
+    s"CAST(sum(CAST($x AS DECIMAL(28,$scale))) AS DOUBLE)"
+  def sqlDecAvg(x: String, scale: Int = 6): String =
+    s"CAST(sum(CAST($x AS DECIMAL(28,$scale))) AS DOUBLE) / CAST(count($x) AS DOUBLE)"
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local smoke runner: exercises the driver's t1 contract
+  * (SparkEntry.entry rows > 0) and optionally one named query.
+  * Usage: runMain graft.Smoke [queryName sfDir] */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args match {
+      case Array(name, sfDir) =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.show(20, truncate = false)
+        println(s"SMOKE $name rows=${df.count()}")
+      case Array(name, sfDir, "explain") =>
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      case _ =>
+        val df = SparkEntry.entry(spark)
+        df.show(5, truncate = false)
+        println(s"SMOKE entry rows=${df.count()}")
+    }
+    spark.stop()
+  }
+}

@@ -1,13 +1,419 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{EventsPipeline => E, Relational => R}
+import graft.text.{TextAnalysis => T}
+import graft.dedup.{Dedup => D}
+import graft.vector.{Similarity => V}
+import graft.multimodal.{Multimodal => M}
+import graft.streaming.{StreamingPipeline => S}
+
+/** Driver contract (see SURVEY.md §7 + builder prompt).
+  *
+  * Every operator in SURVEY.md §2 (plus the LLM-pipeline north-star set) is
+  * exposed as a named query; SQL-expressible ones carry DuckDB oracle SQL.
+  * Oracle-parity rules applied throughout (SURVEY.md §7 risk register):
+  *  - float aggregations go through exact decimal sums (Cols.decSum/decAvg),
+  *    emitted as double — deterministic in both engines;
+  *  - "now" anchors to max(ts), never the wall clock;
+  *  - every oracled query ends in an ORDER BY over a unique key;
+  *  - DuckDB integer sums are CAST to BIGINT (DuckDB widens to HUGEINT);
+  *  - timestamps flow as native timestamps with session TZ pinned UTC.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (reference's historical view, SURVEY.md §3.3) on
+    * sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    E.historicalRange(Tables.load(spark, "/root/testdata/sf0.001", "events"))
+
+  private def t(name: String)(fn: DataFrame => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => fn(Tables.load(s, dir, name))
+
+  private def t2(n1: String, n2: String)(fn: (DataFrame, DataFrame) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => fn(Tables.load(s, dir, n1), Tables.load(s, dir, n2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference surface: events pipeline (SURVEY.md §2.1-2.8) ----
+    "q_hist_range" -> t("events")(E.historicalRange(_)),
+    "q_hist_summary" -> t("events")(E.rangeSummary(_)),
+    "q_required_counts" -> t("events")(E.requiredKeyCounts),
+    "q_rename_tag" -> t("events")(E.renameTag(_)),
+    "q_latest_record" -> t("events")(E.latestRecord),
+    "q_time_buckets" -> t("events")(E.timeBuckets),
+    "q_grouped_series" -> t("events")(E.groupedSeries),
+    "q_labels" -> t("events")(E.labels),
+    "q_json_extract" -> t("events")(E.jsonExtract),
+    "q_parse_or_drop" -> t("events")(E.parseOrDrop),
+    "q_interarrival" -> t("events")(E.interArrival),
+    "q_running_sum" -> t("events")(E.runningSum),
+    "q_sessionize" -> t("events")(E.sessionize(_)),
+    "q_asof_purchase" -> t("events")(E.asofLastPurchase),
+    "q_tumbling_hourly" -> t("events")(E.tumblingHourly),
+    // ---- generalized relational inventory (SURVEY.md §2.3-2.6) ----
+    "q1_pricing_summary" -> t("lineitem")(R.q1PricingSummary),
+    "q_join_priority" -> t2("lineitem", "orders")(R.revenueByPriority),
+    "q_join_segment" -> t2("orders", "customer")(R.revenueBySegment),
+    "q_regional_revenue" -> ((s, dir) => R.regionalRevenue(s, dir)),
+    "q_outer_join" -> t2("customer", "orders")(R.ordersPerCustomer),
+    "q_semi_join" -> t2("customer", "orders")(R.customersWithOrders),
+    "q_anti_join" -> t2("customer", "orders")(R.customersWithoutOrders),
+    "q_theta_join" -> t2("supplier", "customer")(R.acctbalTheta),
+    "q_cross_join" -> t2("region", "nation")(R.regionNationCross),
+    "q_window_top3" -> t("orders")(R.top3OrdersPerCustomer),
+    "q_topk_orders" -> t("orders")(R.topOrders(_)),
+    "q_distinct_parts" -> t("lineitem")(R.distinctParts),
+    "q_approx_distinct" -> t("lineitem")(R.approxDistinctParts),
+    "q_rollup" -> t("lineitem")(R.rollupQtyByFlagStatus),
+    "q_cube" -> t("lineitem")(R.cubeQtyByFlagStatus),
+    "q_union" -> t2("customer", "orders")(R.unionHighValueCustomers),
+    "q_intersect" -> t2("customer", "orders")(R.intersectHighValueCustomers),
+    "q_except" -> t2("customer", "orders")(R.exceptHighValueCustomers),
+    "q_distinct_shapes" -> t("events")(R.distinctEventShapes),
+    // ---- text analysis (north star) ----
+    "q_token_stats" -> t("documents")(T.tokenStats),
+    "q_corpus_stats" -> t("documents")(T.corpusStats),
+    "q_quality" -> t("documents")(T.qualityScores),
+    "q_lang_id" -> t("documents")(T.languageId),
+    "q_md5_fp" -> t("documents")(T.md5Fingerprints),
+    "q_rolling_fp" -> t("documents")(T.rollingFingerprints),
+    // ---- deduplication (north star) ----
+    "q_dedup_exact" -> t("documents")(D.exactDedup),
+    "q_dedup_digest" -> t("documents")(D.exactDedupByDigest),
+    "q_jaccard_pairs" -> t("documents")(D.jaccardPairs(_)),
+    "q_minhash_lsh" -> t("documents")(D.minhashLshPairs(_)),
+    "q_simhash_pairs" -> t("documents")(D.simhashPairs(_)),
+    // ---- similarity search (north star) ----
+    "q_pairwise_cosine" -> t("embeddings")(V.pairwiseCosine(_)),
+    "q_knn_brute" -> t("embeddings")(V.bruteForceTopK(_)),
+    "q_knn_lsh" -> t("embeddings")(V.lshTopK(_)),
+    "q_knn_ivf" -> t("embeddings")(V.ivfTopK(_)),
+    "q_cosine_neardup" -> t("embeddings")(V.cosineNearDupPairs(_)),
+    // ---- multimodal plumbing (north star) ----
+    "q_media_stats" -> t("documents")(M.payloadStats),
+    "q_media_features" -> ((s, dir) =>
+      M.featurePipeline(s, Tables.load(s, dir, "documents"))),
+    // ---- structured streaming (SURVEY.md §2.8) ----
+    "q_stream_windowed" -> ((s, dir) => S.runWindowedBatch(s, dir))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — one entry per SQL-expressible query above.
+  // Omitted (rows-only check): q_approx_distinct (approximate),
+  // q_lang_id / q_rolling_fp / q_minhash_lsh / q_simhash_pairs /
+  // q_knn_lsh / q_knn_ivf / q_cosine_neardup (engine-specific hashing /
+  // Scala-side constants), q_media_features (stub codec runs in Scala).
+  // ---------------------------------------------------------------------
+
+  private val decSumQty = Cols.sqlDecSum("l_quantity", 2)
+  private val revenueExpr =
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_hist_range" ->
+      """SELECT event_id, ts AS timestamp, user_id, event_type, value
+         FROM events
+         WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+         ORDER BY timestamp, event_id""",
+    "q_hist_summary" ->
+      s"""SELECT count(value) AS n_records,
+            ${Cols.sqlDecAvg("value")} AS avg_value,
+            max(value) AS max_value, min(value) AS min_value,
+            min(ts) AS first_ts, max(ts) AS last_ts
+          FROM events
+          WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS""",
+    "q_required_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE ts IS NOT NULL AND user_id IS NOT NULL
+           AND value IS NOT NULL AND event_type IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+    "q_rename_tag" ->
+      """SELECT event_id, ts AS timestamp, user_id, value AS value,
+            'value' AS metric_type
+         FROM events ORDER BY event_id""",
+    "q_latest_record" ->
+      "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 1",
+    "q_time_buckets" ->
+      s"""WITH a AS (SELECT max(ts) AS anchor FROM events)
+          SELECT CASE
+              WHEN date_diff('second', ts, anchor) <= 3600 THEN '1h'
+              WHEN date_diff('second', ts, anchor) <= 86400 THEN '24h'
+              WHEN date_diff('second', ts, anchor) <= 604800 THEN '7d'
+              WHEN date_diff('second', ts, anchor) <= 2592000 THEN '30d'
+              ELSE 'older' END AS bucket,
+            count(*) AS n, ${Cols.sqlDecAvg("value")} AS avg_value
+          FROM events, a GROUP BY bucket ORDER BY bucket""",
+    "q_grouped_series" ->
+      s"""SELECT user_id, event_type, count(*) AS n,
+            ${Cols.sqlDecAvg("value")} AS avg_value,
+            min(value) AS min_value, max(value) AS max_value
+          FROM events GROUP BY user_id, event_type
+          ORDER BY user_id, event_type""",
+    "q_labels" ->
+      """SELECT event_id,
+            strftime(ts, '%Y-%m-%d %H:%M') AS ts_label,
+            upper(left(replace(event_type, '_', ' '), 1)) ||
+              substr(replace(event_type, '_', ' '), 2) AS series_label,
+            round(value, 1) AS value_rounded
+         FROM events WHERE event_id < 100 ORDER BY event_id""",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS DECIMAL(28,0))) AS DOUBLE)
+              / CAST(count(json_extract_string(props, '$.k')) AS DOUBLE) AS avg_k
+         FROM events
+         WHERE json_extract_string(props, '$.k') IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+    "q_parse_or_drop" ->
+      """SELECT event_id, parsed FROM (
+           SELECT event_id,
+             try_strptime(CASE WHEN event_id % 10 = 0 THEN 'not-a-timestamp'
+               ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END,
+               '%Y-%m-%d %H:%M:%S') AS parsed
+           FROM events) WHERE parsed IS NOT NULL ORDER BY event_id""",
+    "q_interarrival" ->
+      """SELECT user_id, event_id, gap_us FROM (
+           SELECT user_id, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events) WHERE gap_us IS NOT NULL
+         ORDER BY user_id, event_id""",
+    "q_running_sum" ->
+      """SELECT user_id, event_id,
+            CAST(sum(CAST(value AS DECIMAL(28,6))) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              AS running_value
+         FROM events ORDER BY user_id, event_id""",
+    "q_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+           FROM x),
+         z AS (
+           SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM y)
+         SELECT user_id, session_id, count(*) AS n_events,
+            min(ts) AS session_start, max(ts) AS session_end
+         FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_asof_purchase" ->
+      """SELECT e.event_id, e.ts, e.user_id,
+            (SELECT max(p.ts) FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id <= e.event_id)))
+              AS last_purchase_ts
+         FROM events e WHERE e.event_type = 'view' ORDER BY e.event_id""",
+    "q_tumbling_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+            count(*) AS n, ${Cols.sqlDecSum("value")} AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            $decSumQty AS sum_qty,
+            ${Cols.sqlDecSum("l_extendedprice", 2)} AS sum_base_price,
+            $revenueExpr AS sum_disc_price,
+            CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+              AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+            ${Cols.sqlDecAvg("l_quantity", 2)} AS avg_qty,
+            ${Cols.sqlDecAvg("l_extendedprice", 2)} AS avg_price,
+            ${Cols.sqlDecAvg("l_discount", 2)} AS avg_disc,
+            count(*) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+    "q_join_priority" ->
+      s"""SELECT o_orderpriority, $revenueExpr AS revenue, count(*) AS n_lines
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_segment" ->
+      s"""SELECT c_mktsegment,
+            ${Cols.sqlDecSum("o_totalprice", 2)} AS total_revenue,
+            count(*) AS n_orders,
+            count(DISTINCT o_custkey) AS n_customers
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_regional_revenue" ->
+      s"""SELECT r_name, n_name, $revenueExpr AS revenue, count(*) AS n_lines
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_outer_join" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+            coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE),
+              0.0) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q_theta_join" ->
+      """SELECT s_suppkey, s_name, count(*) AS n_richer_customers
+         FROM customer JOIN supplier ON s_acctbal < c_acctbal
+         GROUP BY s_suppkey, s_name ORDER BY s_suppkey""",
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+    "q_window_top3" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_distinct_parts" ->
+      """SELECT l_returnflag,
+            count(DISTINCT l_partkey) AS n_parts,
+            count(DISTINCT l_suppkey) AS n_supps,
+            count(*) AS n_lines
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, $decSumQty AS sum_qty,
+            count(*) AS n
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, $decSumQty AS sum_qty,
+            count(*) AS n
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_union" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         UNION
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000
+         ORDER BY c_custkey""",
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         INTERSECT
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000
+         ORDER BY c_custkey""",
+    "q_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         EXCEPT
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000
+         ORDER BY c_custkey""",
+    "q_distinct_shapes" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "q_token_stats" ->
+      """SELECT doc_id, lang,
+            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+            CAST(list_sum(list_transform(string_split(text, ' '),
+              w -> (length(w) + 3) // 4)) AS BIGINT) AS n_subwords,
+            CAST(length(text) AS INTEGER) AS len_chars
+         FROM documents ORDER BY doc_id""",
+    "q_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+            min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_quality" ->
+      """SELECT doc_id, lang,
+            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+            CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ('the', 'a'))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)
+              AS distinct_token_ratio
+         FROM documents ORDER BY doc_id""",
+    "q_md5_fp" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keeper_id""",
+    "q_dedup_digest" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keeper_id""",
+    "q_jaccard_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_common,
+            CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "q_pairwise_cosine" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < 10),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            a.e AS ea, b.e AS eb FROM v a JOIN v b ON a.vec_id < b.vec_id),
+         c AS (SELECT id_a, id_b,
+            list_sum(list_transform(range(1, 65), i -> ea[i] * eb[i])) AS d,
+            sqrt(list_sum(list_transform(range(1, 65), i -> ea[i] * ea[i]))) AS na,
+            sqrt(list_sum(list_transform(range(1, 65), i -> eb[i] * eb[i]))) AS nb
+           FROM p)
+         SELECT id_a, id_b, round(d / (na * nb), 3) AS cos
+         FROM c ORDER BY id_a, id_b""",
+    "q_knn_brute" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+         c AS (SELECT query_id, vec_id,
+            round(list_sum(list_transform(range(1, 65), i -> qe[i] * e[i]))
+              / (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))
+                 * sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i])))),
+              6) AS cos
+           FROM v CROSS JOIN q WHERE vec_id <> query_id),
+         r AS (SELECT query_id, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+           FROM c)
+         SELECT query_id, rank, vec_id, round(cos, 3) AS cos
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_media_stats" ->
+      """SELECT 'image/stub-' || lang AS media_type,
+            count(*) AS n_items,
+            CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+            CAST(min(octet_length(encode(text))) AS INTEGER) AS min_bytes,
+            CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_stream_windowed" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+            count(*) AS n, ${Cols.sqlDecSum("value")} AS sum_value
+          FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            AND value IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Fixture-table access (TESTDATA.md / FIXTURES.md).
+  *
+  * All queries read the driver's deterministic Parquet tables. Loading is a
+  * plain `spark.read.parquet` so Catalyst's datasource V2 path gives us
+  * column pruning + predicate pushdown into the scan for free — at 100 TB
+  * the scan is the dominant cost, so every query below is written so its
+  * filters/projections reach the Parquet reader (verified via
+  * `.explain("formatted")`: `PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = raw(spark, sfDir, name)
+    // events.ts is Parquet TIMESTAMP(NANOS), which Spark 4 cannot read as a
+    // timestamp; it arrives as long nanos (nanosAsLong) and is truncated to
+    // a microsecond timestamp with exact integer division (`div` — double
+    // division would lose precision above 2^53 ns). DuckDB applies the same
+    // ns→us truncation when reading the file, so the engines agree.
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Un-normalized read (streaming needs the on-disk schema). */
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Register every fixture table as a temp view (for spark.sql paths). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

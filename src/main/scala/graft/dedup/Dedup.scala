@@ -1,0 +1,176 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis.tokens
+
+/** Deduplication operators for web-scale corpus cleaning (builder-spec
+  * north star): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - Exact dedup = hash-groupBy on the content key — one shuffle keyed by
+  *    md5(text) (shuffle the 16-byte digest, never the document body, when
+  *    only the keeper id is needed).
+  *  - Pairwise-similarity ops NEVER compare all pairs: candidate pairs come
+  *    from an inverted index (explode → self-join on shingle/band/bucket),
+  *    so cost is Σ bucket² not N². At 100 TB the band/bucket join is the
+  *    classic MinHash-LSH plan: shuffle is bounded by signature size
+  *    (k×8 bytes/doc), not document size, and hot buckets are handled by
+  *    AQE skew-join splitting.
+  *  - All hashing uses xxhash64 (codegen'd Catalyst expression); no UDFs.
+  */
+object Dedup {
+
+  /** Word n-gram shingles (default 3-grams) as a distinct array. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id
+    * (deterministic keeper), count members. */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("text"))
+      .agg(
+        min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  /** Exact dedup at scale: shuffle md5 digests (not bodies) and keep the
+    * min doc_id per digest — the form used when documents are large. */
+  def exactDedupByDigest(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  /** n-gram Jaccard near-dup pairs via an inverted shingle index:
+    * explode distinct shingles → self-join on shingle → |A∩B| per pair →
+    * Jaccard with |A∪B| = |A|+|B|−|A∩B|. Exact (no approximation), but
+    * candidate generation is index-driven, not all-pairs. */
+  def jaccardPairs(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signature: k independent hash functions realized as salted
+    * xxhash64 (`xxhash64(salt_i, s)`) with min over shingles — no 64-bit
+    * arithmetic, so it is safe under ANSI mode (Spark 4 default) and each
+    * salt gives an independent permutation approximation. Returns an
+    * array<long> column of length k. */
+  def minhashSignature(text: Column, k: Int = 32, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(s"mh$i"), s)))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: signatures → b bands of r rows → band
+    * hash → inverted index on (band, hash) → candidate pairs → verified
+    * with estimated Jaccard (signature agreement fraction). */
+  def minhashLshPairs(documents: DataFrame, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = documents
+      .select(col("doc_id"), minhashSignature(col("text"), k, n).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), bnd * r + 1, lit(r)), _.cast("string")))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b))
+          .cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Column-arg bit shifts (functions.shiftright/left only take Int). */
+  private def shr(a: Column, b: Column): Column =
+    call_function("shiftright", a, b)
+  private def shl(a: Column, b: Column): Column =
+    call_function("shiftleft", a, b)
+
+  /** SimHash (64-bit): per-token hash votes ±1 on each bit; sign of the
+    * vote sum forms the fingerprint bit. Near-dups = small Hamming
+    * distance, found by exact match on 4 16-bit chunks (any chunk equal →
+    * candidate; Hamming ≤ 3 guarantees one equal chunk by pigeonhole). */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(shr(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L))),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, shl(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup candidate pairs with exact Hamming verification. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = documents.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val chunked = fp.select(
+      col("doc_id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => shr(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+    val hamming = bit_count(col("a.fp").bitwiseXOR(col("b.fp")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

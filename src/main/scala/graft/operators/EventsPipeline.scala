@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Cols._
+
+/** Reference-surface operators (SURVEY.md §2.1–§2.8, §3.2–§3.3), re-expressed
+  * over the `events` fixture table (SURVEY.md §1.5: `ts`↔`producer_timestamp`,
+  * `user_id`/`event_type`↔`location_name`, `value`↔the selectable metric,
+  * `props`↔the raw nested payload).
+  *
+  * Reference behavior being reproduced (citations into /root/reference/):
+  *  - time-range query: app.py:274-341 (`find({ts: {$gte: start}})` + sort)
+  *  - required-key filter: app.py:251-252
+  *  - rename/tag projection: app.py:328-334
+  *  - top-1 latest record: app.py:177, app.py:363
+  *  - global count/avg/min/max: app.py:488-497
+  *  - parse-or-drop timestamps: app.py:207-218, 256-261
+  *  - label formatting: app.py:450, 460, 463
+  *  - JSON field extraction: producer.py:92-100, app.py:156
+  *
+  * Scale notes: every query anchors "now" to `max(ts)` computed by a scalar
+  * aggregate that is broadcast back (one extra scan — same cost shape as the
+  * oracle's scalar subquery; at 100 TB the anchor would come from partition
+  * metadata or a watermark instead, but the plan shape — scan with pushed
+  * range filter — is the scalable one). Filters and projections are plain
+  * Catalyst expressions, so they reach the Parquet scan (PushedFilters).
+  */
+object EventsPipeline {
+
+  /** Broadcast single-row {anchor = max(ts)} joined onto `df` — the
+    * deterministic stand-in for `datetime.now(UTC)` (app.py:301). */
+  def withAnchor(events: DataFrame): DataFrame =
+    events.crossJoin(broadcast(events.agg(max(col("ts")).as("anchor"))))
+
+  /** Flagship historical-view query (app.py:274-341, SURVEY.md §3.3):
+    * range filter, projection (with the reference's rename to
+    * timestamp/value), time-ascending sort. The reference fetched full
+    * documents and pruned client-side; here pruning+predicate reach the scan. */
+  def historicalRange(events: DataFrame, hours: Int = 24): DataFrame =
+    withAnchor(events)
+      .filter(col("ts") >= col("anchor") - expr(s"INTERVAL $hours HOURS"))
+      .select(
+        col("event_id"),
+        col("ts").as("timestamp"),
+        col("user_id"),
+        col("event_type"),
+        col("value"))
+      .orderBy(col("timestamp"), col("event_id"))
+
+  /** Summary aggregates over the range (app.py:488-497): count, mean, max,
+    * min of the metric plus the timestamp span. Global (ungrouped) agg,
+    * computed map-side-partial then merged — no full shuffle of the data. */
+  def rangeSummary(events: DataFrame, hours: Int = 24): DataFrame =
+    withAnchor(events)
+      .filter(col("ts") >= col("anchor") - expr(s"INTERVAL $hours HOURS"))
+      .agg(
+        count(col("value")).as("n_records"),
+        decAvg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+
+  /** Required-key predicate (app.py:251-252): keep rows with all required
+    * fields present; then the per-series record counts the dashboard shows. */
+  def requiredKeyCounts(events: DataFrame): DataFrame =
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Rename + reorder + literal-tag projection (app.py:328-334: metric →
+    * "value", producer_timestamp → "timestamp", constant metric_type). */
+  def renameTag(events: DataFrame, metric: String = "value"): DataFrame =
+    events
+      .withColumnRenamed("ts", "timestamp")
+      .select(col("event_id"), col("timestamp"), col("user_id"),
+        col(metric).as("value"))
+      .withColumn("metric_type", lit(metric))
+      .orderBy(col("event_id"))
+
+  /** Top-1 latest record (app.py:177 find_one(sort desc); app.py:363).
+    * Plans as TakeOrderedAndProject — no global sort materialization. */
+  def latestRecord(events: DataFrame): DataFrame =
+    events.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+
+  /** The reference's {1h,24h,7d,30d} time-delta lookup (app.py:293-298)
+    * as one bucketed aggregation: each row labeled with the narrowest
+    * bucket containing it, counts per bucket. */
+  def timeBuckets(events: DataFrame): DataFrame = {
+    val age = col("anchor").cast("long") - col("ts").cast("long")
+    withAnchor(events)
+      .withColumn("bucket",
+        when(age <= 3600L, "1h")
+          .when(age <= 86400L, "24h")
+          .when(age <= 7L * 86400L, "7d")
+          .when(age <= 30L * 86400L, "30d")
+          .otherwise("older"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), decAvg(col("value")).as("avg_value"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Per-series grouped aggregation — the chart's per-location series
+    * (app.py:402, :469) generalized to a grouped agg (SURVEY.md §2.4). */
+  def groupedSeries(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        decAvg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Label scalar functions (app.py:450,460,463 `replace('_',' ').title()`;
+    * app.py:496-497 strftime) → initcap/regexp_replace/date_format. */
+  def labels(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_id") < 100)
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm").as("ts_label"),
+        initcap(regexp_replace(col("event_type"), "_", " ")).as("series_label"),
+        round(col("value"), 1).as("value_rounded"))
+      .orderBy(col("event_id"))
+
+  /** JSON path extraction (producer.py:92-100 flattening; app.py:156
+    * deserializer) over the `props` JSON payload, then grouped agg. */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k_val").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k_val")).as("sum_k"),
+        decAvg(col("k_val"), 0).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Parse-or-drop timestamp semantics (app.py:207-218: fromisoformat, skip
+    * row on failure). A string timestamp column is derived (with every 10th
+    * row corrupted, mirroring malformed producer records), parsed with
+    * `to_timestamp` (null on failure), and nulls dropped. */
+  def parseOrDrop(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_str",
+        when(col("event_id") % 10 === 0, lit("not-a-timestamp"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+      .withColumn("parsed",
+        try_to_timestamp(col("ts_str"), lit("yyyy-MM-dd HH:mm:ss")))
+      .filter(col("parsed").isNotNull)
+      .select(col("event_id"), col("parsed"))
+      .orderBy(col("event_id"))
+
+  /** Tumbling-window aggregation in batch form (the idiomatic upgrade of
+    * the reference's poll-loop micro-batching, SURVEY.md §2.8/T4):
+    * per-hour record counts + exact value sums. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Gap-based sessionization (batch form of session windows): a new
+    * session starts after a >30 min silence per user. Pure integer/window
+    * arithmetic → deterministic across engines. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** As-of enrichment (SURVEY.md §2.3 as-of row): for every event, the
+    * timestamp of the same user's most recent 'purchase' at or before it.
+    * Expressed as a running `last(..., ignoreNulls)` over the user's
+    * timeline — one shuffle by user_id, no self-join explosion. */
+  def asofLastPurchase(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("purchase_ts",
+        when(col("event_type") === "purchase", col("ts")))
+      .withColumn("last_purchase_ts",
+        last(col("purchase_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("last_purchase_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** lag/lead inter-arrival gaps per user (SURVEY.md §2.6 extension) in
+    * exact integer microseconds. */
+  def interArrival(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select(col("user_id"), col("event_id"), col("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Running (cumulative) per-user value sum — exact via decimal. */
+  def runningSum(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(28,6)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+}

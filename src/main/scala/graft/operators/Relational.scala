@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Cols._
+import graft.Tables
+
+/** Generalized relational inventory (SURVEY.md §2.3/§2.4/§2.5/§2.6 —
+  * categories absent in the reference, mandated in-scope) over the
+  * TPC-H-ish fixture tables.
+  *
+  * Scale design notes (local[32] tests correctness; the plan shapes are
+  * chosen for a 1000-executor / 100 TB deployment):
+  *  - Dimension tables (region/nation/customer/supplier/part) are joined
+  *    with explicit `broadcast()` — no shuffle of the fact table for
+  *    dimension enrichment.
+  *  - Fact-fact joins (lineitem⋈orders) shuffle on the join key once; the
+  *    grouped aggregations that follow reuse Catalyst's partial-aggregation
+  *    (map-side combine), and AQE handles skew at runtime.
+  *  - All money aggregations go through exact decimal sums (Cols.decSum)
+  *    — associative, so map-side combine still applies; converted to
+  *    double only at the end for oracle parity.
+  *  - Top-k uses orderBy+limit which plans as TakeOrderedAndProject
+  *    (per-partition heap + driver merge of k rows, never a global sort).
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** TPC-H Q1-shaped pricing summary: wide grouped aggregation over the
+    * biggest fact table; pure map-side-combinable aggregates. */
+  def q1PricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity"), 2).as("sum_qty"),
+        decSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        decAvg(col("l_quantity"), 2).as("avg_qty"),
+        decAvg(col("l_extendedprice"), 2).as("avg_price"),
+        decAvg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Fact-fact equi join (shuffle join on the order key) + grouped agg:
+    * revenue per order priority. */
+  def revenueByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Broadcast dimension join: orders enriched with the (small) customer
+    * dimension — zero shuffle of the fact side. */
+  def revenueBySegment(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        decSum(col("o_totalprice"), 2).as("total_revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** TPC-H Q5-shaped snowflake join: one shuffle join (lineitem⋈orders),
+    * then broadcast joins down the customer→nation→region dimension chain. */
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(spark, dir, "lineitem")
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Left outer join keeping order-less customers (count = 0 for them). */
+  def ordersPerCustomer(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(decSum(col("o_totalprice"), 2), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-semi join: customers having at least one order (EXISTS). */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Theta (non-equi) join: supplier × customer on acctbal inequality.
+    * Small side broadcast → BroadcastNestedLoopJoin; at scale the small
+    * (supplier) side stays broadcastable, so this shape survives. */
+  def acctbalTheta(supplier: DataFrame, customer: DataFrame): DataFrame =
+    customer
+      .join(broadcast(supplier), col("s_acctbal") < col("c_acctbal"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_richer_customers"))
+      .orderBy(col("s_suppkey"))
+
+  /** Cross join of the two smallest dimensions. */
+  def regionNationCross(region: DataFrame, nation: DataFrame): DataFrame =
+    region.crossJoin(nation)
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Ranking window: top-3 orders per customer by totalprice. */
+  def top3OrdersPerCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Global top-k: TakeOrderedAndProject, never a full sort. */
+  def topOrders(orders: DataFrame, k: Int = 10): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Distinct aggregation: distinct part count per return flag. */
+  def distinctParts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate distinct (HLL++) — no DuckDB oracle (approximate), kept
+    * as a rows-only query; at 100 TB this replaces exact countDistinct
+    * whenever small error is acceptable (no shuffle of distinct values). */
+  def approxDistinctParts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP grouping-set aggregation (subtotals + grand total). */
+  def rollupQtyByFlagStatus(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(decSum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** CUBE grouping-set aggregation (all combinations). */
+  def cubeQtyByFlagStatus(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(decSum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** UNION (distinct) of two customer-key sets. */
+  def unionHighValueCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val rich = customer.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val bigSpenders = orders.filter(col("o_totalprice") > 50000)
+      .select(col("o_custkey").as("c_custkey"))
+    rich.union(bigSpenders).distinct().orderBy(col("c_custkey"))
+  }
+
+  /** INTERSECT of the same two sets. */
+  def intersectHighValueCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val rich = customer.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val bigSpenders = orders.filter(col("o_totalprice") > 50000)
+      .select(col("o_custkey").as("c_custkey"))
+    rich.intersect(bigSpenders).orderBy(col("c_custkey"))
+  }
+
+  /** EXCEPT: rich customers who never placed a big order. */
+  def exceptHighValueCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val rich = customer.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val bigSpenders = orders.filter(col("o_totalprice") > 50000)
+      .select(col("o_custkey").as("c_custkey"))
+    rich.except(bigSpenders).orderBy(col("c_custkey"))
+  }
+
+  /** dropDuplicates on a projection (exact distinct rows). */
+  def distinctEventShapes(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates()
+      .orderBy(col("user_id"), col("event_type"))
+}

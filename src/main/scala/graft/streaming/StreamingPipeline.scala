@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming re-expression of the reference's dual pipeline
+  * (SURVEY.md §2.8, §3.2; reference: app.py:226-272 consume → dual-write,
+  * producer.py:169-210 rate-controlled produce).
+  *
+  * The reference's Kafka micro-batch consume (poll ≤10 records / 500 ms,
+  * app.py:245) maps to a bounded-per-trigger source; its Mongo dual-write
+  * (app.py:254) maps to `foreachBatch` append; its lost-on-restart offset
+  * handling (app.py:153-155, `latest` + autocommit) is strictly upgraded
+  * by checkpointing. Watermarked windowed aggregation is the in-scope
+  * extension (SURVEY.md §2.8/T4).
+  *
+  * Scale notes: stateful aggregation state is keyed by (window, key) and
+  * bounded by the watermark (late data past 10 min is dropped, so state
+  * doesn't grow unboundedly); `maxFilesPerTrigger` bounds per-batch input
+  * like the reference's `max_records`.
+  */
+object StreamingPipeline {
+
+  /** File-stream source over events-shaped parquet, bounded per trigger
+    * (the reference's `max_records=10`-style cap, app.py:245). */
+  def eventsStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = graft.Tables.raw(spark, sfDir, "events").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // glob (not bare file path): FileStreamSource requires basePath to be
+      // a directory, and with a glob it resolves to the parent dir.
+      .parquet(s"$sfDir/{events}.parquet")
+      // same ns→us normalization as Tables.load (ts arrives as long nanos)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The reference's consume-side validation (app.py:251-252 required
+    * keys; app.py:256-261 parse-or-skip): null-out malformed, drop. */
+  def validated(stream: DataFrame): DataFrame =
+    stream.filter(
+      col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull && col("event_type").isNotNull)
+
+  /** Watermarked tumbling-window aggregation (1 hour windows, 10 min
+    * late-data tolerance): the idiomatic upgrade of the dashboard's
+    * poll-and-recompute metrics (app.py:373-390). */
+  def windowedCounts(stream: DataFrame): DataFrame =
+    validated(stream)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+
+  /** Sliding-window variant (1 hour window every 15 minutes). */
+  def slidingCounts(stream: DataFrame): DataFrame =
+    validated(stream)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session-window variant (30 min gap), the streaming form of
+    * EventsPipeline.sessionize. */
+  def sessionCounts(stream: DataFrame): DataFrame =
+    validated(stream)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Dual-write sink (app.py:254: insert to Mongo BEFORE display; here:
+    * append parquet + maintain an in-memory latest-record view), with a
+    * checkpoint for exactly-once into the idempotent file sink. */
+  def startDualWrite(spark: SparkSession, stream: DataFrame, sinkDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    validated(stream).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        batch.write.mode("append").parquet(sinkDir) // historical store
+        // latest-record view (app.py:363: sort desc, head)
+        batch.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+          .createOrReplaceGlobalTempView("latest_event")
+        batch.unpersist()
+        ()
+      }
+      .start()
+
+  /** Run the windowed aggregation synchronously over the sf events table
+    * (AvailableNow → memory sink) and return the completed result — lets
+    * the batch-oriented driver harness exercise the streaming path. */
+  def runWindowedBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "stream_windowed_out"
+    val q = windowedCounts(eventsStream(spark, sfDir, maxFilesPerTrigger = 1))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("window_start"), col("event_type"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Cols._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (builder-spec north star; SURVEY.md §7.5) over the `documents` fixture
+  * table (`doc_id, text, lang, source, n_chars`).
+  *
+  * Everything is built from codegen'd `functions._` / higher-order array
+  * functions — no UDFs — so the per-document work stays inside whole-stage
+  * codegen and scales linearly with the corpus (embarrassingly parallel;
+  * the only shuffles are the final small grouped aggregations).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. `split` on literal spaces keeps empty-string
+    * artifacts out because fixture text is single-space separated. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** BPE-ish subword segmentation count: a regex token pass that splits on
+    * word boundaries AND breaks long words into <=4-char chunks — a cheap,
+    * deterministic stand-in for a BPE vocab (real BPE needs a merges table,
+    * which would ship as a broadcast lookup the same way). */
+  def bpeishTokenCount(c: Column): Column =
+    aggregate(
+      transform(tokens(c), w => (length(w) + lit(3)) / lit(4)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+
+  /** Per-document token statistics. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(tokens(col("text"))).as("n_tokens"),
+        bpeishTokenCount(col("text")).as("n_subwords"),
+        length(col("text")).as("len_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus statistics per language: doc counts + exact char/token
+    * averages (integer sums → deterministic division). */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_chars"),
+        sum(size(tokens(col("text")))).as("total_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  /** Quality scoring (length / stopword-ratio / mean word length — the
+    * standard cheap pre-filters in web-scale corpus cleaning). All ratios
+    * are integer-derived divisions → deterministic. */
+  def qualityScores(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val stopwords = Seq("the", "a")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    val charsNoSpace = length(regexp_replace(col("text"), " ", ""))
+    documents
+      .select(
+        col("doc_id"),
+        col("lang"),
+        nTokens.as("n_tokens"),
+        (nStop.cast("double") / nTokens.cast("double")).as("stopword_ratio"),
+        (charsNoSpace.cast("double") / nTokens.cast("double"))
+          .as("mean_word_len"),
+        (size(array_distinct(toks)).cast("double") / nTokens.cast("double"))
+          .as("distinct_token_ratio"))
+      .orderBy(col("doc_id"))
+
+  }
+
+  /** Language-ID heuristic: score each candidate language by stopword /
+    * character n-gram evidence. The fixture corpus is synthetic (same
+    * vocabulary for every lang label) so accuracy is meaningless there,
+    * but the operator is the real shape: per-language marker lists
+    * broadcast as literals, argmax over scores. Rows-only check. */
+  def languageId(documents: DataFrame): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "es" -> Seq("el", "la", "de", "que", "y"),
+      "fr" -> Seq("le", "la", "de", "et", "un"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "zh" -> Seq.empty) // zh: CJK codepoint evidence, not stopwords
+    val toks = tokens(col("text"))
+    val scores = markers.map { case (lang, ws) =>
+      val hit =
+        if (ws.isEmpty) when(col("text").rlike("[\\u4e00-\\u9fff]"), 100).otherwise(0)
+        else size(filter(toks, t => t.isin(ws.map(lit(_)): _*)))
+      struct(hit.cast("long").as("score"), lit(lang).as("lang"))
+    }
+    documents
+      .withColumn("best", sort_array(array(scores: _*), asc = false).getItem(0))
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        col("best.lang").as("predicted_lang"),
+        col("best.score").as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint #1: md5 content hash (exact-dup key — stable
+    * across engines, so oracle-checkable). */
+  def md5Fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint #2: rolling polynomial hash over tokens
+    * (Karp-Rabin style). Arithmetic stays modular below 2^62 so it is
+    * ANSI-safe (no 64-bit overflow); engine-specific base hash →
+    * rows-only check. */
+  def rollingFingerprints(documents: DataFrame): DataFrame = {
+    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+    documents
+      .select(
+        col("doc_id"),
+        aggregate(
+          tokens(col("text")),
+          lit(0L),
+          (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(p / 64)),
+            lit(p / 64)))
+          .as("rolling_fp"))
+      .orderBy(col("doc_id"))
+  }
+}

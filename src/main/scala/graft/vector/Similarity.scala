@@ -1,0 +1,171 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search over the `embeddings` fixture table
+  * (`vec_id, embedding: array<float> dim=64, label`).
+  *
+  * All vector math uses higher-order functions (`zip_with`/`aggregate`) on
+  * arrays cast to double — native Catalyst expressions, sequential
+  * per-row folds (deterministic), no UDFs.
+  *
+  * Scale design:
+  *  - Brute-force top-k is the correctness baseline: broadcast the query
+  *    vectors (tiny) against the corpus — one scan, per-partition top-k via
+  *    window row_number, no corpus shuffle. Linear in corpus size.
+  *  - The scale path is bucketed ANN: a random-hyperplane LSH signature
+  *    (SRP) assigns each vector to a bucket; queries probe only their own
+  *    bucket → cost drops from O(N) to O(N/2^bits) per query. The bucket
+  *    id doubles as a partitioning/bucketing key on disk at 100 TB.
+  *  - IVF-style variant: coarse centroids = per-label means (stand-in for
+  *    k-means, which would be an offline job); queries probe the nearest
+  *    centroid's inverted list only.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Pairwise cosine between a small set of vectors (vec_id < bound) —
+    * deterministic per-row fold, oracle-checkable with rounding. */
+  def pairwiseCosine(embeddings: DataFrame, bound: Int = 10): DataFrame = {
+    val small = embeddings.filter(col("vec_id") < bound)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    small.as("a").join(small.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 3).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force exact top-k neighbors for each of `nQueries` query
+    * vectors: broadcast queries × corpus scan, per-query top-k. */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 3).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Signed-random-projection LSH bucket id (`bits` hyperplanes). The
+    * hyperplanes are deterministic pseudo-random unit-ish vectors derived
+    * from splitmix64 of (plane, dim) — reproducible with no RNG state. */
+  def srpBucket(v: Column, bits: Int = 8, dim: Int = 64): Column = {
+    def mix(z0: Long): Double = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      // map to [-1, 1)
+      (z >>> 11).toDouble / 4503599627370496.0 - 1.0
+    }
+    val planes: Seq[Seq[Double]] =
+      (0 until bits).map(p => (0 until dim).map(d => mix(p.toLong * 131 + d)))
+    val bitCols = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit(_)): _*)
+      when(dot(v, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate NN: queries probe only their own SRP bucket.
+    * The bucket join is an equi-join on bucket id → hash-partitioned,
+    * each bucket ~N/2^bits vectors. */
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      bits: Int = 6): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), bits))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpus
+      .join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 3).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-style ANN: coarse centroids (per-label mean vectors — a
+    * deterministic stand-in for offline k-means), each query probes the
+    * nearest centroid's inverted list. Centroid assignment and probe are
+    * broadcast joins; the corpus is scanned once. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    // centroid[d] = exact mean per dimension (posexplode → avg → collect)
+    val centroids = corpus
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .getField("m").as("centroid"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    // nearest centroid per query (tiny × tiny cross join)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val probe = queries.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("q"), col("centroid")))
+      .withColumn("r", row_number().over(wq))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("q"), col("label").as("probe_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpus
+      .join(broadcast(probe),
+        col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 3).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * restricted to LSH-bucket candidates (the scalable near-dup shape). */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
+      bits: Int = 4): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), bits))
+    corpus.as("a")
+      .join(corpus.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cos"), 3).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}
