@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operators on crafted near/exact duplicate corpora. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(texts: Seq[String]) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }),
+      schema)
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat sleeps on the warm mat near the door"
+
+  test("exact dedup keeps min doc_id per identical text") {
+    val df = docs(Seq(base, base, "something else entirely here", base))
+    val out = dedup.Dedup.exactDedup(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 3L), (2L, 1L)))
+    val dig = dedup.Dedup.exactDedupByDigest(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(dig.toSeq == out.toSeq)
+  }
+
+  test("jaccard pairs finds near-duplicates, skips unrelated") {
+    val nearDup = base.replace("lazy", "sleepy") // one word differs
+    val other = "completely different words with no overlap at all " +
+      "in any shingle of this unrelated document text body"
+    val df = docs(Seq(base, nearDup, other))
+    val out = dedup.Dedup.jaccardPairs(df, n = 3, threshold = 0.3).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == (0L, 1L))
+    assert(out(0).getDouble(3) > 0.5)
+  }
+
+  test("minhash LSH finds the same near-dup pair") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val other = "completely different words with no overlap at all " +
+      "in any shingle of this unrelated document text body"
+    val df = docs(Seq(base, nearDup, other))
+    val out = dedup.Dedup.minhashLshPairs(df, threshold = 0.4).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+  }
+
+  test("simhash: identical texts have hamming 0; near-dups small distance") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val df = docs(Seq(base, base, nearDup))
+    val out = dedup.Dedup.simhashPairs(df, maxHamming = 16).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2).toLong)).toMap
+    assert(out((0L, 1L)) == 0L)
+    assert(out.get((0L, 2L)).forall(_ <= 16L))
+  }
+
+  test("minhash signature length and determinism") {
+    val df = docs(Seq(base))
+    val sig1 = dedup.Dedup.minhashSignatures(df, k = 16)
+      .collect()(0).getSeq[Long](1)
+    val sig2 = dedup.Dedup.minhashSignatures(df, k = 16)
+      .collect()(0).getSeq[Long](1)
+    assert(sig1.length == 16 && sig1 == sig2)
+  }
+}

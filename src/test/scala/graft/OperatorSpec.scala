@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture-backed operator invariants (sf0.001) + plan-shape assertions
+  * (the "would this scale" checks: broadcast where intended, pushdown
+  * reaching the parquet scan, top-k not globally sorting). */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("every query runs and is non-degenerate on sf0.001") {
+    // queries allowed to legitimately return 0 rows at this scale:
+    val mayBeEmpty = Set("q_anti_join", "q_except", "q_minhash_lsh",
+      "q_simhash_pairs", "q_cosine_neardup", "q_jaccard_pairs")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0 && (mayBeEmpty(name) || n > 0), s"$name returned $n rows")
+    }
+  }
+
+  test("oracle SQL exists for every SQL-expressible query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle for unknown queries: $missing")
+  }
+
+  test("top-1 = head of full sort (property: O3/A6)") {
+    val events = Tables.load(spark, sf, "events")
+    val viaLimit = operators.EventsPipeline.latestRecord(events)
+      .collect()(0).getAs[Long]("event_id")
+    val viaSort = events.orderBy(col("ts").desc, col("event_id").desc)
+      .collect()(0).getAs[Long]("event_id")
+    assert(viaLimit == viaSort)
+  }
+
+  test("count equals sum of grouped counts (property: A1)") {
+    val events = Tables.load(spark, sf, "events")
+    val total = events.count()
+    val grouped = operators.EventsPipeline.requiredKeyCounts(events)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(grouped == total) // fixture has no nulls
+  }
+
+  test("broadcast join is planned for dimension joins") {
+    val plan = operators.Relational.revenueBySegment(
+      Tables.load(spark, sf, "orders"), Tables.load(spark, sf, "customer"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val plan = operators.Relational.topOrders(
+      Tables.load(spark, sf, "orders"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("filter is pushed to the parquet scan") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      plan.take(800))
+  }
+
+  test("multimodal stub pipeline produces typed features per item") {
+    val docs = Tables.load(spark, sf, "documents")
+    val feats = multimodal.Multimodal.extractFeatures(
+      spark, multimodal.Multimodal.mediaTable(spark, docs))
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(f => f.frameCount == 4 && f.nBytes > 0 &&
+      f.meanByte > 0 && f.byteEntropyMilli > 0))
+  }
+
+  test("language id picks a deterministic argmax") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out1 = text.TextAnalysis.languageId(docs).collect().toSeq
+    val out2 = text.TextAnalysis.languageId(docs).collect().toSeq
+    assert(out1 == out2 && out1.length == 500)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vector similarity: brute-force is the exact baseline; LSH/IVF are
+  * approximations whose results must be subsets/orderings consistent
+  * with exact cosine. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("brute-force top-k matches hand-computed cosine ranking") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      Row(1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)), // nearly parallel to 0
+      Row(2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal to 0
+      Row(3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))) // opposite to 0
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(vecs), schema)
+    val out = vector.Similarity.bruteForceTopK(df, nQueries = 1, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("LSH top-k on real embeddings recalls most of exact top-10") {
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+    val exact = vector.Similarity.bruteForceTopK(df, nQueries = 1, k = 10)
+      .collect().map(_.getLong(2)).toSet
+    val approx = vector.Similarity.lshTopK(df, nQueries = 1, k = 10, bits = 4)
+      .collect().map(_.getLong(2)).toSet
+    // approximate: require non-trivial recall, not equality
+    assert(approx.nonEmpty && (exact & approx).nonEmpty)
+  }
+
+  test("pairwise cosine is symmetric-safe and bounded") {
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+    val out = vector.Similarity.pairwiseCosine(df, bound = 5).collect()
+    assert(out.length == 10) // C(5,2)
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+}

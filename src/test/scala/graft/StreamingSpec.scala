@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics (SURVEY.md §2.8): micro-batch validate →
+  * dual-write, watermarked windows; driven with MemoryStream for
+  * deterministic triggers. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: java.lang.Long,
+      event_type: String, value: java.lang.Double, props: String)
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowed counts aggregate per hour and drop invalid rows") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      Ev(2, ts("2024-01-01 10:45:00"), 1L, "click", 2.0, "{}"),
+      Ev(3, ts("2024-01-01 11:05:00"), 2L, "view", 3.0, "{}"),
+      Ev(4, ts("2024-01-01 11:06:00"), null, "view", 4.0, "{}")) // invalid
+    val q = streaming.StreamingPipeline.windowedCounts(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wc_test")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"),
+        col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00", "view", 1L, 3.0)))
+  }
+
+  test("dual-write sink appends history and maintains latest view") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sink = Files.createTempDirectory("graft_sink").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      Ev(2, ts("2024-01-01 12:00:00"), 1L, "view", 2.0, "{}"))
+    val q = streaming.StreamingPipeline.startDualWrite(
+      spark, mem.toDF(), s"$sink/hist", ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$sink/hist").count() == 2)
+    val latest = spark.table("global_temp.latest_event").collect()
+    assert(latest.length == 1 && latest(0).getAs[Long]("event_id") == 2L)
+  }
+
+  test("session windows group events within gap") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      Ev(2, ts("2024-01-01 10:10:00"), 1L, "click", 1.0, "{}"),
+      Ev(3, ts("2024-01-01 12:00:00"), 1L, "click", 1.0, "{}"))
+    val q = streaming.StreamingPipeline.sessionCounts(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("sess_test").count()
+    assert(n == 2) // two sessions for user 1
+  }
+
+  test("file-stream over events parquet processes all rows (AvailableNow)") {
+    val out = streaming.StreamingPipeline.runWindowedBatch(spark, TestSpark.sf)
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 1000L) // sf0.001 events row count
+  }
+}
