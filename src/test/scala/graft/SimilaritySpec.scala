@@ -35,6 +35,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.nonEmpty && (exact & approx).nonEmpty)
   }
 
+  test("native cosine_sim expression matches the HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val paired = df.as("a").crossJoin(df.as("b"))
+    val hof = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(transform(col("a.v"), x => x * x), lit(0.0), (a, x) => a + x)) *
+       sqrt(aggregate(transform(col("b.v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val diff = paired
+      .select(functions.VectorFunctions.cosineSim(col("a.v"), col("b.v")).as("fast"),
+        hof.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("cosine_sim is registered for SQL via extensions/register") {
+    functions.VectorFunctions.register(spark)
+    Tables.load(spark, TestSpark.sf, "embeddings")
+      .createOrReplaceTempView("emb_sql_test")
+    val r = spark.sql(
+      """SELECT cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+                           CAST(b.embedding AS ARRAY<DOUBLE>)) AS c
+         FROM emb_sql_test a JOIN emb_sql_test b
+           ON a.vec_id = 0 AND b.vec_id = 0""").collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12) // self-similarity = 1
+  }
+
   test("pairwise cosine is symmetric-safe and bounded") {
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
     val out = vector.Similarity.pairwiseCosine(df, bound = 5).collect()
