@@ -72,6 +72,13 @@ object SparkEntry {
     "q_intersect" -> t2("customer", "orders")(R.intersectHighValueCustomers),
     "q_except" -> t2("customer", "orders")(R.exceptHighValueCustomers),
     "q_distinct_shapes" -> t("events")(R.distinctEventShapes),
+    "q_grouping_sets" -> ((s, dir) =>
+      operators.Extended.groupingSets(s, Tables.load(s, dir, "lineitem"))),
+    "q_percentile" -> t("lineitem")(operators.Extended.percentiles),
+    "q_approx_percentile" -> t("lineitem")(operators.Extended.approxPercentiles),
+    "q_math_fns" -> t("lineitem")(operators.Extended.mathFunctions),
+    "q_array_ops" -> t("embeddings")(operators.Extended.arrayFunctions),
+    "q_json_roundtrip" -> t("events")(operators.Extended.jsonRoundtrip),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
@@ -315,6 +322,45 @@ object SparkEntry {
     "q_distinct_shapes" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            ${Cols.sqlDecSum("l_quantity", 2)} AS sum_qty, count(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                  (l_returnflag), ())
+          ORDER BY l_returnflag ASC NULLS FIRST,
+                   l_linestatus ASC NULLS FIRST""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+            quantile_cont(l_quantity, 0.25) AS q1_qty,
+            quantile_cont(l_quantity, 0.5) AS median_qty,
+            quantile_cont(l_quantity, 0.75) AS q3_qty,
+            quantile_cont(l_extendedprice, 0.5) AS median_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+            abs(l_discount - 0.05) AS abs_disc,
+            round(l_extendedprice, 1) AS rounded_price,
+            pow(l_quantity, 2) AS qty_squared,
+            sqrt(l_extendedprice) AS sqrt_price,
+            round(ln(l_extendedprice), 6) AS ln_price,
+            greatest(l_tax, l_discount) AS max_rate,
+            least(l_tax, l_discount) AS min_rate
+         FROM lineitem WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_array_ops" ->
+      """SELECT vec_id,
+            CAST(len(embedding) AS INTEGER) AS dim,
+            CAST(embedding[1] AS DOUBLE) AS first_elem,
+            CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+            CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+            CAST(list_sort(embedding)[1] AS DOUBLE) AS sorted_first,
+            CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+              AS INTEGER) AS n_positive
+         FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
+    "q_json_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         ORDER BY event_id""",
     "q_token_stats" ->
       """SELECT doc_id, lang,
             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

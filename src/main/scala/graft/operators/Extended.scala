@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Cols._
+
+/** Additional scalar-function / grouping-set / statistics coverage
+  * (SURVEY.md §2.4 grouping sets, §2.7 math functions over the extension
+  * inventory). */
+object Extended {
+
+  /** GROUPING SETS aggregation (the general form of rollup/cube). */
+  def groupingSets(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+            ${sqlDecSum("l_quantity", 2)} AS sum_qty, count(*) AS n
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                  (l_returnflag), ())
+          ORDER BY l_returnflag ASC NULLS FIRST,
+                   l_linestatus ASC NULLS FIRST""")
+  }
+
+  /** Exact interpolated percentiles per group (median + quartiles).
+    * Spark `percentile` and DuckDB `quantile_cont` both linearly
+    * interpolate over the sorted exact values. */
+  def percentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.75)").as("q3_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate percentile (t-digest style GK sketch) — the scale path
+    * when exact sort-based percentile is too expensive; rows-only check. */
+  def approxPercentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+        .as("approx_median_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Math scalar functions (§2.7 extension): abs/round/pow/sqrt/ln over
+    * numeric fact columns, rounded where libm implementations may differ
+    * in the last ulp. */
+  def mathFunctions(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - lit(0.05)).as("abs_disc"),
+        round(col("l_extendedprice"), 1).as("rounded_price"),
+        pow(col("l_quantity"), 2).as("qty_squared"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Array higher-order / collection functions (§2.7 extension) over the
+    * embedding vectors. */
+  def arrayFunctions(embeddings: DataFrame): DataFrame =
+    embeddings
+      .filter(col("vec_id") < 100)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        col("embedding").getItem(0).cast("double").as("first_elem"),
+        array_min(col("embedding")).cast("double").as("min_elem"),
+        array_max(col("embedding")).cast("double").as("max_elem"),
+        sort_array(col("embedding")).getItem(0).cast("double")
+          .as("sorted_first"),
+        size(filter(col("embedding").cast("array<double>"), x => x > 0))
+          .as("n_positive"))
+      .orderBy(col("vec_id"))
+
+  /** Kafka-shaped JSON round-trip (S2 serialize + S5 deserialize):
+    * encode events to (key, value) messages, decode back, aggregate —
+    * proves the message path is lossless. */
+  def jsonRoundtrip(events: DataFrame): DataFrame = {
+    import graft.sources.Sources
+    val msgSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts_us", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val encoded = Sources.kafkaEncode(
+      events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")),
+      keyCol = "user_id")
+    Sources.kafkaDecode(encoded, msgSchema)
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+}

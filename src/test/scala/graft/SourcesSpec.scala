@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink round-trips through real files (SURVEY.md §2.1 formats). */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("CSV round-trip preserves rows and values") {
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val dir = tmp("graft_csv")
+    sources.Sources.writeCsv(orders, dir)
+    val back = sources.Sources.readCsv(spark, dir, orders.schema)
+    assert(back.count() == orders.count())
+    val sumA = orders.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    val sumB = back.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    assert(math.abs(sumA - sumB) < 1e-6)
+  }
+
+  test("JSONL round-trip preserves rows") {
+    val customer = Tables.load(spark, TestSpark.sf, "customer")
+    val dir = tmp("graft_jsonl")
+    sources.Sources.writeJsonl(customer, dir)
+    val back = sources.Sources.readJsonl(spark, dir, customer.schema)
+    assert(back.count() == customer.count())
+    assert(back.agg(sum("c_custkey")).collect()(0).getLong(0) ==
+      customer.agg(sum("c_custkey")).collect()(0).getLong(0))
+  }
+
+  test("partitioned parquet layout enables partition pruning") {
+    val events = Tables.load(spark, TestSpark.sf, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val dir = tmp("graft_part")
+    sources.Sources.writeParquetPartitioned(events, dir, Seq("event_date"))
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_date") === "2024-01-05")
+    // partition filter must appear as PartitionFilters, not a data filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_date"), plan.take(600))
+    assert(pruned.count() > 0)
+  }
+
+  test("kafka encode/decode round-trip is lossless incl. timestamps") {
+    val events = Tables.load(spark, TestSpark.sf, "events")
+    val out = operators.Extended.jsonRoundtrip(events)
+    assert(out.count() == events.count())
+    val a = events.select(sum(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val b = out.select(sum(unix_micros(col("ts")))).collect()(0).getLong(0)
+    assert(a == b)
+  }
+
+  test("malformed kafka message decodes to nulls (PERMISSIVE), then dropped") {
+    import org.apache.spark.sql.types._
+    val sq = spark
+    import sq.implicits._
+    val msgs = Seq(
+      ("1", """{"event_id": 1, "value": 2.5}"""),
+      ("2", "not json at all")).toDF("key", "value")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val decoded = sources.Sources.kafkaDecode(msgs, schema)
+    assert(decoded.count() == 2)
+    assert(decoded.filter(col("event_id").isNotNull).count() == 1)
+  }
+}
