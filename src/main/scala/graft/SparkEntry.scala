@@ -37,7 +37,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference surface: events pipeline (SURVEY.md §2.1-2.8) ----
-    "q_hist_range" -> t("events")(E.historicalRange(_)),
+    "q_hist_range" -> ((s, dir) => E.historicalRangeScan(s, dir)),
     "q_hist_summary" -> t("events")(E.rangeSummary(_)),
     "q_required_counts" -> t("events")(E.requiredKeyCounts),
     "q_rename_tag" -> t("events")(E.renameTag(_)),

@@ -89,6 +89,38 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Per-user running state for the custom-state surface
+    * (`flatMapGroupsWithState`, SURVEY.md §2.9 planned extension): emits a
+    * record per input event carrying the user's cumulative count and
+    * running mean value — the streaming form of a running aggregate that
+    * windowed aggs can't express (state spans all windows). State is one
+    * small struct per user, dropped via timeout in production use. */
+  case class UserState(n: Long, sum: Double)
+  case class UserUpdate(user_id: Long, event_id: Long, n_so_far: Long,
+      mean_so_far: Double)
+
+  def runningUserState(spark: SparkSession, stream: DataFrame)
+      : org.apache.spark.sql.Dataset[UserUpdate] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    validated(stream)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[UserState]) => {
+          var st = state.getOption.getOrElse(UserState(0L, 0.0))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, eventId, v) =>
+            st = UserState(st.n + 1, st.sum + v)
+            UserUpdate(user, eventId, st.n, st.sum / st.n)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Run the windowed aggregation synchronously over the sf events table
     * (AvailableNow → memory sink) and return the completed result — lets
     * the batch-oriented driver harness exercise the streaming path. */

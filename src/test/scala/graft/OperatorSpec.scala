@@ -56,6 +56,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("historicalRangeScan pushes the time filter into the parquet scan " +
+      "and matches the single-plan broadcast form") {
+    val scan = operators.EventsPipeline.historicalRangeScan(spark, sf)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      plan.take(800))
+    val viaJoin = operators.EventsPipeline
+      .historicalRange(Tables.load(spark, sf, "events"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(scan.collect().map(_.getLong(0)).toSeq == viaJoin)
+  }
+
   test("filter is pushed to the parquet scan") {
     val df = Tables.load(spark, sf, "lineitem")
       .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")

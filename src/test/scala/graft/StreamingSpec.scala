@@ -79,6 +79,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == 2) // two sessions for user 1
   }
 
+  test("flatMapGroupsWithState keeps running per-user state across batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.StreamingPipeline.runningUserState(spark, mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_test").start()
+    mem.addData(Ev(1, ts("2024-01-01 10:00:00"), 1L, "click", 10.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(Ev(2, ts("2024-01-01 10:01:00"), 1L, "click", 20.0, "{}"))
+    q.processAllAvailable() // state must survive the batch boundary
+    q.stop()
+    val rows = spark.table("state_test")
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_so_far"),
+        r.getAs[Double]("mean_so_far")))
+    assert(rows.toSeq == Seq((1L, 1L, 10.0), (2L, 2L, 15.0)))
+  }
+
   test("file-stream over events parquet processes all rows (AvailableNow)") {
     val out = streaming.StreamingPipeline.runWindowedBatch(spark, TestSpark.sf)
     val total = out.agg(sum("n")).collect()(0).getLong(0)
