@@ -79,6 +79,11 @@ object SparkEntry {
     "q_math_fns" -> t("lineitem")(operators.Extended.mathFunctions),
     "q_array_ops" -> t("embeddings")(operators.Extended.arrayFunctions),
     "q_json_roundtrip" -> t("events")(operators.Extended.jsonRoundtrip),
+    "q_salted_agg" -> t("events")(operators.Skew.saltedValueSums(_)),
+    "q_salted_join" ->
+      t2("lineitem", "orders")(operators.Skew.saltedRevenueByPriority),
+    "q_top_ngrams" -> t("documents")(T.topNgrams(_)),
+    "q_length_histogram" -> t("documents")(T.lengthHistogram(_)),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
@@ -361,6 +366,29 @@ object SparkEntry {
     "q_json_roundtrip" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
          ORDER BY event_id""",
+    "q_salted_agg" ->
+      s"""SELECT event_type, count(*) AS n,
+            ${Cols.sqlDecSum("value")} AS sum_value
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_salted_join" ->
+      s"""SELECT o_orderpriority, $revenueExpr AS revenue, count(*) AS n_lines
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_top_ngrams" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS ngram
+           FROM tok)
+         SELECT ngram, count(*) AS n_docs FROM sh GROUP BY ngram
+         ORDER BY n_docs DESC, ngram LIMIT 20""",
+    "q_length_histogram" ->
+      """SELECT (n_chars // 50) * 50 AS bucket_start, count(*) AS n_docs,
+            min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY n_chars // 50 ORDER BY bucket_start""",
     "q_token_stats" ->
       """SELECT doc_id, lang,
             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

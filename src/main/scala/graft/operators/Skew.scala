@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Cols._
+
+/** Skew-handling primitives (builder spec: "Skewed keys → salting or AQE
+  * skew-join").
+  *
+  * AQE (`spark.sql.adaptive.skewJoin.enabled`) is the first line of
+  * defense — it splits oversized shuffle partitions at runtime with no
+  * code change. Salting is the explicit fallback for aggregations (AQE
+  * does not split a single hot GROUP BY key) and for joins on engines/
+  * configs without AQE. Both forms below are semantically identical to
+  * their unsalted counterparts — verified against the same oracle SQL as
+  * the plain aggregation.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: phase 1 aggregates on
+    * (key, hash(row-id) % salt) so a hot key spreads over `salt`
+    * reducers; phase 2 merges the partials. Exact for any associative
+    * aggregate — here count + decimal sum (so the final double is
+    * bit-identical to the unsalted plan). */
+  def saltedValueSums(events: DataFrame, salt: Int = 16): DataFrame = {
+    val phase1 = events
+      .withColumn("_salt", pmod(xxhash64(col("event_id")), lit(salt)))
+      .groupBy(col("event_type"), col("_salt"))
+      .agg(
+        count(lit(1)).as("n_part"),
+        sum(col("value").cast("decimal(28,6)")).as("sum_part"))
+    phase1
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_part")).as("n"),
+        sum(col("sum_part")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Salted join for a skewed fact key: the fact side gets a random-ish
+    * salt in [0, salt); the (small, replicable) dimension side is exploded
+    * `salt` times so every salted fact partition finds its match. Exact
+    * join semantics; shuffle of the hot key spreads over `salt`
+    * partitions. For genuinely small dims prefer `broadcast()`; this form
+    * is for mid-size dims where broadcast doesn't fit but one key
+    * dominates the fact table. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, rowSalt: Column, salt: Int = 16): DataFrame = {
+    // rowSalt must vary PER ROW of the fact side (salting by the join key
+    // would put a hot key's rows back into one partition); callers pass a
+    // hash over non-key columns or a per-row id.
+    val saltedFact = fact.withColumn("_salt", pmod(rowSalt, lit(salt)))
+    val explodedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedFact.join(explodedDim,
+      saltedFact(factKey) === explodedDim(dimKey) &&
+        saltedFact("_salt") === explodedDim("_salt"))
+      .drop("_salt")
+  }
+
+  /** Salted-join demo query: lineitem ⋈ orders through the salted path,
+    * aggregated to the same shape as the unsalted `q_join_priority`. */
+  def saltedRevenueByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    saltedJoin(lineitem, orders, "l_orderkey", "o_orderkey",
+      xxhash64(col("l_linenumber"), col("l_partkey")))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+}

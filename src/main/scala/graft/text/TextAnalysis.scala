@@ -106,6 +106,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Top word n-grams across the corpus (frequency table — the standard
+    * corpus-statistics pass; explode keeps it one shuffle keyed by the
+    * n-gram). */
+  def topNgrams(documents: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    import graft.dedup.Dedup.shingles
+    documents
+      .select(explode(shingles(col("text"), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /** Value-distribution histogram of doc lengths (fixed-width buckets —
+    * integer arithmetic, oracle-exact). */
+  def lengthHistogram(documents: DataFrame, width: Int = 50): DataFrame =
+    documents
+      .groupBy((col("n_chars") / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("bucket_start", col("bucket") * width)
+      .select(col("bucket_start"), col("n_docs"), col("min_chars"),
+        col("max_chars"))
+      .orderBy(col("bucket_start"))
+
   /** Document fingerprint #1: md5 content hash (exact-dup key — stable
     * across engines, so oracle-checkable). */
   def md5Fingerprints(documents: DataFrame): DataFrame =

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-mechanics specs: salting equivalence, bucketed co-located joins
+  * (no shuffle in the join plan), AQE behavior. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("salted aggregation is bit-identical to the plain aggregation") {
+    val events = Tables.load(spark, sf, "events")
+    val salted = operators.Skew.saltedValueSums(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("s"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salted join returns the same rows as the plain join") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val o = Tables.load(spark, sf, "orders")
+    val salted = operators.Skew.saltedRevenueByPriority(li, o).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val plain = operators.Relational.revenueByPriority(li, o).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is set (static conf) at session creation in TestSpark
+    // disable auto-broadcast so the join would normally shuffle
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.load(spark, sf, "lineitem")
+      val o = Tables.load(spark, sf, "orders")
+      li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_bucketed")
+      o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("o_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: SortMergeJoin with no Exchange on either side
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(joined.count() ==
+        operators.Relational.revenueByPriority(li, o)
+          .agg(sum("n_lines")).collect()(0).getLong(0))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("AQE is available and coalesces shuffle partitions") {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val df = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_orderkey").count()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") || plan.contains("AdaptiveSparkPlan"),
+      plan.take(400))
+  }
+}
