@@ -84,6 +84,9 @@ object SparkEntry {
       t2("lineitem", "orders")(operators.Skew.saltedRevenueByPriority),
     "q_top_ngrams" -> t("documents")(T.topNgrams(_)),
     "q_length_histogram" -> t("documents")(T.lengthHistogram(_)),
+    "q_dedup_decisions" -> t("documents")(operators.Pipeline.dedupDecisions(_)),
+    "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
+    "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
@@ -389,6 +392,49 @@ object SparkEntry {
       """SELECT (n_chars // 50) * 50 AS bucket_start, count(*) AS n_docs,
             min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY n_chars // 50 ORDER BY bucket_start""",
+    "q_dedup_decisions" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jp AS (
+           SELECT doc_a, doc_b FROM pairs
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE CAST(n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         dropped AS (
+           SELECT doc_b AS doc_id, min(doc_a) AS dup_of FROM jp GROUP BY doc_b)
+         SELECT d.doc_id, dropped.dup_of IS NULL AS keep, dropped.dup_of
+         FROM documents d LEFT JOIN dropped USING (doc_id)
+         ORDER BY d.doc_id""",
+    "q_contamination" ->
+      """SELECT source, count(*) AS n_docs,
+            CAST(sum(CASE WHEN contains(text, 'spark table scan')
+                OR contains(text, 'window batch stream')
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < 100),
+         q AS (SELECT vec_id, list_min(e) AS min_val, list_max(e) AS max_val,
+            list_transform(e, x -> CAST(round(
+              (x - list_min(e)) / (list_max(e) - list_min(e)) * 255)
+              AS INTEGER)) AS q8
+           FROM v)
+         SELECT vec_id, min_val, max_val, q8,
+            CAST(list_sum(q8) AS BIGINT) AS q8_sum
+         FROM q ORDER BY vec_id""",
     "q_token_stats" ->
       """SELECT doc_id, lang,
             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -121,6 +121,30 @@ object StreamingPipeline {
         })
   }
 
+  /** Stream-stream interval join (SURVEY.md §2.3 as-of/interval row, in
+    * streaming form): each view event joins the same user's purchases
+    * within the preceding hour. Both sides carry watermarks so the join
+    * state is bounded — Spark drops buffered rows older than the
+    * watermark minus the interval. */
+  def viewsJoinRecentPurchases(stream: DataFrame): DataFrame = {
+    val views = validated(stream)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = validated(stream)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") <= col("view_ts") &&
+        col("purchase_ts") >= col("view_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Run the windowed aggregation synchronously over the sf events table
     * (AvailableNow → memory sink) and return the completed result — lets
     * the batch-oriented driver harness exercise the streaming path. */

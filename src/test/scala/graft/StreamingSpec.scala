@@ -99,6 +99,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 1L, 10.0), (2L, 2L, 15.0)))
   }
 
+  test("stream-stream interval join pairs views with recent purchases") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      Ev(2, ts("2024-01-01 10:30:00"), 1L, "view", 1.0, "{}"), // within 1h
+      Ev(3, ts("2024-01-01 12:30:00"), 1L, "view", 1.0, "{}"), // too late
+      Ev(4, ts("2024-01-01 10:30:00"), 2L, "view", 1.0, "{}")) // other user
+    val q = streaming.StreamingPipeline.viewsJoinRecentPurchases(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_test").collect()
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id")))
+    assert(rows.toSeq == Seq((2L, 1L)))
+  }
+
   test("file-stream over events parquet processes all rows (AvailableNow)") {
     val out = streaming.StreamingPipeline.runWindowedBatch(spark, TestSpark.sf)
     val total = out.agg(sum("n")).collect()(0).getLong(0)

@@ -20,10 +20,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def to_cell(x):
+    # arrays (numpy/list) -> tuples so == is scalar and hashable
+    if hasattr(x, "tolist"):
+        x = x.tolist()
+    if isinstance(x, (list, tuple)):
+        return tuple(to_cell(v) for v in x)
+    return x
+
+
 def norm(df):
     cols = sorted(df.columns)
     df = df[cols]
-    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    rows = [tuple(to_cell(c) for c in r)
+            for r in df.itertuples(index=False, name=None)]
     return cols, rows
 
 
