@@ -87,6 +87,9 @@ object SparkEntry {
     "q_dedup_decisions" -> t("documents")(operators.Pipeline.dedupDecisions(_)),
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
+    "q_brand_revenue" -> t2("lineitem", "part")(R.revenueByBrand),
+    "q_supplier_balances" -> t2("supplier", "nation")(R.supplierBalances),
+    "q_variance" -> t("events")(R.valueVariance),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
@@ -418,6 +421,31 @@ object SparkEntry {
          SELECT d.doc_id, dropped.dup_of IS NULL AS keep, dropped.dup_of
          FROM documents d LEFT JOIN dropped USING (doc_id)
          ORDER BY d.doc_id""",
+    "q_brand_revenue" ->
+      s"""SELECT p_brand, $revenueExpr AS revenue,
+            ${Cols.sqlDecAvg("p_retailprice", 2)} AS avg_retail,
+            count(*) AS n_lines
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
+    "q_supplier_balances" ->
+      s"""SELECT n_name, count(*) AS n_suppliers,
+            ${Cols.sqlDecSum("s_acctbal", 2)} AS total_acctbal,
+            max(s_acctbal) AS max_acctbal
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""",
+    "q_variance" ->
+      """SELECT event_type, count(value) AS n,
+            (CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+              - CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                * CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                / CAST(count(value) AS DOUBLE))
+              / (CAST(count(value) AS DOUBLE) - 1.0) AS var_value,
+            sqrt((CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+              - CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                * CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                / CAST(count(value) AS DOUBLE))
+              / (CAST(count(value) AS DOUBLE) - 1.0)) AS stddev_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_contamination" ->
       """SELECT source, count(*) AS n_docs,
             CAST(sum(CASE WHEN contains(text, 'spark table scan')

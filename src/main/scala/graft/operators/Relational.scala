@@ -207,6 +207,48 @@ object Relational {
     rich.except(bigSpenders).orderBy(col("c_custkey"))
   }
 
+  /** Broadcast dim join over the part table: revenue per brand. */
+  def revenueByBrand(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        decAvg(col("p_retailprice"), 2).as("avg_retail"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+
+  /** Supplier dimension rollup through nation (supplier side of the join
+    * graph, FIXTURES.md): account balances per nation. */
+  def supplierBalances(supplier: DataFrame, nation: DataFrame): DataFrame =
+    supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        decSum(col("s_acctbal"), 2).as("total_acctbal"),
+        max(col("s_acctbal")).as("max_acctbal"))
+      .orderBy(col("n_name"))
+
+  /** Exact variance/stddev from exact decimal moments: n, Σx, Σx² are
+    * aggregated exactly, then var = (Σx² − (Σx)²/n)/(n−1) is a fixed
+    * sequence of double ops — deterministic across engines, unlike the
+    * built-in var_samp whose accumulation order varies. */
+  def valueVariance(events: DataFrame): DataFrame = {
+    val sx = sum(col("value").cast("decimal(28,6)")).cast("double")
+    val sxx = sum((col("value") * col("value")).cast("decimal(28,6)"))
+      .cast("double")
+    val n = count(col("value")).cast("double")
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("value")).as("n"),
+        ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_value"),
+        sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("stddev_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** dropDuplicates on a projection (exact distinct rows). */
   def distinctEventShapes(events: DataFrame): DataFrame =
     events

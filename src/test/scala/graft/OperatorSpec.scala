@@ -86,6 +86,31 @@ class OperatorSpec extends AnyFunSuite {
       f.meanByte > 0 && f.byteEntropyMilli > 0))
   }
 
+  test("typed Aggregator computes weighted mean over a Dataset") {
+    import graft.functions.TypedAggregators._
+    val sq = spark
+    import sq.implicits._
+    val ds = Seq(
+      WeightedValue(10.0, 1.0),
+      WeightedValue(20.0, 3.0)).toDS()
+    val got = ds.select(weightedMean.toColumn).collect()(0)
+    assert(math.abs(got - 17.5) < 1e-12)
+  }
+
+  test("exact-moment variance matches a direct computation") {
+    val events = Tables.load(spark, sf, "events")
+    val out = operators.Relational.valueVariance(events).collect()
+    val vals = events.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    out.foreach { r =>
+      val xs = vals.filter(_._1 == r.getString(0)).map(_._2)
+      val mean = xs.sum / xs.length
+      val expect = xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1)
+      assert(math.abs(r.getDouble(2) - expect) < 1e-6,
+        s"${r.getString(0)}: ${r.getDouble(2)} vs $expect")
+    }
+  }
+
   test("language id picks a deterministic argmax") {
     val docs = Tables.load(spark, sf, "documents")
     val out1 = text.TextAnalysis.languageId(docs).collect().toSeq
