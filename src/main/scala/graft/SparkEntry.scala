@@ -90,6 +90,10 @@ object SparkEntry {
     "q_brand_revenue" -> t2("lineitem", "part")(R.revenueByBrand),
     "q_supplier_balances" -> t2("supplier", "nation")(R.supplierBalances),
     "q_variance" -> t("events")(R.valueVariance),
+    "q_window_suite" -> t("orders")(operators.Extended.windowSuite),
+    "q_string_fns" -> t("customer")(operators.Extended.stringFunctions),
+    "q_date_fns" -> t("orders")(operators.Extended.dateFunctions),
+    "q_null_fns" -> t2("customer", "orders")(operators.Extended.nullFunctions),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
@@ -421,6 +425,62 @@ object SparkEntry {
          SELECT d.doc_id, dropped.dup_of IS NULL AS keep, dropped.dup_of
          FROM documents d LEFT JOIN dropped USING (doc_id)
          ORDER BY d.doc_id""",
+    "q_window_suite" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+            CAST(rank() OVER w AS INTEGER) AS rnk,
+            CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+            CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+            percent_rank() OVER w AS pct_rank,
+            cume_dist() OVER w AS cdist,
+            lead(o_orderkey, 1) OVER w AS next_key,
+            lag(o_orderkey, 1) OVER w AS prev_key,
+            first_value(o_orderkey) OVER
+              (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
+         FROM orders WHERE o_orderkey < 500
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+    "q_string_fns" ->
+      """SELECT c_custkey,
+            upper(c_name) AS upper_name,
+            lower(c_name) AS lower_name,
+            CAST(length(c_name) AS INTEGER) AS name_len,
+            substr(c_name, 1, 8) AS prefix,
+            concat_ws('-', c_mktsegment, c_name) AS tagged,
+            lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+            regexp_replace(c_name, '[0-9]+', '#', 'g') AS digits_masked,
+            split_part(c_name, '#', 2) AS name_num,
+            CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER)
+              AS edit_dist,
+            reverse(c_name) AS reversed,
+            trim('  pad  ') AS trimmed
+         FROM customer ORDER BY c_custkey""",
+    "q_date_fns" ->
+      """SELECT o_orderkey,
+            CAST(year(o_orderdate) AS INTEGER) AS yr,
+            CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+            CAST(month(o_orderdate) AS INTEGER) AS mo,
+            CAST(day(o_orderdate) AS INTEGER) AS dom,
+            date_trunc('month', o_orderdate) AS month_start,
+            last_day(o_orderdate) AS month_end,
+            CAST(o_orderdate AS DATE) + 30 AS due_date,
+            CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-01-01')
+              AS INTEGER) AS days_to_2024
+         FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+    "q_null_fns" ->
+      """SELECT c_custkey,
+            coalesce(max_price, 0.0) AS max_or_zero,
+            nullif(n_orders, 0) AS orders_or_null,
+            CASE WHEN n_orders > 0 THEN 'active' ELSE 'inactive' END AS status,
+            max_price IS NULL AS never_ordered
+         FROM (
+           SELECT c_custkey, count(o_orderkey) AS n_orders,
+              max(o_totalprice) AS max_price
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         ORDER BY c_custkey""",
     "q_brand_revenue" ->
       s"""SELECT p_brand, $revenueExpr AS revenue,
             ${Cols.sqlDecAvg("p_retailprice", 2)} AS avg_retail,

@@ -79,6 +79,84 @@ object Extended {
           .as("n_positive"))
       .orderBy(col("vec_id"))
 
+  /** Full analytic-window suite: ranking (rank/dense_rank/ntile),
+    * distribution (percent_rank/cume_dist — exact integer-ratio formulas,
+    * so cross-engine deterministic), navigation (lead/lag/first). */
+  def windowSuite(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        first(col("o_orderkey")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("first_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** String scalar-function suite over customer names. */
+  def stringFunctions(customer: DataFrame): DataFrame =
+    customer
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("upper_name"),
+        lower(col("c_name")).as("lower_name"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("tagged"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("digits_masked"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).as("edit_dist"),
+        reverse(col("c_name")).as("reversed"),
+        trim(lit("  pad  ")).as("trimmed"))
+      .orderBy(col("c_custkey"))
+
+  /** Date/time scalar suite over order dates (functions with identical
+    * cross-engine semantics; dayofweek conventions differ, so the ISO
+    * variants are used). */
+  def dateFunctions(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(lit("2024-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_2024"))
+      .orderBy(col("o_orderkey"))
+
+  /** Null-handling suite: coalesce/nullif/nvl2-style CASE over the outer
+    * join's null-bearing side. */
+  def nullFunctions(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        max(col("o_totalprice")).as("max_price"))
+      .select(
+        col("c_custkey"),
+        coalesce(col("max_price"), lit(0.0)).as("max_or_zero"),
+        nullif(col("n_orders"), lit(0)).as("orders_or_null"),
+        when(col("n_orders") > 0, lit("active")).otherwise(lit("inactive"))
+          .as("status"),
+        isnull(col("max_price")).as("never_ordered"))
+      .orderBy(col("c_custkey"))
+
   /** Kafka-shaped JSON round-trip (S2 serialize + S5 deserialize):
     * encode events to (key, value) messages, decode back, aggregate —
     * proves the message path is lossless. */
