@@ -74,7 +74,11 @@ object Dedup {
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // |A| per doc is size(shingles) computed row-locally — NOT a groupBy
+    // over the exploded rows, which would shuffle the whole posting set a
+    // second time just to count it.
+    val sizes = documents
+      .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
     val postings = sh.groupBy(col("h"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))

@@ -45,7 +45,7 @@ object Skew {
     * is for mid-size dims where broadcast doesn't fit but one key
     * dominates the fact table. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, rowSalt: Column, salt: Int = 16): DataFrame = {
+      dimKey: String, rowSalt: Column, salt: Int = 8): DataFrame = {
     // rowSalt must vary PER ROW of the fact side (salting by the join key
     // would put a hot key's rows back into one partition); callers pass a
     // hash over non-key columns or a per-row id.

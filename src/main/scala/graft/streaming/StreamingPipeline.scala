@@ -121,6 +121,29 @@ object StreamingPipeline {
         })
   }
 
+  /** Rate-limited producer loop (producer.py:169-210, SURVEY.md §2.1 S4):
+    * the `rate` source emits `rowsPerSecond` ticks; each tick becomes a
+    * synthetic event record (the producer's generate step, producer.py:
+    * 67-113) and is serialized to a Kafka-shaped (key, value) JSON message
+    * (producer.py:115-126). Attach any sink via writeStream. */
+  def rateProducer(spark: SparkSession, rowsPerSecond: Int = 1): DataFrame = {
+    val ticks = spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load() // (timestamp, value)
+    val records = ticks.select(
+      col("value").as("event_id"),
+      col("timestamp").as("ts"),
+      pmod(col("value"), lit(15)).as("user_id"),
+      element_at(
+        array(lit("click"), lit("purchase"), lit("error"), lit("signup"),
+          lit("view")),
+        (pmod(col("value"), lit(5)) + 1).cast("int")).as("event_type"),
+      (pmod(xxhash64(col("value")), lit(10000)).cast("double") / 100.0)
+        .as("value"))
+    graft.sources.Sources.kafkaEncode(records, keyCol = "user_id")
+  }
+
   /** Stream-stream interval join (SURVEY.md §2.3 as-of/interval row, in
     * streaming form): each view event joins the same user's purchases
     * within the preceding hour. Both sides carry watermarks so the join

@@ -99,6 +99,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 1L, 10.0), (2L, 2L, 15.0)))
   }
 
+  test("rate-source producer emits serialized kafka-shaped messages") {
+    val df = streaming.StreamingPipeline.rateProducer(spark, rowsPerSecond = 100)
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName("rate_test").start()
+    try {
+      // wait until at least one tick is processed
+      var tries = 0
+      while (spark.table("rate_test").isEmpty && tries < 50) {
+        Thread.sleep(200); tries += 1
+      }
+    } finally q.stop()
+    val rows = spark.table("rate_test").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(1).startsWith("{\"event_id\":")))
+  }
+
   test("stream-stream interval join pairs views with recent purchases") {
     val sq = spark
     import sq.implicits._
