@@ -94,6 +94,9 @@ object SparkEntry {
     "q_string_fns" -> t("customer")(operators.Extended.stringFunctions),
     "q_date_fns" -> t("orders")(operators.Extended.dateFunctions),
     "q_null_fns" -> t2("customer", "orders")(operators.Extended.nullFunctions),
+    "q_pivot" -> t("events")(operators.Extended.pivotEventCounts),
+    "q_unpivot" -> t("lineitem")(operators.Extended.unpivotMeasures),
+    "q_posexplode" -> t("documents")(operators.Extended.posexplodeTokens),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
@@ -425,6 +428,31 @@ object SparkEntry {
          SELECT d.doc_id, dropped.dup_of IS NULL AS keep, dropped.dup_of
          FROM documents d LEFT JOIN dropped USING (doc_id)
          ORDER BY d.doc_id""",
+    "q_pivot" ->
+      """SELECT user_id,
+            count(*) FILTER (WHERE event_type = 'click') AS click,
+            count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+            count(*) FILTER (WHERE event_type = 'error') AS error,
+            count(*) FILTER (WHERE event_type = 'signup') AS signup,
+            count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+            l_quantity AS val
+         FROM lineitem WHERE l_orderkey < 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem WHERE l_orderkey < 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey < 100
+         ORDER BY l_orderkey, l_linenumber, measure""",
+    "q_posexplode" ->
+      """WITH x AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE doc_id < 20)
+         SELECT doc_id, CAST(unnest(range(len(w))) AS INTEGER) AS pos,
+            unnest(w) AS token
+         FROM x ORDER BY doc_id, pos""",
     "q_window_suite" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
             CAST(rank() OVER w AS INTEGER) AS rnk,

@@ -157,6 +157,39 @@ object Extended {
         isnull(col("max_price")).as("never_ordered"))
       .orderBy(col("c_custkey"))
 
+  /** Pivot (wide aggregation): per-user event counts, one column per
+    * event type. Values are enumerated explicitly — at scale an
+    * unrestricted pivot would first collect distinct keys to the driver. */
+  def pivotEventCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "purchase", "error", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Unpivot (melt): lineitem's numeric measures to long form. */
+  def unpivotMeasures(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  /** posexplode / lateral view: tokens with positions (the generator
+    * surface used throughout the dedup/text modules, exposed directly). */
+  def posexplodeTokens(documents: DataFrame): DataFrame =
+    documents
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** Kafka-shaped JSON round-trip (S2 serialize + S5 deserialize):
     * encode events to (key, value) messages, decode back, aggregate —
     * proves the message path is lossless. */
