@@ -111,6 +111,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("map functions over parsed props payloads") {
+    import org.apache.spark.sql.types._
+    val events = Tables.load(spark, sf, "events")
+      .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+    val row = events
+      .select(
+        map_keys(col("m")).as("ks"),
+        map_values(col("m")).as("vs"),
+        element_at(col("m"), "k").as("k_val"),
+        map_concat(col("m"), map(lit("extra"), lit(1))).as("merged"))
+      .filter(col("k_val").isNotNull)
+      .limit(1).collect()(0)
+    assert(row.getSeq[String](0) == Seq("k"))
+    assert(row.getMap[String, Int](3).keySet == Set("k", "extra"))
+  }
+
   test("language id picks a deterministic argmax") {
     val docs = Tables.load(spark, sf, "documents")
     val out1 = text.TextAnalysis.languageId(docs).collect().toSeq
