@@ -95,6 +95,25 @@ object VectorFunctions {
       "built-in")
 }
 
+/** Optimizer rule (the `Rule[LogicalPlan]` rung of the custom-operator
+  * ladder): folds self-similarity `cosine_sim(a, a)` to a constant,
+  * sparing the 64-element loop per row. Null-preserving; assumes non-zero
+  * vectors (a zero vector's self-cosine is defined as 0 by the expression
+  * but 1 after the rewrite) — hence opt-in via [[GraftExtensions]], not
+  * baked into default sessions. */
+object FoldSelfCosine
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        If(IsNull(a), Literal.create(null, DoubleType), Literal(1.0))
+    }
+}
+
 /** SparkSessionExtensions entry point:
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -106,5 +125,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => FoldSelfCosine)
   }
 }

@@ -58,6 +58,27 @@ object Skew {
       .drop("_salt")
   }
 
+  /** Bloom-filter semi-join reduction: build a Bloom filter over the
+    * (smaller) build side's keys, pre-filter the probe side BEFORE its
+    * shuffle, then join. At 100 TB this is the classic runtime-filter
+    * pattern — rows whose keys cannot match never leave the scan stage,
+    * shrinking the shuffle by the join's selectivity. Spark's AQE injects
+    * this automatically in some shapes (InjectRuntimeFilter); this is the
+    * explicit form with a driver-built `sketch.BloomFilter` (exposed via
+    * `DataFrameStatFunctions.bloomFilter`). False positives only cost
+    * wasted shuffle — join correctness is unchanged. */
+  def bloomPrefilteredJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val spark = probe.sparkSession
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
+    probe
+      .filter(mightContain(col(probeKey)))
+      .join(build, col(probeKey) === col(buildKey))
+  }
+
   /** Salted-join demo query: lineitem ⋈ orders through the salted path,
     * aggregated to the same shape as the unsalted `q_join_priority`. */
   def saltedRevenueByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =

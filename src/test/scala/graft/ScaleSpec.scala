@@ -61,6 +61,55 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-prefiltered join returns exactly the plain join's rows") {
+    val li = Tables.load(spark, sf, "lineitem")
+    // build side: a selective subset of orders, so the bloom filter
+    // actually prunes probe rows
+    val bigOrders = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 100000)
+    val viaBloom = operators.Skew.bloomPrefilteredJoin(
+      li, bigOrders, "l_orderkey", "o_orderkey", expectedKeys = 10000L)
+      .agg(count(lit(1)), coalesce(sum("l_quantity"), lit(0.0))).collect()(0)
+    val plain = li.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), coalesce(sum("l_quantity"), lit(0.0))).collect()(0)
+    assert(viaBloom == plain)
+  }
+
+  test("FoldSelfCosine optimizer rule folds cosine_sim(a, a) to a constant") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // ensure the shared suite session/context exists
+    // getOrCreate returns an existing active session (ignoring extensions),
+    // so detach it first; the new session shares the same SparkContext.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val df = Tables.load(ext, sf, "embeddings").limit(10)
+        .select(col("vec_id"),
+          functions.VectorFunctions.cosineSim(
+            col("embedding"), col("embedding")).as("self_cos"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("cosine_sim"), optimized.take(400))
+      assert(df.collect().forall(_.getDouble(1) == 1.0))
+      // and the SQL-registered function resolves through extensions
+      Tables.load(ext, sf, "embeddings").createOrReplaceTempView("emb_ext")
+      val viaSql = ext.sql(
+        """SELECT cosine_sim(CAST(embedding AS ARRAY<DOUBLE>),
+                             CAST(embedding AS ARRAY<DOUBLE>)) AS c
+           FROM emb_ext LIMIT 5""").collect()
+      assert(viaSql.forall(_.getDouble(0) == 1.0))
+    } finally {
+      // don't stop `ext` (shared SparkContext); restore the suite session
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("AQE is available and coalesces shuffle partitions") {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     val df = Tables.load(spark, sf, "lineitem")
