@@ -168,6 +168,55 @@ object StreamingPipeline {
         col("purchase_id"), col("purchase_ts"))
   }
 
+  /** Spark 4 `transformWithState` form of per-user state (the successor
+    * API to flatMapGroupsWithState: typed state handles, TTL, timers;
+    * requires the RocksDB state store provider). Emits an anomaly record
+    * when a user's value exceeds 2× their running mean (after a warmup of
+    * 3 events). */
+  case class Anomaly(user_id: Long, event_id: Long, value: Double,
+      running_mean: Double)
+
+  class AnomalyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Double), Anomaly] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var stats: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState(
+        "stats",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Anomaly] = {
+      var (n, sum) = if (stats.exists()) stats.get() else (0L, 0.0)
+      val out = rows.toSeq.sortBy(_._2).flatMap { case (_, eventId, v) =>
+        val mean = if (n == 0) 0.0 else sum / n
+        val hit = n >= 3 && v > 2 * mean
+        n += 1; sum += v
+        if (hit) Some(Anomaly(key, eventId, v, mean)) else None
+      }
+      stats.update((n, sum))
+      out.iterator
+    }
+  }
+
+  def anomalyStream(spark: SparkSession, stream: DataFrame)
+      : org.apache.spark.sql.Dataset[Anomaly] = {
+    import spark.implicits._
+    validated(stream)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new AnomalyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Run the windowed aggregation synchronously over the sf events table
     * (AvailableNow → memory sink) and return the completed result — lets
     * the batch-oriented driver harness exercise the streaming path. */

@@ -99,6 +99,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 1L, 10.0), (2L, 2L, 15.0)))
   }
 
+  test("transformWithState anomaly detector flags spikes across batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = streaming.StreamingPipeline.anomalyStream(spark, mem.toDF())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_test").start()
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1L, "click", 10.0, "{}"),
+        Ev(2, ts("2024-01-01 10:01:00"), 1L, "click", 10.0, "{}"),
+        Ev(3, ts("2024-01-01 10:02:00"), 1L, "click", 10.0, "{}"))
+      q.processAllAvailable()
+      mem.addData( // state (n=3, mean=10) must survive into this batch
+        Ev(4, ts("2024-01-01 10:03:00"), 1L, "click", 50.0, "{}"), // spike
+        Ev(5, ts("2024-01-01 10:04:00"), 1L, "click", 11.0, "{}"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_test").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      assert(rows.toSeq == Seq((4L, 50.0)))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rate-source producer emits serialized kafka-shaped messages") {
     val df = streaming.StreamingPipeline.rateProducer(spark, rowsPerSecond = 100)
     val q = df.writeStream.outputMode("append")
