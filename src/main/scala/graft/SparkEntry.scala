@@ -97,6 +97,8 @@ object SparkEntry {
     "q_pivot" -> t("events")(operators.Extended.pivotEventCounts),
     "q_unpivot" -> t("lineitem")(operators.Extended.unpivotMeasures),
     "q_posexplode" -> t("documents")(operators.Extended.posexplodeTokens),
+    "q_anomaly_batch" -> t("events")(E.anomalies),
+    "q_bloom_join" -> t2("lineitem", "orders")(operators.Skew.bloomRevenueByPriority),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
@@ -428,6 +430,22 @@ object SparkEntry {
          SELECT d.doc_id, dropped.dup_of IS NULL AS keep, dropped.dup_of
          FROM documents d LEFT JOIN dropped USING (doc_id)
          ORDER BY d.doc_id""",
+    "q_anomaly_batch" ->
+      """SELECT user_id, event_id, value, running_mean FROM (
+           SELECT user_id, event_id, value,
+             count(value) OVER w AS prior_n,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+               / CAST(count(value) OVER w AS DOUBLE) AS running_mean
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         WHERE prior_n >= 3 AND value > 2 * running_mean
+         ORDER BY user_id, event_id""",
+    "q_bloom_join" ->
+      s"""SELECT o_orderpriority, $revenueExpr AS revenue, count(*) AS n_lines
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_totalprice > 50000
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_pivot" ->
       """SELECT user_id,
             count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -249,6 +249,27 @@ object EventsPipeline {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Batch form of the streaming anomaly detector
+    * (StreamingPipeline.anomalyStream): flag events exceeding 2× the
+    * user's running mean over all PRIOR events (≥3 warmup events). Same
+    * semantics as the stream when event_id order matches arrival order —
+    * the batch/stream parity is asserted in StreamingSpec. Exact decimal
+    * prior-sums keep it oracle-deterministic. */
+  def anomalies(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prior = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("prior_n", count(col("value")).over(prior))
+      .withColumn("prior_mean",
+        sum(col("value").cast("decimal(28,6)")).over(prior).cast("double") /
+          col("prior_n").cast("double"))
+      .filter(col("prior_n") >= 3 && col("value") > lit(2) * col("prior_mean"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("prior_mean").as("running_mean"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Running (cumulative) per-user value sum — exact via decimal. */
   def runningSum(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -79,6 +79,20 @@ object Skew {
       .join(build, col(probeKey) === col(buildKey))
   }
 
+  /** Bloom-join demo query: lineitem probe pruned by a Bloom filter over
+    * high-value orders, aggregated — identical results to the plain join,
+    * checked by the same oracle shape. */
+  def bloomRevenueByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    bloomPrefilteredJoin(
+      lineitem, orders.filter(col("o_totalprice") > 50000),
+      "l_orderkey", "o_orderkey", expectedKeys = 1000000L)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+
   /** Salted-join demo query: lineitem ⋈ orders through the salted path,
     * aggregated to the same shape as the unsalted `q_join_priority`. */
   def saltedRevenueByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =

@@ -134,6 +134,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("batch and streaming anomaly detectors agree on the fixture events") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, TestSpark.sf, "events")
+    val batch = operators.EventsPipeline.anomalies(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      mem.addData(events.orderBy("event_id").collect().map(r =>
+        Ev(r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts"),
+          r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Double]("value"), r.getAs[String]("props"))).toSeq)
+      val q = streaming.StreamingPipeline.anomalyStream(spark, mem.toDF())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_parity").start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("tws_parity").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+      assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("rate-source producer emits serialized kafka-shaped messages") {
     val df = streaming.StreamingPipeline.rateProducer(spark, rowsPerSecond = 100)
     val q = df.writeStream.outputMode("append")
