@@ -99,6 +99,14 @@ object SparkEntry {
     "q_posexplode" -> t("documents")(operators.Extended.posexplodeTokens),
     "q_anomaly_batch" -> t("events")(E.anomalies),
     "q_bloom_join" -> t2("lineitem", "orders")(operators.Skew.bloomRevenueByPriority),
+    "q_sql_cte" -> ((s, dir) =>
+      operators.SqlSurface.run(s, dir, operators.SqlSurface.cte)),
+    "q_sql_scalar_subquery" -> ((s, dir) =>
+      operators.SqlSurface.run(s, dir, operators.SqlSurface.scalarSubquery)),
+    "q_sql_correlated" -> ((s, dir) =>
+      operators.SqlSurface.run(s, dir, operators.SqlSurface.correlatedSubquery)),
+    "q_sql_in_subquery" -> ((s, dir) =>
+      operators.SqlSurface.run(s, dir, operators.SqlSurface.inSubquery)),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
@@ -430,6 +438,11 @@ object SparkEntry {
          SELECT d.doc_id, dropped.dup_of IS NULL AS keep, dropped.dup_of
          FROM documents d LEFT JOIN dropped USING (doc_id)
          ORDER BY d.doc_id""",
+    // SQL-surface queries: implementation string IS the oracle string.
+    "q_sql_cte" -> operators.SqlSurface.cte,
+    "q_sql_scalar_subquery" -> operators.SqlSurface.scalarSubquery,
+    "q_sql_correlated" -> operators.SqlSurface.correlatedSubquery,
+    "q_sql_in_subquery" -> operators.SqlSurface.inSubquery,
     "q_anomaly_batch" ->
       """SELECT user_id, event_id, value, running_mean FROM (
            SELECT user_id, event_id, value,

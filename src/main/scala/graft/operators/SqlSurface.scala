@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** The SQL-parser surface (`spark.sql`): CTEs and subquery forms that the
+  * DataFrame API queries don't exercise. Each statement here is written in
+  * the dialect intersection of Spark SQL and DuckDB, so THE SAME STRING
+  * is both the implementation and the oracle — parser-level differential
+  * testing, the strongest parity form available.
+  *
+  * Catalyst decorrelates the correlated subqueries into joins
+  * (RewriteCorrelatedScalarSubquery), so these plan — and scale — exactly
+  * like the explicit join forms. */
+object SqlSurface {
+
+  val cte: String =
+    """WITH seg AS (
+         SELECT c_mktsegment,
+            CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total,
+            count(*) AS n
+         FROM customer GROUP BY c_mktsegment)
+       SELECT c_mktsegment, total, n FROM seg ORDER BY c_mktsegment"""
+
+  val scalarSubquery: String =
+    """SELECT c_custkey, c_acctbal,
+          c_acctbal - (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,2)))
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM customer)
+            AS delta_from_mean
+       FROM customer ORDER BY c_custkey"""
+
+  val correlatedSubquery: String =
+    """SELECT c_custkey,
+          (SELECT max(o_totalprice) FROM orders
+           WHERE o_custkey = c_custkey) AS max_order
+       FROM customer ORDER BY c_custkey"""
+
+  val inSubquery: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE o_custkey IN
+         (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+       ORDER BY o_orderkey"""
+
+  def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(sql)
+  }
+}
