@@ -87,6 +87,7 @@ object SparkEntry {
     "q_dedup_decisions" -> t("documents")(operators.Pipeline.dedupDecisions(_)),
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
+    "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
     "q_brand_revenue" -> t2("lineitem", "part")(R.revenueByBrand),
     "q_supplier_balances" -> t2("supplier", "nation")(R.supplierBalances),
     "q_variance" -> t("events")(R.valueVariance),
@@ -571,6 +572,16 @@ object SparkEntry {
                 OR contains(text, 'window batch stream')
               THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
          FROM documents GROUP BY source ORDER BY source""",
+    "q_split_assign" ->
+      """SELECT lang,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+              THEN 'val' ELSE 'test' END AS split,
+            count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 100),

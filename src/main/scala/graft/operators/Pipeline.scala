@@ -49,6 +49,24 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Deterministic train/val/test split assignment: bucket each document
+    * by the first hex digit of md5(doc_id) — stable across runs, engines,
+    * and cluster sizes (the property random sampling lacks), so the split
+    * never leaks when the pipeline is re-run. 12/16 train, 2/16 val,
+    * 2/16 test. */
+  def splitAssignments(documents: DataFrame): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    documents
+      .withColumn("split",
+        when(bucket.isin("0", "1", "2", "3", "4", "5", "6", "7", "8",
+          "9", "a", "b"), "train")
+          .when(bucket.isin("c", "d"), "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Per-vector int8 quantization (min/max affine, the standard embedding
     * compression step): emits the scale parameters and the quantized
     * array. Pure per-row arithmetic — narrow, codegen'd, no shuffle. */
