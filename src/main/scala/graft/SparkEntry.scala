@@ -61,6 +61,7 @@ object SparkEntry {
     "q_semi_join" -> t2("customer", "orders")(R.customersWithOrders),
     "q_anti_join" -> t2("customer", "orders")(R.customersWithoutOrders),
     "q_theta_join" -> t2("supplier", "customer")(R.acctbalTheta),
+    "q_theta_hist" -> t2("supplier", "customer")(R.acctbalThetaViaHistogram),
     "q_cross_join" -> t2("region", "nation")(R.regionNationCross),
     "q_window_top3" -> t("orders")(R.top3OrdersPerCustomer),
     "q_topk_orders" -> t("orders")(R.topOrders(_)),
@@ -302,6 +303,10 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY c_custkey""",
     "q_theta_join" ->
+      """SELECT s_suppkey, s_name, count(*) AS n_richer_customers
+         FROM customer JOIN supplier ON s_acctbal < c_acctbal
+         GROUP BY s_suppkey, s_name ORDER BY s_suppkey""",
+    "q_theta_hist" ->
       """SELECT s_suppkey, s_name, count(*) AS n_richer_customers
          FROM customer JOIN supplier ON s_acctbal < c_acctbal
          GROUP BY s_suppkey, s_name ORDER BY s_suppkey""",

@@ -126,6 +126,36 @@ object Relational {
       .agg(count(lit(1)).as("n_richer_customers"))
       .orderBy(col("s_suppkey"))
 
+  /** Scalable rewrite of [[acctbalTheta]]: the BroadcastNestedLoopJoin
+    * form materializes every matching (supplier, customer) pair — ~N·M/2
+    * rows — only to count them. This form never materializes pairs:
+    *  1. supplier balances (a broadcastable dimension) become a sorted
+    *     threshold array; each customer computes idx = #thresholds below
+    *     its balance in one codegen'd pass (no join, no shuffle of pairs);
+    *  2. a tiny idx-histogram (≤ M+1 rows) is suffix-summed onto supplier
+    *     positions: position p's count = Σ hist(idx > p). Exact under
+    *     ties because idx counts strictly-smaller thresholds, so it never
+    *     lands inside an equal-balance run.
+    * Output (and oracle) identical to the BNLJ form; cost drops from
+    * O(N·M) materialized rows to O(N·M) arithmetic + O(M²) tiny join. */
+  def acctbalThetaViaHistogram(supplier: DataFrame, customer: DataFrame): DataFrame = {
+    val balRows = supplier.select(col("s_acctbal"))
+      .collect().map(_.getDouble(0)).sorted // dimension-sized, broadcast-equivalent
+    val thresholds = array(balRows.map(lit(_)).toIndexedSeq: _*)
+    val hist = customer
+      .select(size(filter(thresholds, t => t < col("c_acctbal"))).as("idx"))
+      .groupBy(col("idx")).agg(count(lit(1)).as("n_c"))
+    val w = Window.orderBy(col("s_acctbal"), col("s_suppkey"))
+    val positioned = supplier
+      .withColumn("pos", row_number().over(w) - 1)
+    positioned
+      .join(broadcast(hist), col("idx") > col("pos"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(sum(col("n_c")).as("n_richer_customers"))
+      .filter(col("n_richer_customers") > 0)
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Cross join of the two smallest dimensions. */
   def regionNationCross(region: DataFrame, nation: DataFrame): DataFrame =
     region.crossJoin(nation)

@@ -61,6 +61,16 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram theta-join rewrite equals the nested-loop form") {
+    val s = Tables.load(spark, sf, "supplier")
+    val c = Tables.load(spark, sf, "customer")
+    val nl = operators.Relational.acctbalTheta(s, c).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hist = operators.Relational.acctbalThetaViaHistogram(s, c).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(hist.toSeq == nl.toSeq)
+  }
+
   test("bloom-prefiltered join returns exactly the plain join's rows") {
     val li = Tables.load(spark, sf, "lineitem")
     // build side: a selective subset of orders, so the bloom filter
