@@ -52,6 +52,7 @@ object SparkEntry {
     "q_sessionize" -> t("events")(E.sessionize(_)),
     "q_asof_purchase" -> t("events")(E.asofLastPurchase),
     "q_tumbling_hourly" -> t("events")(E.tumblingHourly),
+    "q_dense_series" -> t("events")(E.denseHourlySeries),
     // ---- generalized relational inventory (SURVEY.md §2.3-2.6) ----
     "q1_pricing_summary" -> t("lineitem")(R.q1PricingSummary),
     "q_join_priority" -> t2("lineitem", "orders")(R.revenueByPriority),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
+    "q_corpus_sample" -> t("documents")(operators.Pipeline.corpusSample(_)),
     "q_brand_revenue" -> t2("lineitem", "part")(R.revenueByBrand),
     "q_supplier_balances" -> t2("supplier", "nation")(R.supplierBalances),
     "q_variance" -> t("events")(R.valueVariance),
@@ -256,6 +258,17 @@ object SparkEntry {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
             count(*) AS n, ${Cols.sqlDecSum("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_dense_series" ->
+      s"""WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+              date_trunc('hour', max(ts)) AS hi FROM events),
+          spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+              AS hour FROM b),
+          c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+              ${Cols.sqlDecSum("value")} AS sum_value
+            FROM events GROUP BY 1)
+          SELECT spine.hour, coalesce(n, 0) AS n,
+            coalesce(sum_value, 0.0) AS sum_value
+          FROM spine LEFT JOIN c USING (hour) ORDER BY spine.hour""",
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
             $decSumQty AS sum_qty,
@@ -516,6 +529,7 @@ object SparkEntry {
             concat_ws('-', c_mktsegment, c_name) AS tagged,
             lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
             regexp_replace(c_name, '[0-9]+', '#', 'g') AS digits_masked,
+            regexp_extract(c_name, '([0-9]+)', 1) AS extracted_num,
             split_part(c_name, '#', 2) AS name_num,
             CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER)
               AS edit_dist,
@@ -577,6 +591,11 @@ object SparkEntry {
                 OR contains(text, 'window batch stream')
               THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
          FROM documents GROUP BY source ORDER BY source""",
+    "q_corpus_sample" ->
+      """SELECT lang,
+            (array_agg(doc_id ORDER BY md5(CAST(doc_id AS VARCHAR))))[1:5]
+              AS sample_ids
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_split_assign" ->
       """SELECT lang,
             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)

@@ -249,6 +249,27 @@ object EventsPipeline {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Dense (gap-filled) hourly series: generate the full hour spine with
+    * `sequence`, left-join the sparse hourly aggregates, zero-fill. The
+    * densify step every time-series chart needs; the spine is generated,
+    * not scanned, so the cost is O(hours), not O(rows). */
+  def denseHourlySeries(events: DataFrame): DataFrame = {
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("hour"))
+    val counts = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    spine.join(counts, Seq("hour"), "left_outer")
+      .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("hour"))
+  }
+
   /** Batch form of the streaming anomaly detector
     * (StreamingPipeline.anomalyStream): flag events exceeding 2× the
     * user's running mean over all PRIOR events (≥3 warmup events). Same

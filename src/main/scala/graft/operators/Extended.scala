@@ -114,6 +114,7 @@ object Extended {
         concat_ws("-", col("c_mktsegment"), col("c_name")).as("tagged"),
         lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
         regexp_replace(col("c_name"), "[0-9]+", "#").as("digits_masked"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("extracted_num"),
         split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
         levenshtein(col("c_name"), lit("Customer#000000001")).as("edit_dist"),
         reverse(col("c_name")).as("reversed"),

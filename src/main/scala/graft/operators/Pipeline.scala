@@ -67,6 +67,17 @@ object Pipeline {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Per-language deterministic corpus sample via the custom
+    * TypedImperativeAggregate (BottomKByHash): same k ids regardless of
+    * partitioning, run, or engine — differential-tested against DuckDB's
+    * ordered array_agg. */
+  def corpusSample(documents: DataFrame, k: Int = 5): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(graft.functions.SampleAggregates
+        .bottomKByHash(col("doc_id"), k).as("sample_ids"))
+      .orderBy(col("lang"))
+
   /** Per-vector int8 quantization (min/max affine, the standard embedding
     * compression step): emits the scale parameters and the quantized
     * array. Pure per-row arithmetic — narrow, codegen'd, no shuffle. */

@@ -127,6 +127,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(row.getMap[String, Int](3).keySet == Set("k", "extra"))
   }
 
+  test("BottomKByHash sample is independent of partitioning") {
+    val docs = Tables.load(spark, sf, "documents")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      operators.Pipeline.corpusSample(df).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val a = sample(docs)
+    val b = sample(docs.repartition(17))
+    val c = sample(docs.coalesce(1))
+    assert(a == b && b == c)
+    assert(a.values.forall(_.length == 5))
+  }
+
   test("language id picks a deterministic argmax") {
     val docs = Tables.load(spark, sf, "documents")
     val out1 = text.TextAnalysis.languageId(docs).collect().toSeq
