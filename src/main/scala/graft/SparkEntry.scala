@@ -65,6 +65,17 @@ object SparkEntry {
     "q_theta_hist" -> t2("supplier", "customer")(R.acctbalThetaViaHistogram),
     "q_cross_join" -> t2("region", "nation")(R.regionNationCross),
     "q_window_top3" -> t("orders")(R.top3OrdersPerCustomer),
+    "q_topk_custom" -> t("orders")(o =>
+      graft.plans.TopKPerGroup.topKPerGroup(
+        o.select(org.apache.spark.sql.functions.col("o_custkey"),
+          org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> true, "o_orderkey" -> false),
+        k = 3)
+        .orderBy(org.apache.spark.sql.functions.col("o_custkey"),
+          org.apache.spark.sql.functions.col("o_totalprice").desc,
+          org.apache.spark.sql.functions.col("o_orderkey"))),
     "q_topk_orders" -> t("orders")(R.topOrders(_)),
     "q_distinct_parts" -> t("lineitem")(R.distinctParts),
     "q_approx_distinct" -> t("lineitem")(R.approxDistinctParts),
@@ -335,6 +346,13 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
     "q_distinct_parts" ->
       """SELECT l_returnflag,
             count(DISTINCT l_partkey) AS n_parts,

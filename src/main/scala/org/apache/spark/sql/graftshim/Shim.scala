@@ -10,6 +10,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * pattern for third-party Catalyst extensions). Nothing else from Spark
   * internals is touched. */
 object Shim {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.{DataFrame, SparkSession, classic}
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The analyzed logical plan behind a DataFrame (private[sql]). */
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Wrap a logical plan back into a DataFrame (private[sql] ofRows). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
