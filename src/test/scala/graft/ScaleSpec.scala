@@ -120,6 +120,16 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("cached DataFrame is served from InMemoryTableScan") {
+    val df = Tables.load(spark, sf, "nation").cache()
+    try {
+      df.count() // materialize
+      val plan = df.groupBy(col("n_regionkey")).count()
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan.take(400))
+    } finally df.unpersist()
+  }
+
   test("AQE is available and coalesces shuffle partitions") {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     val df = Tables.load(spark, sf, "lineitem")
