@@ -139,6 +139,7 @@ object SparkEntry {
     "q_pairwise_cosine" -> t("embeddings")(V.pairwiseCosine(_)),
     "q_knn_brute" -> t("embeddings")(V.bruteForceTopK(_)),
     "q_knn_lsh" -> t("embeddings")(V.lshTopK(_)),
+    "q_knn_lsh_mp" -> t("embeddings")(V.lshTopKMultiProbe(_)),
     "q_knn_ivf" -> t("embeddings")(V.ivfTopK(_)),
     "q_cosine_neardup" -> t("embeddings")(V.cosineNearDupPairs(_)),
     // ---- multimodal plumbing (north star) ----

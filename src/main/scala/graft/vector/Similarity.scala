@@ -118,6 +118,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Multi-probe LSH ANN: each query probes its own SRP bucket PLUS every
+    * Hamming-1 neighbor bucket (one hyperplane flipped). Near misses —
+    * vectors on the far side of a single hyperplane — are recovered, so
+    * recall rises roughly (bits+1)× the candidate volume at the same
+    * index; the classic recall/cost dial for SRP indexes. */
+  def lshTopKMultiProbe(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10, bits: Int = 6): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), bits))
+    val probes = array((0 to bits).map(i =>
+      if (i == 0) col("bucket")
+      else col("bucket").bitwiseXOR(lit(1L << (i - 1)))): _*)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        explode(probes).as("probe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpus
+      .join(broadcast(queries),
+        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 3).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-style ANN: coarse centroids (per-label mean vectors — a
     * deterministic stand-in for offline k-means), each query probes the
     * nearest centroid's inverted list. Centroid assignment and probe are

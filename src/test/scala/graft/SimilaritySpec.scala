@@ -65,6 +65,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12) // self-similarity = 1
   }
 
+  test("multi-probe LSH recall is at least single-probe recall") {
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+    val exact = vector.Similarity.bruteForceTopK(df, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(hits: Set[(Long, Long)]) =
+      (exact & hits).size.toDouble / exact.size
+    val single = vector.Similarity.lshTopK(df, nQueries = 5, k = 10, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = vector.Similarity
+      .lshTopKMultiProbe(df, nQueries = 5, k = 10, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(recall(multi) >= recall(single),
+      s"multi=${recall(multi)} single=${recall(single)}")
+    assert(recall(multi) > 0.0)
+  }
+
   test("pairwise cosine is symmetric-safe and bounded") {
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
     val out = vector.Similarity.pairwiseCosine(df, bound = 5).collect()
