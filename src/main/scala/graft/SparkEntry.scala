@@ -38,6 +38,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference surface: events pipeline (SURVEY.md §2.1-2.8) ----
     "q_hist_range" -> ((s, dir) => E.historicalRangeScan(s, dir)),
+    "q_hist_range_7d" -> ((s, dir) => E.historicalRangeScan(s, dir, hours = 168)),
     "q_hist_summary" -> t("events")(E.rangeSummary(_)),
     "q_required_counts" -> t("events")(E.requiredKeyCounts),
     "q_rename_tag" -> t("events")(E.renameTag(_)),
@@ -167,6 +168,11 @@ object SparkEntry {
       """SELECT event_id, ts AS timestamp, user_id, event_type, value
          FROM events
          WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+         ORDER BY timestamp, event_id""",
+    "q_hist_range_7d" ->
+      """SELECT event_id, ts AS timestamp, user_id, event_type, value
+         FROM events
+         WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 168 HOURS
          ORDER BY timestamp, event_id""",
     "q_hist_summary" ->
       s"""SELECT count(value) AS n_records,
