@@ -9,11 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Structured Streaming semantics (SURVEY.md §2.8): micro-batch validate →
   * dual-write, watermarked windows; driven with MemoryStream for
   * deterministic triggers. */
+// top-level: Encoders cannot be derived for classes nested in a test class
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: java.lang.Long,
+    event_type: String, value: java.lang.Double, props: String)
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-
-  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: java.lang.Long,
-      event_type: String, value: java.lang.Double, props: String)
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
@@ -59,6 +60,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$sink/hist").count() == 2)
     val latest = spark.table("global_temp.latest_event").collect()
     assert(latest.length == 1 && latest(0).getAs[Long]("event_id") == 2L)
+  }
+
+  test("dual-write checkpoint prevents reprocessing on restart (exactly-once)") {
+    val sq = spark
+    import sq.implicits._
+    val sink = Files.createTempDirectory("graft_eo_sink").toString
+    val ckpt = Files.createTempDirectory("graft_eo_ckpt").toString
+    val srcDir = Files.createTempDirectory("graft_eo_src").toString
+    // two source files -> two micro-batches under maxFilesPerTrigger=1
+    val mk = (id: Long, t: String) =>
+      Ev(id, ts(t), 1L, "click", 1.0, "{}")
+    Seq(mk(1, "2024-01-01 10:00:00")).toDS().toDF()
+      .write.parquet(s"$srcDir/f1")
+    Seq(mk(2, "2024-01-01 11:00:00")).toDS().toDF()
+      .write.parquet(s"$srcDir/f2")
+    val schema = spark.read.parquet(s"$srcDir/f1").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q1 = streaming.StreamingPipeline.startDualWrite(
+      spark, stream, s"$sink/hist", ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$sink/hist").count() == 2)
+    // restart with the SAME checkpoint: nothing new -> nothing reprocessed
+    val q2 = streaming.StreamingPipeline.startDualWrite(
+      spark, stream, s"$sink/hist", ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$sink/hist").count() == 2,
+      "restart with checkpoint must not duplicate rows")
+    // new data after restart IS picked up exactly once
+    Seq(mk(3, "2024-01-01 12:00:00")).toDS().toDF()
+      .write.parquet(s"$srcDir/f3")
+    val q3 = streaming.StreamingPipeline.startDualWrite(
+      spark, stream, s"$sink/hist", ckpt)
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(s"$sink/hist").count() == 3)
   }
 
   test("session windows group events within gap") {
