@@ -106,6 +106,9 @@ object SparkEntry {
     "q_brand_revenue" -> t2("lineitem", "part")(R.revenueByBrand),
     "q_supplier_balances" -> t2("supplier", "nation")(R.supplierBalances),
     "q_variance" -> t("events")(R.valueVariance),
+    "q_mode" -> t("events")(R.modalEventType),
+    "q_string_agg" -> t("customer")(R.namesPerSegment),
+    "q_correlation" -> t("lineitem")(R.qtyPriceCorrelation),
     "q_window_suite" -> t("orders")(operators.Extended.windowSuite),
     "q_string_fns" -> t("customer")(operators.Extended.stringFunctions),
     "q_date_fns" -> t("orders")(operators.Extended.dateFunctions),
@@ -585,6 +588,35 @@ object SparkEntry {
            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
            GROUP BY c_custkey)
          ORDER BY c_custkey""",
+    "q_mode" ->
+      """SELECT user_id, modal_type, cnt FROM (
+           SELECT user_id, event_type AS modal_type, count(*) AS cnt,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY count(*) DESC, event_type) AS rn
+           FROM events GROUP BY user_id, event_type)
+         WHERE rn = 1 ORDER BY user_id""",
+    "q_string_agg" ->
+      """SELECT c_mktsegment,
+            string_agg(c_name, ',' ORDER BY c_name) AS names,
+            count(*) AS n
+         FROM customer WHERE c_custkey <= 30
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_correlation" ->
+      """SELECT l_returnflag, count(*) AS n,
+            (CAST(count(*) AS DOUBLE)
+               * CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+             - CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+               * CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE))
+            / (sqrt(CAST(count(*) AS DOUBLE)
+                 * CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+               - CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+                 * CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE))
+               * sqrt(CAST(count(*) AS DOUBLE)
+                 * CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+               - CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+                 * CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)))
+              AS corr_qty_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_brand_revenue" ->
       s"""SELECT p_brand, $revenueExpr AS revenue,
             ${Cols.sqlDecAvg("p_retailprice", 2)} AS avg_retail,

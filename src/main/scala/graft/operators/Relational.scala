@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Cols._
@@ -277,6 +277,54 @@ object Relational {
         ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_value"),
         sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("stddev_value"))
       .orderBy(col("event_type"))
+  }
+
+  /** Deterministic mode: most frequent event_type per user, smallest
+    * value on frequency ties (the built-in `mode()` breaks ties
+    * arbitrarily → not oracle-safe). */
+  def modalEventType(events: DataFrame): DataFrame = {
+    val counts = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("modal_type"), col("cnt"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Ordered string aggregation (listagg/string_agg): sort-then-join is
+    * the deterministic form (collect_list order is partition-dependent). */
+  def namesPerSegment(customer: DataFrame): DataFrame =
+    customer
+      .filter(col("c_custkey") <= 30)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Exact-moment Pearson correlation (same determinism rationale as
+    * valueVariance: built-in corr's accumulation order varies; exact
+    * decimal moments make the final double arithmetic a fixed op
+    * sequence). */
+  def qtyPriceCorrelation(lineitem: DataFrame): DataFrame = {
+    def m(c: Column, scale: Int = 4) =
+      sum(c.cast(s"decimal(38,$scale)")).cast("double")
+    val n = count(lit(1)).cast("double")
+    val sx = m(col("l_quantity"))
+    val sy = m(col("l_extendedprice"))
+    val sxx = m(col("l_quantity") * col("l_quantity"))
+    val syy = m(col("l_extendedprice") * col("l_extendedprice"))
+    val sxy = m(col("l_quantity") * col("l_extendedprice"))
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** dropDuplicates on a projection (exact distinct rows). */
