@@ -162,6 +162,36 @@ object SparkEntry {
   // Scala-side constants), q_media_features (stub codec runs in Scala).
   // ---------------------------------------------------------------------
 
+  /** DuckDB SQL reproducing the SRP-LSH top-k exactly: the hyperplane
+    * constants come from the same generator as Similarity.srpBucket, and
+    * both engines fold the dot products sequentially in double, so bucket
+    * assignments (and therefore candidates and ranking) are identical. */
+  private def lshOracleSql(bits: Int, nQueries: Int, k: Int): String = {
+    val planes = graft.vector.Similarity.srpPlanes(bits)
+    val planeDefs = planes.zipWithIndex.map { case (p, i) =>
+      s"[${p.mkString(", ")}]::DOUBLE[] AS p$i"
+    }.mkString(", ")
+    val bucketExpr = (0 until bits).map { i =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), j -> e[j] * p$i[j])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH pl AS (SELECT $planeDefs),
+       v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       b AS (SELECT vec_id, e, $bucketExpr AS bucket FROM v, pl),
+       q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qbucket
+             FROM b WHERE vec_id < $nQueries),
+       c AS (SELECT query_id, b.vec_id,
+             round(list_sum(list_transform(range(1, 65), j -> qe[j] * e[j]))
+               / (sqrt(list_sum(list_transform(range(1, 65), j -> qe[j] * qe[j])))
+                  * sqrt(list_sum(list_transform(range(1, 65), j -> e[j] * e[j])))),
+               6) AS cos
+            FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id),
+       r AS (SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM c)
+       SELECT query_id, rank, vec_id, round(cos, 3) AS cos
+       FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   private val decSumQty = Cols.sqlDecSum("l_quantity", 2)
   private val revenueExpr =
     "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)"
@@ -760,6 +790,7 @@ object SparkEntry {
            FROM c)
          SELECT query_id, rank, vec_id, round(cos, 3) AS cos
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_knn_lsh" -> lshOracleSql(bits = 6, nQueries = 5, k = 10),
     "q_media_stats" ->
       """SELECT 'image/stub-' || lang AS media_type,
             count(*) AS n_items,

@@ -73,10 +73,10 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Signed-random-projection LSH bucket id (`bits` hyperplanes). The
-    * hyperplanes are deterministic pseudo-random unit-ish vectors derived
-    * from splitmix64 of (plane, dim) — reproducible with no RNG state. */
-  def srpBucket(v: Column, bits: Int = 8, dim: Int = 64): Column = {
+  /** Deterministic pseudo-random hyperplanes (splitmix64 of (plane, dim))
+    * — exposed so the DuckDB oracle can embed the SAME constants and
+    * reproduce the buckets exactly. */
+  def srpPlanes(bits: Int, dim: Int = 64): Seq[Seq[Double]] = {
     def mix(z0: Long): Double = {
       var z = z0 + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -85,8 +85,12 @@ object Similarity {
       // map to [-1, 1)
       (z >>> 11).toDouble / 4503599627370496.0 - 1.0
     }
-    val planes: Seq[Seq[Double]] =
-      (0 until bits).map(p => (0 until dim).map(d => mix(p.toLong * 131 + d)))
+    (0 until bits).map(p => (0 until dim).map(d => mix(p.toLong * 131 + d)))
+  }
+
+  /** Signed-random-projection LSH bucket id (`bits` hyperplanes). */
+  def srpBucket(v: Column, bits: Int = 8, dim: Int = 64): Column = {
+    val planes = srpPlanes(bits, dim)
     val bitCols = planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit(_)): _*)
       when(dot(v, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
