@@ -192,6 +192,60 @@ object SparkEntry {
        FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Shared bucket CTE fragment for SRP-based oracles. */
+  private def srpCte(bits: Int): String = {
+    val planes = graft.vector.Similarity.srpPlanes(bits)
+    val planeDefs = planes.zipWithIndex.map { case (p, i) =>
+      s"[${p.mkString(", ")}]::DOUBLE[] AS p$i"
+    }.mkString(", ")
+    val bucketExpr = (0 until bits).map { i =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), j -> e[j] * p$i[j])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH pl AS (SELECT $planeDefs),
+       v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       b AS (SELECT vec_id, e, $bucketExpr AS bucket FROM v, pl)"""
+  }
+
+  private val cosSql =
+    """round(list_sum(list_transform(range(1, 65), j -> qe[j] * e[j]))
+         / (sqrt(list_sum(list_transform(range(1, 65), j -> qe[j] * qe[j])))
+            * sqrt(list_sum(list_transform(range(1, 65), j -> e[j] * e[j])))),
+         6)"""
+
+  /** Multi-probe variant: candidates from the exact bucket plus every
+    * Hamming-1 neighbor (xor with each power of two). */
+  private def lshMultiProbeOracleSql(bits: Int, nQueries: Int, k: Int): String = {
+    val probes = ("q.qbucket" +: (0 until bits).map(i =>
+      s"xor(q.qbucket, ${1L << i})")).mkString(", ")
+    s"""${srpCte(bits)},
+       q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qbucket
+             FROM b WHERE vec_id < $nQueries),
+       c AS (SELECT query_id, b.vec_id, $cosSql AS cos
+            FROM b JOIN q ON b.bucket IN ($probes) AND b.vec_id <> q.query_id),
+       r AS (SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM c)
+       SELECT query_id, rank, vec_id, round(cos, 3) AS cos
+       FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** Cosine near-dup pairs within SRP buckets (unrounded threshold filter,
+    * rounded output — matches Similarity.cosineNearDupPairs). */
+  private def cosineNearDupOracleSql(bits: Int, threshold: Double): String =
+    s"""${srpCte(bits)}
+       SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+          round(list_sum(list_transform(range(1, 65), j -> a.e[j] * b2.e[j]))
+            / (sqrt(list_sum(list_transform(range(1, 65), j -> a.e[j] * a.e[j])))
+               * sqrt(list_sum(list_transform(range(1, 65), j -> b2.e[j] * b2.e[j])))),
+            3) AS cos
+       FROM b a JOIN b b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE list_sum(list_transform(range(1, 65), j -> a.e[j] * b2.e[j]))
+            / (sqrt(list_sum(list_transform(range(1, 65), j -> a.e[j] * a.e[j])))
+               * sqrt(list_sum(list_transform(range(1, 65), j -> b2.e[j] * b2.e[j]))))
+            >= $threshold
+       ORDER BY id_a, id_b"""
+
   private val decSumQty = Cols.sqlDecSum("l_quantity", 2)
   private val revenueExpr =
     "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)"
@@ -791,6 +845,40 @@ object SparkEntry {
          SELECT query_id, rank, vec_id, round(cos, 3) AS cos
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
     "q_knn_lsh" -> lshOracleSql(bits = 6, nQueries = 5, k = 10),
+    "q_knn_lsh_mp" -> lshMultiProbeOracleSql(bits = 6, nQueries = 5, k = 10),
+    "q_cosine_neardup" -> cosineNearDupOracleSql(bits = 8, threshold = 0.9),
+    "q_knn_ivf" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+         dims AS (SELECT label, CAST(unnest(range(64)) AS INTEGER) AS pos,
+            unnest(e) AS x FROM v),
+         cent AS (SELECT label, pos,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS m
+           FROM dims GROUP BY label, pos),
+         cvec AS (SELECT label, list(m ORDER BY pos) AS c
+           FROM cent GROUP BY label),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+         probe AS (SELECT query_id, qe, label AS probe_label FROM (
+            SELECT q.query_id, q.qe, cvec.label,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                list_sum(list_transform(range(1, 65), j -> qe[j] * c[j]))
+                  / (sqrt(list_sum(list_transform(range(1, 65), j -> qe[j] * qe[j])))
+                     * sqrt(list_sum(list_transform(range(1, 65), j -> c[j] * c[j]))))
+                DESC, cvec.label) AS r
+            FROM q CROSS JOIN cvec) WHERE r = 1),
+         c2 AS (SELECT query_id, v.vec_id,
+            round(list_sum(list_transform(range(1, 65), j -> qe[j] * e[j]))
+              / (sqrt(list_sum(list_transform(range(1, 65), j -> qe[j] * qe[j])))
+                 * sqrt(list_sum(list_transform(range(1, 65), j -> e[j] * e[j])))),
+              6) AS cos
+           FROM v JOIN probe
+             ON v.label = probe.probe_label AND v.vec_id <> probe.query_id),
+         r2 AS (SELECT query_id, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM c2)
+         SELECT query_id, rank, vec_id, round(cos, 3) AS cos
+         FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""",
     "q_media_stats" ->
       """SELECT 'image/stub-' || lang AS media_type,
             count(*) AS n_items,

@@ -158,11 +158,14 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
     val corpus = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    // centroid[d] = exact mean per dimension (posexplode → avg → collect)
+    // centroid[d] = exact mean per dimension (posexplode → exact decimal
+    // sum / count → collect); exact so the centroids (and every cosine
+    // to them) are oracle-reproducible, unlike order-dependent avg()
     val centroids = corpus
       .select(col("label"), posexplode(col("v")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col")).as("m"))
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
         .getField("m").as("centroid"))
