@@ -687,7 +687,7 @@ object SparkEntry {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_correlation" ->
       """SELECT l_returnflag, count(*) AS n,
-            (CAST(count(*) AS DOUBLE)
+            round((CAST(count(*) AS DOUBLE)
                * CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
              - CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
                * CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE))
@@ -698,7 +698,7 @@ object SparkEntry {
                * sqrt(CAST(count(*) AS DOUBLE)
                  * CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
                - CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
-                 * CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)))
+                 * CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE))), 9)
               AS corr_qty_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_brand_revenue" ->
@@ -715,16 +715,16 @@ object SparkEntry {
           GROUP BY n_name ORDER BY n_name""",
     "q_variance" ->
       """SELECT event_type, count(value) AS n,
-            (CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+            round((CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
               - CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
                 * CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
                 / CAST(count(value) AS DOUBLE))
-              / (CAST(count(value) AS DOUBLE) - 1.0) AS var_value,
-            sqrt((CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+              / (CAST(count(value) AS DOUBLE) - 1.0), 9) AS var_value,
+            round(sqrt((CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
               - CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
                 * CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
                 / CAST(count(value) AS DOUBLE))
-              / (CAST(count(value) AS DOUBLE) - 1.0)) AS stddev_value
+              / (CAST(count(value) AS DOUBLE) - 1.0)), 9) AS stddev_value
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_contamination" ->
       """SELECT source, count(*) AS n_docs,

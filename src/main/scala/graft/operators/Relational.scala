@@ -274,8 +274,9 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(
         count(col("value")).as("n"),
-        ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_value"),
-        sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("stddev_value"))
+        // round(…, 9): same decimal→double ulp hazard as qtyPriceCorrelation
+        round((sxx - sx * sx / n) / (n - lit(1.0)), 9).as("var_value"),
+        round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), 9).as("stddev_value"))
       .orderBy(col("event_type"))
   }
 
@@ -322,8 +323,12 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        ((n * sxy - sx * sy) /
-          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+        // round(…, 9): decimal→double conversion differs by 1 ulp between
+        // engines once the scaled integer exceeds 2^53 (observed at
+        // sf0.001); rounding absorbs it without losing statistical meaning
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+          .as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
 
