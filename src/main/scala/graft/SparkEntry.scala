@@ -786,6 +786,28 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "q_md5_fp" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    // argmax tie-break mirrors Spark's sort_array(desc) on struct(score,
+    // lang): score DESC then candidate lang DESC.
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w, text
+            FROM documents),
+         s AS (SELECT doc_id, lang,
+            unnest(['en','es','fr','de','zh']) AS cand,
+            unnest([
+              len(list_filter(w, x -> x IN ('the','a','of','and','is'))),
+              len(list_filter(w, x -> x IN ('el','la','de','que','y'))),
+              len(list_filter(w, x -> x IN ('le','la','de','et','un'))),
+              len(list_filter(w, x -> x IN ('der','die','das','und','ist'))),
+              CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+                THEN 100 ELSE 0 END]) AS score
+           FROM t),
+         r AS (SELECT doc_id, lang, cand, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, cand DESC) AS rn
+           FROM s)
+         SELECT doc_id, lang AS labeled_lang, cand AS predicted_lang,
+            CAST(score AS BIGINT) AS score
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper_id""",
