@@ -17,15 +17,24 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet"),
       org.apache.spark.sql.functions.expr("r_regionkey = n_regionkey"))
       .count()
+    // A failed query records a NEGATIVE elapsed time (and lands in the
+    // `errors` list) so a crash is never mistaken for a measurement.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) dt else -dt, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map { case (_, v, _) => math.abs(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Short self-contained FINAL line: tail-capture of the output always
+    // retains the headline total even if the per-query map line is long.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

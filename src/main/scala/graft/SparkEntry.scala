@@ -734,8 +734,9 @@ object SparkEntry {
          FROM documents GROUP BY source ORDER BY source""",
     "q_corpus_sample" ->
       """SELECT lang,
-            (array_agg(doc_id ORDER BY md5(CAST(doc_id AS VARCHAR))))[1:5]
-              AS sample_ids
+            array_to_string(list_transform(
+              (array_agg(doc_id ORDER BY md5(CAST(doc_id AS VARCHAR))))[1:5],
+              x -> CAST(x AS VARCHAR)), ',') AS sample_ids
          FROM documents GROUP BY lang ORDER BY lang""",
     "q_split_assign" ->
       """SELECT lang,
@@ -753,10 +754,12 @@ object SparkEntry {
          q AS (SELECT vec_id, list_min(e) AS min_val, list_max(e) AS max_val,
             list_transform(e, x -> CAST(round(
               (x - list_min(e)) / (list_max(e) - list_min(e)) * 255)
-              AS INTEGER)) AS q8
+              AS INTEGER)) AS q8v
            FROM v)
-         SELECT vec_id, min_val, max_val, q8,
-            CAST(list_sum(q8) AS BIGINT) AS q8_sum
+         SELECT vec_id, min_val, max_val,
+            array_to_string(list_transform(q8v, x -> CAST(x AS VARCHAR)), ',')
+              AS q8,
+            CAST(list_sum(q8v) AS BIGINT) AS q8_sum
          FROM q ORDER BY vec_id""",
     "q_token_stats" ->
       """SELECT doc_id, lang,

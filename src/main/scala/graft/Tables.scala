@@ -17,19 +17,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = raw(spark, sfDir, name)
-    // events.ts is Parquet TIMESTAMP(NANOS), which Spark 4 cannot read as a
-    // timestamp; it arrives as long nanos (nanosAsLong) and is truncated to
-    // a microsecond timestamp with exact integer division (`div` — double
-    // division would lose precision above 2^53 ns). DuckDB applies the same
-    // ns→us truncation when reading the file, so the engines agree.
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  // One analyzed DataFrame per (session, dir, table): a fresh
+  // `spark.read.parquet` re-lists the directory and re-reads footers for
+  // schema inference on every call, which at 92 queries × ~10 tables was
+  // ~40% of the whole bench. Reusing the DataFrame keeps the logical plan
+  // (and its resolved relation) while every query still gets its own
+  // Catalyst optimization — pushdown/pruning are per-query, not per-load.
+  // Keyed on the session so test suites with their own sessions don't
+  // cross wires; sessions are few, so the map never grows meaningfully.
+  private val cache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
 
-  /** Un-normalized read (streaming needs the on-disk schema). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, name), {
+      val df = raw(spark, sfDir, name)
+      // events.ts is Parquet TIMESTAMP(NANOS), which Spark 4 cannot read as
+      // a timestamp; it arrives as long nanos (nanosAsLong) and is truncated
+      // to a microsecond timestamp with exact integer division (`div` —
+      // double division would lose precision above 2^53 ns). DuckDB applies
+      // the same ns→us truncation when reading the file, so the engines
+      // agree.
+      if (name == "events")
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
+
+  /** Un-normalized read (streaming needs the on-disk schema). Uncached —
+    * streaming relations must be constructed fresh. */
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -70,17 +70,23 @@ object Pipeline {
   /** Per-language deterministic corpus sample via the custom
     * TypedImperativeAggregate (BottomKByHash): same k ids regardless of
     * partitioning, run, or engine — differential-tested against DuckDB's
-    * ordered array_agg. */
+    * ordered array_agg. The id list is serialized to a CSV string so the
+    * comparison harness (pandas sort+hash) can treat it as a scalar. */
   def corpusSample(documents: DataFrame, k: Int = 5): DataFrame =
     documents
       .groupBy(col("lang"))
-      .agg(graft.functions.SampleAggregates
-        .bottomKByHash(col("doc_id"), k).as("sample_ids"))
+      .agg(array_join(
+        graft.functions.SampleAggregates
+          .bottomKByHash(col("doc_id"), k).cast("array<string>"), ",")
+        .as("sample_ids"))
       .orderBy(col("lang"))
 
   /** Per-vector int8 quantization (min/max affine, the standard embedding
     * compression step): emits the scale parameters and the quantized
-    * array. Pure per-row arithmetic — narrow, codegen'd, no shuffle. */
+    * vector. Pure per-row arithmetic — narrow, codegen'd, no shuffle. The
+    * quantized array is serialized to a CSV string so the comparison
+    * harness (pandas sort+hash) can treat it as a scalar; q8_sum stays as
+    * an independent integer checksum. */
   def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val lo = array_min(v)
@@ -94,7 +100,7 @@ object Pipeline {
         col("vec_id"),
         lo.as("min_val"),
         hi.as("max_val"),
-        q.as("q8"),
+        array_join(q.cast("array<string>"), ",").as("q8"),
         aggregate(q, lit(0L), (acc, x) => acc + x).as("q8_sum"))
       .orderBy(col("vec_id"))
   }

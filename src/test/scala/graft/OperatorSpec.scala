@@ -131,12 +131,12 @@ class OperatorSpec extends AnyFunSuite {
     val docs = Tables.load(spark, sf, "documents")
     def sample(df: org.apache.spark.sql.DataFrame) =
       operators.Pipeline.corpusSample(df).collect()
-        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+        .map(r => r.getString(0) -> r.getString(1)).toMap
     val a = sample(docs)
     val b = sample(docs.repartition(17))
     val c = sample(docs.coalesce(1))
     assert(a == b && b == c)
-    assert(a.values.forall(_.length == 5))
+    assert(a.values.forall(_.split(',').length == 5))
   }
 
   test("language id picks a deterministic argmax") {
