@@ -93,6 +93,7 @@ object SparkEntry {
     "q_math_fns" -> t("lineitem")(operators.Extended.mathFunctions),
     "q_array_ops" -> t("embeddings")(operators.Extended.arrayFunctions),
     "q_json_roundtrip" -> t("events")(operators.Extended.jsonRoundtrip),
+    "q_map_fns" -> t("events")(operators.Extended.mapFunctions),
     "q_salted_agg" -> t("events")(operators.Skew.saltedValueSums(_)),
     "q_salted_join" ->
       t2("lineitem", "orders")(operators.Skew.saltedRevenueByPriority),
@@ -156,10 +157,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — one entry per SQL-expressible query above.
-  // Omitted (rows-only check): q_approx_distinct (approximate),
-  // q_lang_id / q_rolling_fp / q_minhash_lsh / q_simhash_pairs /
-  // q_knn_lsh / q_knn_ivf / q_cosine_neardup (engine-specific hashing /
-  // Scala-side constants), q_media_features (stub codec runs in Scala).
+  // Omitted (rows-only check):
+  // q_approx_distinct / q_approx_percentile (approximate by design),
+  // q_minhash_lsh / q_simhash_pairs (engine-specific hashing),
+  // q_media_features (stub codec runs in Scala).
   // ---------------------------------------------------------------------
 
   /** DuckDB SQL reproducing the SRP-LSH top-k exactly: the hyperplane
@@ -520,6 +521,25 @@ object SparkEntry {
     "q_json_roundtrip" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
          ORDER BY event_id""",
+    "q_map_fns" ->
+      """WITH base AS (
+           SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS kv,
+             CAST(event_id % 100 AS INTEGER) AS tv
+           FROM events WHERE event_id < 500),
+         m AS (
+           SELECT event_id, event_type, kv, tv,
+             list_sort(list_distinct(['k', event_type])) AS keys
+           FROM base)
+         SELECT event_id,
+           len(keys) AS n_entries,
+           array_to_string(keys, ',') AS keys_csv,
+           array_to_string(list_transform(keys,
+             x -> CAST(CASE WHEN x = 'k' THEN kv ELSE tv END AS VARCHAR)),
+             ',') AS vals_csv,
+           CAST(kv AS BIGINT) AS k_val,
+           CAST(tv AS BIGINT) AS type_val
+         FROM m ORDER BY event_id""",
     "q_salted_agg" ->
       s"""SELECT event_type, count(*) AS n,
             ${Cols.sqlDecSum("value")} AS sum_value
@@ -789,6 +809,17 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "q_md5_fp" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    // Engine-neutral rolling hash: per-token base hash = first 8 md5 hex
+    // chars as an integer, identical in both engines (the same trick that
+    // oracled the SRP-LSH constants).
+    "q_rolling_fp" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 36028797018963967) AS rolling_fp
+         FROM documents ORDER BY doc_id""",
     // argmax tie-break mirrors Spark's sort_array(desc) on struct(score,
     // lang): score DESC then candidate lang DESC.
     "q_lang_id" ->

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -21,62 +21,67 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `(array_agg(id ORDER BY md5(CAST(id AS VARCHAR))))[1:k]`, so this
   * custom aggregate is differential-tested like every built-in.
   *
-  * Scale: buffer is O(k) per group; partial aggregation (map-side
-  * bottom-k) merges associatively — the same shape HLL/t-digest sketches
-  * use. */
+  * Scale: the buffer is a bounded MAX-heap of size k ordered by
+  * (hash, id) — once warm, a non-qualifying row is rejected with a single
+  * comparison against the heap head (O(1)), and a qualifying row costs
+  * O(log k); nothing ever sorts per input row. Partial aggregation
+  * (map-side bottom-k) merges associatively — the same shape HLL/t-digest
+  * sketches use. */
 case class BottomKByHash(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.ArrayBuffer[(String, Long)]] {
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(String, Long)]] {
 
-  override def createAggregationBuffer(): mutable.ArrayBuffer[(String, Long)] =
-    mutable.ArrayBuffer.empty
+  // Max-heap: head is the largest kept (hash, id) — the eviction victim.
+  // Full-tuple ordering so hash ties (if md5 ever collided) stay
+  // deterministic under any merge order.
+  private val ord: Ordering[(String, Long)] =
+    Ordering.Tuple2(Ordering.String, Ordering.Long)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(String, Long)] =
+    mutable.PriorityQueue.empty(ord)
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  private def trim(buf: mutable.ArrayBuffer[(String, Long)]): Unit =
-    if (buf.length > k) {
-      val kept = buf.sortBy(_._1).take(k)
-      buf.clear()
-      buf ++= kept
-    }
+  private def insert(buf: mutable.PriorityQueue[(String, Long)],
+      e: (String, Long)): Unit =
+    if (buf.size < k) buf.enqueue(e)
+    else if (ord.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
 
-  override def update(buf: mutable.ArrayBuffer[(String, Long)],
-      input: InternalRow): mutable.ArrayBuffer[(String, Long)] = {
+  override def update(buf: mutable.PriorityQueue[(String, Long)],
+      input: InternalRow): mutable.PriorityQueue[(String, Long)] = {
     val v = child.eval(input)
     if (v != null) {
       val id = v.asInstanceOf[Long]
-      buf += ((md5hex(id.toString), id))
-      trim(buf)
+      insert(buf, (md5hex(id.toString), id))
     }
     buf
   }
 
-  override def merge(buf: mutable.ArrayBuffer[(String, Long)],
-      other: mutable.ArrayBuffer[(String, Long)]): mutable.ArrayBuffer[(String, Long)] = {
-    buf ++= other
-    trim(buf)
+  override def merge(buf: mutable.PriorityQueue[(String, Long)],
+      other: mutable.PriorityQueue[(String, Long)]): mutable.PriorityQueue[(String, Long)] = {
+    other.foreach(insert(buf, _))
     buf
   }
 
-  override def eval(buf: mutable.ArrayBuffer[(String, Long)]): Any =
-    new GenericArrayData(buf.sortBy(_._1).take(k).map(_._2).toArray)
+  override def eval(buf: mutable.PriorityQueue[(String, Long)]): Any =
+    new GenericArrayData(buf.toArray.sorted(ord).map(_._2))
 
-  override def serialize(buf: mutable.ArrayBuffer[(String, Long)]): Array[Byte] = {
+  override def serialize(buf: mutable.PriorityQueue[(String, Long)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.length)
+    out.writeInt(buf.size)
     buf.foreach { case (h, id) => out.writeUTF(h); out.writeLong(id) }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(String, Long)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(String, Long)] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.ArrayBuffer.empty[(String, Long)]
-    (0 until n).foreach(_ => buf += ((in.readUTF(), in.readLong())))
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.enqueue((in.readUTF(), in.readLong())))
     buf
   }
 

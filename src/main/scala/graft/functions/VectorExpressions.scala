@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * The summation is a sequential left-to-right double fold — bit-identical
   * to the HOF formulation and to the DuckDB oracle's list_sum, so
-  * swapping this in does not perturb oracle parity.
+  * swapping this in does not perturb oracle parity. Mismatched-length
+  * inputs yield NULL — the same answer the zip_with formulation gives
+  * (its null pads poison the aggregate) — rather than a silently-truncated
+  * similarity.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,11 +38,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // May return null for non-null children (length mismatch).
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -62,15 +68,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = $a.getDouble($i);
-          double $yi = $b.getDouble($i);
-          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = $a.getDouble($i);
+            double $yi = $b.getDouble($i);
+            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          }
+          double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+          ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
         }
-        double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-        ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
       """
     })
 

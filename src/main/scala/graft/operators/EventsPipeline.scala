@@ -156,16 +156,28 @@ object EventsPipeline {
       .orderBy(col("event_id"))
 
   /** JSON path extraction (producer.py:92-100 flattening; app.py:156
-    * deserializer) over the `props` JSON payload, then grouped agg. */
+    * deserializer) over the `props` JSON payload, then grouped agg.
+    *
+    * The payload is parsed EXACTLY ONCE per row: `from_json` with a pruned
+    * one-field schema in a single projection, and no per-row filter that
+    * predicate-pushdown could duplicate below it (the earlier
+    * `get_json_object` + filter form re-parsed up to 4× per row after
+    * projection collapse). Null payloads are excluded inside the
+    * aggregates (`count/sum/avg` all skip nulls) and empty groups dropped
+    * by the post-aggregation HAVING — per-row work is one parse + one
+    * field read. */
   def jsonExtract(events: DataFrame): DataFrame =
     events
-      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
-      .filter(col("k_val").isNotNull)
+      .select(
+        col("event_type"),
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k").as("k_val"))
       .groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n"),
+        count(col("k_val")).as("n"),
         sum(col("k_val")).as("sum_k"),
         decAvg(col("k_val"), 0).as("avg_k"))
+      .filter(col("n") > 0)
       .orderBy(col("event_type"))
 
   /** Parse-or-drop timestamp semantics (app.py:207-218: fromisoformat, skip

@@ -211,4 +211,32 @@ object Extended {
         col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
   }
+
+  /** Map-function suite (SURVEY.md §2.7 map family): parse `props` into a
+    * map<string,int>, merge a per-row map built from columns
+    * (`map_concat`), then exercise map_keys / map_values / element_at /
+    * size. Map entry order is engine-internal, so keys are sorted and
+    * values emitted in sorted-key order (deterministic, oracle-exact);
+    * the DuckDB oracle re-derives the merged-map semantics from the same
+    * inputs. All codegen'd expressions; narrow per-row, no shuffle before
+    * the final TakeOrdered. */
+  def mapFunctions(events: DataFrame): DataFrame = {
+    val merged = map_concat(
+      from_json(col("props"), "map<string,int>", Map.empty[String, String]),
+      map(col("event_type"), (col("event_id") % 100).cast("int")))
+    val sortedKeys = array_sort(map_keys(col("m")))
+    events
+      .filter(col("event_id") < 500)
+      .select(col("event_id"), col("event_type"), merged.as("m"))
+      .select(
+        col("event_id"),
+        size(col("m")).as("n_entries"),
+        array_join(sortedKeys, ",").as("keys_csv"),
+        array_join(
+          transform(sortedKeys, k => element_at(col("m"), k).cast("string")),
+          ",").as("vals_csv"),
+        element_at(col("m"), lit("k")).cast("long").as("k_val"),
+        element_at(col("m"), col("event_type")).cast("long").as("type_val"))
+      .orderBy(col("event_id"))
+  }
 }

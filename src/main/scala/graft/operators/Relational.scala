@@ -135,7 +135,12 @@ object Relational {
     *  2. a tiny idx-histogram (≤ M+1 rows) is suffix-summed onto supplier
     *     positions: position p's count = Σ hist(idx > p). Exact under
     *     ties because idx counts strictly-smaller thresholds, so it never
-    *     lands inside an equal-balance run.
+    *     lands inside an equal-balance run: for any position p in a run
+    *     [s,e] of equal balances, idx > p ⟺ idx > s, so every supplier in
+    *     the run gets the same count and `pos` may be the run's FIRST
+    *     position. That lets pos be computed per-row from the same
+    *     broadcast thresholds array — no global (unpartitioned) window,
+    *     no serial stage anywhere in the plan.
     * Output (and oracle) identical to the BNLJ form; cost drops from
     * O(N·M) materialized rows to O(N·M) arithmetic + O(M²) tiny join. */
   def acctbalThetaViaHistogram(supplier: DataFrame, customer: DataFrame): DataFrame = {
@@ -145,9 +150,8 @@ object Relational {
     val hist = customer
       .select(size(filter(thresholds, t => t < col("c_acctbal"))).as("idx"))
       .groupBy(col("idx")).agg(count(lit(1)).as("n_c"))
-    val w = Window.orderBy(col("s_acctbal"), col("s_suppkey"))
     val positioned = supplier
-      .withColumn("pos", row_number().over(w) - 1)
+      .withColumn("pos", size(filter(thresholds, t => t < col("s_acctbal"))))
     positioned
       .join(broadcast(hist), col("idx") > col("pos"))
       .groupBy(col("s_suppkey"), col("s_name"))

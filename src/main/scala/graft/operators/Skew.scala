@@ -70,12 +70,22 @@ object Skew {
   def bloomPrefilteredJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    // The probe-side predicate is Catalyst's own `BloomFilterMightContain`
+    // (the expression `InjectRuntimeFilter` emits), built through the
+    // graftshim since it is not in the public function registry. Unlike a
+    // Scala UDF it has `doGenCode`, so the probe scan + filter stay inside
+    // one WholeStageCodegen span; the serialized filter rides along as a
+    // foldable binary literal (deserialized once per task, broadcast-like).
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.Shim
     val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
-    val spark = probe.sparkSession
-    val bfBc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val probeFilter = Shim.column(BloomFilterMightContain(
+      Literal.create(out.toByteArray, org.apache.spark.sql.types.BinaryType),
+      Shim.expression(col(probeKey).cast("long"))))
     probe
-      .filter(mightContain(col(probeKey)))
+      .filter(probeFilter)
       .join(build, col(probeKey) === col(buildKey))
   }
 

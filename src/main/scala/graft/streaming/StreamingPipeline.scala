@@ -71,8 +71,16 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n_events"))
 
   /** Dual-write sink (app.py:254: insert to Mongo BEFORE display; here:
-    * append parquet + maintain an in-memory latest-record view), with a
-    * checkpoint for exactly-once into the idempotent file sink. */
+    * parquet historical store + an in-memory latest-record view).
+    *
+    * Exactly-once: `foreachBatch` alone is only at-least-once (a crash
+    * after the write but before the checkpoint commit replays the batch),
+    * so each micro-batch writes to its own DETERMINISTIC directory
+    * `batch_id=<id>` with overwrite — a replayed batch clobbers its own
+    * partial output instead of appending duplicates. Readers scan
+    * `sinkDir` and get `batch_id` as a discovered partition column.
+    * Verified by StreamingSpec's mid-batch-failure test (checkpoint
+    * commit marker removed → batch replays → no duplicate rows). */
   def startDualWrite(spark: SparkSession, stream: DataFrame, sinkDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     validated(stream).writeStream
@@ -80,7 +88,7 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        batch.write.mode("append").parquet(sinkDir) // historical store
+        batch.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
         // latest-record view (app.py:363: sort desc, head)
         batch.orderBy(col("ts").desc, col("event_id").desc).limit(1)
           .createOrReplaceGlobalTempView("latest_event")

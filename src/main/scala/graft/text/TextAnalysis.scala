@@ -107,14 +107,39 @@ object TextAnalysis {
   }
 
   /** Top word n-grams across the corpus (frequency table — the standard
-    * corpus-statistics pass; explode keeps it one shuffle keyed by the
-    * n-gram). */
+    * corpus-statistics pass).
+    *
+    * Scale shape: the counting shuffle carries (xxhash64(ngram), count)
+    * pairs — 16 bytes per distinct ngram per partition — never the ngram
+    * STRINGS. The winning strings are recovered afterwards with a second
+    * scan broadcast-joined on the k winning hashes, so string bytes only
+    * flow for rows belonging to the top-k ngrams. At 100 TB the dominant
+    * cost is the map-side hash aggregation; the string recovery touches a
+    * vanishing fraction of rows. The k-th count threshold keeps ALL ties,
+    * so the lexicographic tie-break at the boundary stays exact.
+    * Assumes xxhash64 is collision-free over the distinct-ngram set
+    * (~2^-64 per pair — the same standing assumption as the dedup digests).
+    * The counts subtree appears twice in the logical plan (threshold +
+    * winners); AQE's canonicalized stage reuse collapses it to ONE shuffle
+    * at runtime (verified: executedPlan shows `ReusedExchange`), so the
+    * effective cost is two scans + one hash-keyed shuffle. */
   def topNgrams(documents: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
     import graft.dedup.Dedup.shingles
-    documents
-      .select(explode(shingles(col("text"), n)).as("ngram"))
-      .groupBy(col("ngram"))
+    val grams = documents.select(explode(shingles(col("text"), n)).as("ngram"))
+    val counts = grams
+      .groupBy(xxhash64(col("ngram")).as("h"))
       .agg(count(lit(1)).as("n_docs"))
+    // k-th highest count — TakeOrderedAndProject over longs, then a
+    // single-row broadcast; no driver-side collect in the data path.
+    val kth = counts.orderBy(col("n_docs").desc).limit(k)
+      .agg(min(col("n_docs")).as("kth_count"))
+    val winners = counts.crossJoin(broadcast(kth))
+      .filter(col("n_docs") >= col("kth_count"))
+      .select(col("h"), col("n_docs"))
+    grams
+      .join(broadcast(winners), xxhash64(col("ngram")) === col("h"))
+      .groupBy(col("ngram"))
+      .agg(max(col("n_docs")).as("n_docs"))
       .orderBy(col("n_docs").desc, col("ngram"))
       .limit(k)
   }
@@ -140,19 +165,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** Document fingerprint #2: rolling polynomial hash over tokens
-    * (Karp-Rabin style). Arithmetic stays modular below 2^62 so it is
-    * ANSI-safe (no 64-bit overflow); engine-specific base hash →
-    * rows-only check. */
+    * (Karp-Rabin style). The per-token base hash is the first 8 hex chars
+    * of md5 as an integer — ENGINE-NEUTRAL (DuckDB computes the identical
+    * value via `('0x' || substr(md5(t),1,8))::BIGINT`), so the query is
+    * fully oracle-checked, not rows-only. Arithmetic stays modular below
+    * 2^55·31 + 2^32 < 2^60 — ANSI-safe, no 64-bit overflow. */
   def rollingFingerprints(documents: DataFrame): DataFrame = {
-    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+    val m = 36028797018963967L // (2^61 - 1) div 64
     documents
       .select(
         col("doc_id"),
         aggregate(
           tokens(col("text")),
           lit(0L),
-          (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(p / 64)),
-            lit(p / 64)))
+          (acc, t) => pmod(
+            acc * lit(31L) +
+              conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+            lit(m)))
           .as("rolling_fp"))
       .orderBy(col("doc_id"))
   }

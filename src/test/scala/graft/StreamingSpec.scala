@@ -97,6 +97,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$sink/hist").count() == 3)
   }
 
+  test("dual-write survives mid-batch failure replay without duplicates") {
+    val sq = spark
+    import sq.implicits._
+    val sink = Files.createTempDirectory("graft_replay_sink").toString
+    val ckpt = Files.createTempDirectory("graft_replay_ckpt").toString
+    val srcDir = Files.createTempDirectory("graft_replay_src").toString
+    val mk = (id: Long, t: String) => Ev(id, ts(t), 1L, "click", 1.0, "{}")
+    Seq(mk(1, "2024-01-01 10:00:00")).toDS().toDF()
+      .write.parquet(s"$srcDir/f1")
+    Seq(mk(2, "2024-01-01 11:00:00")).toDS().toDF()
+      .write.parquet(s"$srcDir/f2")
+    val schema = spark.read.parquet(s"$srcDir/f1").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q1 = streaming.StreamingPipeline.startDualWrite(
+      spark, stream, s"$sink/hist", ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$sink/hist").count() == 2)
+    // Simulate a crash AFTER the sink write but BEFORE the checkpoint
+    // commit: remove the last batch's commit marker. On restart Spark
+    // replays that batch — the sink write must be idempotent.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2)
+    val victim = commits.last
+    // Also drop the checksum sibling: the local checksum filesystem would
+    // otherwise refuse the replayed commit write against the stale .crc.
+    val crc = new java.io.File(victim.getParent, s".${victim.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(victim.delete(), "failed to remove commit marker")
+    val q2 = streaming.StreamingPipeline.startDualWrite(
+      spark, stream, s"$sink/hist", ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$sink/hist").count() == 2,
+      "replayed batch must overwrite its own output, not append duplicates")
+  }
+
   test("session windows group events within gap") {
     val sq = spark
     import sq.implicits._
