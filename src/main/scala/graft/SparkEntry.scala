@@ -100,6 +100,9 @@ object SparkEntry {
     "q_top_ngrams" -> t("documents")(T.topNgrams(_)),
     "q_length_histogram" -> t("documents")(T.lengthHistogram(_)),
     "q_dedup_decisions" -> t("documents")(operators.Pipeline.dedupDecisions(_)),
+    "q_dedup_clusters" -> t("documents")(operators.Pipeline.dedupClusters(_)),
+    "q_heavy_hitters" -> t("documents")(T.heavyHitters(_)),
+    "q_stratified_sample" -> t("documents")(operators.Pipeline.stratifiedSample),
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
@@ -872,6 +875,56 @@ object SparkEntry {
          WHERE CAST(n_common AS DOUBLE)
               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
          ORDER BY doc_a, doc_b""",
+    // Connected components = min reachable id via recursive CTE over the
+    // same jaccard pair graph the Spark side propagates labels on.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         cnt AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jp AS (
+           SELECT doc_a, doc_b FROM cnt
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE CAST(n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM jp
+           UNION SELECT doc_b, doc_a FROM jp),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT src AS doc_id,
+           least(src, min(dst)) AS cluster_id,
+           least(src, min(dst)) = src AS is_canonical
+         FROM reach GROUP BY src ORDER BY doc_id""",
+    "q_heavy_hitters" ->
+      """WITH t AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+         tot AS (SELECT count(*) AS total FROM t)
+         SELECT tok AS token, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+         FROM c, tot
+         WHERE CAST(n AS DOUBLE) >= 0.01 * CAST(total AS DOUBLE)
+         ORDER BY n DESC, token""",
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+           < CASE WHEN lang = 'en' THEN 500 WHEN lang = 'es' THEN 400
+                  WHEN lang = 'fr' THEN 300 WHEN lang = 'de' THEN 200
+                  ELSE 100 END
+         ORDER BY doc_id""",
     "q_pairwise_cosine" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 10),

@@ -31,6 +31,65 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the
+    * near-dup pair graph (the step after pair generation that every
+    * corpus dedup actually needs — pairs chain A~B, B~C into one group;
+    * the keeper is the cluster's min doc_id).
+    *
+    * Algorithm: iterative min-label propagation — each vertex repeatedly
+    * takes the min label among itself and its neighbors until fixpoint.
+    * This is the join-based form of the standard distributed CC (converges
+    * in O(diameter) rounds; dedup clusters are shallow, so rounds stay
+    * single-digit — the same reason large-star/small-star converges fast
+    * on web corpora). Each round is one shuffle join on ids; per-round
+    * results are persisted and the previous round unpersisted, so lineage
+    * stays O(1) and nothing recomputes. The driver loop only reads a
+    * per-round scalar (changed-count) — no data is collected.
+    *
+    * Oracle: DuckDB recursive CTE computing min reachable id over the
+    * same pair graph. */
+  def dedupClusters(documents: DataFrame, threshold: Double = 0.5)
+      : DataFrame = {
+    val pairs = graft.dedup.Dedup
+      .jaccardPairs(documents, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var persisted = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist()
+    var cur = persisted
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 25) {
+      val nbrMin = edges
+        .join(cur, edges("dst") === cur("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+        .select(col("src").as("id"), col("nbr_min"))
+      val next = cur.as("l")
+        .join(nbrMin.as("n"), Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("l.label"), coalesce(col("n.nbr_min"), col("l.label")))
+            .as("label"),
+          col("l.label").as("prev"))
+        .persist()
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      persisted.unpersist()
+      persisted = next
+      cur = next.select(col("id"), col("label"))
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    cur.select(
+        col("id").as("doc_id"),
+        col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark-contamination scan: which documents contain any of the
     * probe strings (e.g. eval-set n-grams), counted per source. The probe
     * list is tiny and becomes a literal array — at scale it would be a
@@ -65,6 +124,28 @@ object Pipeline {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"), col("split"))
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * via an engine-neutral hash gate — keep a document iff
+    * (md5-prefix-hash of doc_id) mod 1000 < rate(lang). The standard
+    * corpus-balancing op (downsample over-represented languages), with
+    * the property `rand()` lacks: the sample is identical across runs,
+    * partitionings, and engines, so it is fully oracle-checked.
+    * Narrow per-row predicate, codegen'd, no shuffle before the final
+    * ordering. */
+  def stratifiedSample(documents: DataFrame): DataFrame = {
+    val hash = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 1000
+    val rate = when(col("lang") === "en", 500)
+      .when(col("lang") === "es", 400)
+      .when(col("lang") === "fr", 300)
+      .when(col("lang") === "de", 200)
+      .otherwise(100)
+    documents
+      .filter(hash < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
   }
 
   /** Per-language deterministic corpus sample via the custom

@@ -97,6 +97,17 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming exact dedup (the streaming face of the dedup north star):
+    * drops re-deliveries of the same event_id — both within a micro-batch
+    * and across batches. State is one entry per id, bounded by the
+    * watermark: ids older than (watermark − delay) are evicted, so state
+    * does not grow with the stream — the property a naive
+    * `dropDuplicates` lacks. */
+  def dedupStream(stream: DataFrame): DataFrame =
+    validated(stream)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user running state for the custom-state surface
     * (`flatMapGroupsWithState`, SURVEY.md §2.9 planned extension): emits a
     * record per input event carrying the user's cumulative count and

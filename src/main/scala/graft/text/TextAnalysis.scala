@@ -144,6 +144,31 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Exact heavy hitters: tokens whose corpus frequency is at least
+    * `minShare` of all tokens. Same scale shape as [[topNgrams]]: the
+    * counting shuffle carries (xxhash64, count) pairs; the total-count
+    * single row is broadcast; winning strings are recovered with a second
+    * scan broadcast-joined on the qualifying hashes (a vanishing fraction
+    * of rows by definition of "heavy"). */
+  def heavyHitters(documents: DataFrame, minShare: Double = 0.01): DataFrame = {
+    val toks = documents.select(explode(tokens(col("text"))).as("t"))
+    val counts = toks
+      .groupBy(xxhash64(col("t")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val winners = counts.crossJoin(broadcast(total))
+      .filter(col("n").cast("double") >=
+        lit(minShare) * col("total").cast("double"))
+      .select(col("h"), col("n"), col("total"))
+    toks
+      .join(broadcast(winners), xxhash64(col("t")) === col("h"))
+      .groupBy(col("t").as("token"))
+      .agg(max(col("n")).as("n"), max(col("total")).as("total"))
+      .select(col("token"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** Value-distribution histogram of doc lengths (fixed-width buckets —
     * integer arithmetic, oracle-exact). */
   def lengthHistogram(documents: DataFrame, width: Int = 50): DataFrame =

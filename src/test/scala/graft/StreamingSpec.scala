@@ -134,6 +134,31 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch must overwrite its own output, not append duplicates")
   }
 
+  test("streaming dedup drops redeliveries within and across batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.StreamingPipeline.dedupStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    // batch 1: id 1 delivered twice in the same batch, id 2 once
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      Ev(1, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      Ev(2, ts("2024-01-01 10:01:00"), 1L, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: id 1 redelivered (within watermark), id 3 new
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      Ev(3, ts("2024-01-01 10:02:00"), 2L, "view", 3.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_test").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"each id exactly once, got $ids")
+  }
+
   test("session windows group events within gap") {
     val sq = spark
     import sq.implicits._
