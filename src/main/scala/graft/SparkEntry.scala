@@ -94,6 +94,8 @@ object SparkEntry {
     "q_array_ops" -> t("embeddings")(operators.Extended.arrayFunctions),
     "q_json_roundtrip" -> t("events")(operators.Extended.jsonRoundtrip),
     "q_map_fns" -> t("events")(operators.Extended.mapFunctions),
+    "q_variant_extract" -> t("events")(operators.Extended.variantExtract),
+    "q_interval_join" -> t("events")(E.intervalJoinBinned),
     "q_salted_agg" -> t("events")(operators.Skew.saltedValueSums(_)),
     "q_salted_join" ->
       t2("lineitem", "orders")(operators.Skew.saltedRevenueByPriority),
@@ -314,6 +316,24 @@ object SparkEntry {
          FROM events
          WHERE json_extract_string(props, '$.k') IS NOT NULL
          GROUP BY event_type ORDER BY event_type""",
+    "q_variant_extract" ->
+      """SELECT event_type,
+            count(json_extract_string(props, '$.k')) AS n,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+            min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+            max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+         FROM events
+         GROUP BY event_type
+         HAVING count(json_extract_string(props, '$.k')) > 0
+         ORDER BY event_type""",
+    "q_interval_join" ->
+      """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+            p.event_id AS purchase_id, p.ts AS purchase_ts
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts <= v.ts AND p.ts >= v.ts - INTERVAL 1 HOUR
+         ORDER BY view_id, purchase_id""",
     "q_parse_or_drop" ->
       """SELECT event_id, parsed FROM (
            SELECT event_id,

@@ -249,6 +249,41 @@ object EventsPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Batch interval join — every view paired with the same user's
+    * purchases in the preceding hour — via TIME BINNING. A naive range
+    * join plans as BroadcastNestedLoopJoin (O(N·M) comparisons); here
+    * both sides get an hour-bucket key (purchases exploded into the two
+    * buckets their one-hour validity window can touch), the join becomes
+    * a plain equi-join on (user_id, bucket) — shuffle-partitionable,
+    * AQE-skew-splittable — and the exact range predicate is a residual
+    * post-filter. Each qualifying (view, purchase) pair matches in
+    * exactly one bucket (the view's), so no dedup is needed. This is the
+    * standard scalable range-join rewrite; at 100 TB the equi-join
+    * shuffles only key+id columns. */
+  def intervalJoinBinned(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    def bucketOf(c: Column): Column =
+      ((unix_micros(c) - pmod(unix_micros(c), lit(hourUs))) / lit(hourUs))
+        .cast("long")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"), bucketOf(col("ts")).as("bucket"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withColumn("bucket",
+        explode(array(bucketOf(col("purchase_ts")),
+          bucketOf(col("purchase_ts")) + 1)))
+    views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          views("bucket") === purchases("bucket") &&
+          col("purchase_ts") <= col("view_ts") &&
+          col("purchase_ts") >= col("view_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"))
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** lag/lead inter-arrival gaps per user (SURVEY.md §2.6 extension) in
     * exact integer microseconds. */
   def interArrival(events: DataFrame): DataFrame = {

@@ -212,6 +212,26 @@ object Extended {
       .orderBy(col("event_id"))
   }
 
+  /** Semi-structured VARIANT path (Spark 4's open variant binary
+    * encoding — the modern schema-on-read column type): `parse_json` into
+    * a VariantType value once per row in a single projection,
+    * `variant_get` typed field extraction, then grouped aggregation.
+    * Same single-parse discipline as EventsPipeline.jsonExtract; the
+    * variant encodes once and every extraction reads the binary form. */
+  def variantExtract(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k_val"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k_val")).as("n"),
+        sum(col("k_val")).as("sum_k"),
+        min(col("k_val")).as("min_k"),
+        max(col("k_val")).as("max_k"))
+      .filter(col("n") > 0)
+      .orderBy(col("event_type"))
+
   /** Map-function suite (SURVEY.md §2.7 map family): parse `props` into a
     * map<string,int>, merge a per-row map built from columns
     * (`map_concat`), then exercise map_keys / map_values / element_at /

@@ -36,6 +36,15 @@ object Sources {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** ORC (the other columnar warehouse format Spark ships natively):
+    * same pushdown/pruning machinery as parquet — predicate pushdown,
+    * column pruning, vectorized read. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // ---- Kafka-shaped message encode/decode (producer.py:115-126 JSON
   //      serialize; app.py:156 JSON deserializer) ----
 

@@ -33,6 +33,22 @@ class SourcesSpec extends AnyFunSuite {
       customer.agg(sum("c_custkey")).collect()(0).getLong(0))
   }
 
+  test("ORC round-trip preserves rows and pushes predicates to the scan") {
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val dir = tmp("graft_orc")
+    sources.Sources.writeOrc(orders, dir)
+    val back = sources.Sources.readOrc(spark, dir)
+    assert(back.count() == orders.count())
+    assert(back.agg(sum("o_orderkey")).collect()(0).getLong(0) ==
+      orders.agg(sum("o_orderkey")).collect()(0).getLong(0))
+    // predicate pushdown reaches the ORC scan like parquet
+    val filtered = back.filter(col("o_totalprice") > 100000.0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      plan.take(600))
+  }
+
   test("partitioned parquet layout enables partition pruning") {
     val events = Tables.load(spark, TestSpark.sf, "events")
       .withColumn("event_date", to_date(col("ts")))
