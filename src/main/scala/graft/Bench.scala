@@ -3,10 +3,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine's cores (capped at 32) — a fixed small
+    // default silently wastes the box when the driver doesn't set the env.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // Shuffle partitions sized for the bench SF (measured flat 8-32 at
+    // sf0.1, overhead-dominated below 8): keep enough for parallelism,
+    // not 200 empty tasks. Override with SPARK_GRAFT_PARTS.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS",
+      math.max(8, math.min(32, cpus.toInt)).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
