@@ -136,5 +136,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
+    // Banded time-range joins → binned equi-joins (no BNLJ at scale).
+    ext.injectOptimizerRule(_ => graft.plans.BinTimeRangeJoin)
   }
 }

@@ -42,6 +42,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0).getDouble(3) > 0.5)
   }
 
+  test("dedup clusters merge transitive chains A~B~C into one component") {
+    // A~B and B~C each differ by one word (jaccard ≈ 0.7, above 0.6);
+    // A and C differ by TWO words (jaccard ≈ 0.5, below 0.6) — so A and C
+    // land in one cluster ONLY through the transitive chain.
+    val a = base
+    val b = base.replace("lazy", "sleepy")
+    val c = base.replace("lazy", "sleepy").replace("warm", "cold")
+    val other = "completely different words with no overlap at all " +
+      "in any shingle of this unrelated document text body " +
+      "and even more filler words to keep shingles apart"
+    val other2 = other.replace("filler", "padding")
+    val df = docs(Seq(a, b, c, other, other2))
+    // sanity: the direct A~C pair must NOT exist at this threshold
+    val pairs = dedup.Dedup.jaccardPairs(df, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)) &&
+      !pairs.contains((0L, 2L)), s"pair structure: $pairs")
+    val out = operators.Pipeline.dedupClusters(df, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq(
+      (0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (3L, 3L, true), (4L, 3L, false)))
+  }
+
   test("minhash LSH finds the same near-dup pair") {
     val nearDup = base.replace("lazy", "sleepy")
     val other = "completely different words with no overlap at all " +
