@@ -104,6 +104,7 @@ object SparkEntry {
     "q_dedup_decisions" -> t("documents")(operators.Pipeline.dedupDecisions(_)),
     "q_dedup_clusters" -> t("documents")(operators.Pipeline.dedupClusters(_)),
     "q_heavy_hitters" -> t("documents")(T.heavyHitters(_)),
+    "q_tfidf" -> t("documents")(T.topTfidfTerms(_)),
     "q_stratified_sample" -> t("documents")(operators.Pipeline.stratifiedSample),
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
@@ -928,6 +929,23 @@ object SparkEntry {
            least(src, min(dst)) AS cluster_id,
            least(src, min(dst)) = src AS is_canonical
          FROM reach GROUP BY src ORDER BY doc_id""",
+    // tf·N/df (not tf·ln(N/df)): identical ranking, one deterministic
+    // IEEE division instead of a libm ln that can differ in the last ulp.
+    "q_tfidf" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (
+           SELECT doc_id, tok, tf, df,
+             CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+           FROM tf JOIN df USING (tok), n),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, tok) AS INTEGER) AS rk FROM s)
+         SELECT doc_id, tok AS term, tf, df, score, rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "q_heavy_hitters" ->
       """WITH t AS (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

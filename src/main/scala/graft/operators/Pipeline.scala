@@ -57,8 +57,11 @@ object Pipeline {
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist()
-    var persisted = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // Initialization folds propagation round 1 into the vertex-dedup
+    // shuffle: label₀(v) = min(v, min neighbor) — one less loop round.
+    var persisted = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
       .persist()
     var cur = persisted
     var iter = 0

@@ -169,6 +169,37 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
   }
 
+  /** Per-document top TF-IDF terms (the classic relevance scoring pass).
+    * Scoring uses tf·N/df instead of tf·ln(N/df): the ranking is
+    * identical (ln is monotone in N/df and tf>0 scales positively) and
+    * the score is ONE IEEE double division of exact integers —
+    * deterministic across engines, where ln's last-ulp could differ
+    * between libm implementations. Shuffles are keyed by token hash
+    * (df table) and doc_id (per-doc top-k window); df is
+    * dimension-sized after aggregation and broadcast back. */
+  def topTfidfTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tf = toks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = toks.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df_), Seq("t"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("t"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Value-distribution histogram of doc lengths (fixed-width buckets —
     * integer arithmetic, oracle-exact). */
   def lengthHistogram(documents: DataFrame, width: Int = 50): DataFrame =
