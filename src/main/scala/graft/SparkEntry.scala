@@ -96,6 +96,8 @@ object SparkEntry {
     "q_map_fns" -> t("events")(operators.Extended.mapFunctions),
     "q_variant_extract" -> t("events")(operators.Extended.variantExtract),
     "q_interval_join" -> t("events")(E.intervalJoinBinned),
+    "q_upsert_latest" -> t("events")(E.upsertLatest),
+    "q_trailing_1h" -> t("events")(E.trailingHourSum),
     "q_salted_agg" -> t("events")(operators.Skew.saltedValueSums(_)),
     "q_salted_join" ->
       t2("lineitem", "orders")(operators.Skew.saltedRevenueByPriority),
@@ -327,6 +329,19 @@ object SparkEntry {
          GROUP BY event_type
          HAVING count(json_extract_string(props, '$.k')) > 0
          ORDER BY event_type""",
+    "q_upsert_latest" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+           SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "q_trailing_1h" ->
+      """SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_sum
+         FROM events ORDER BY user_id, event_id""",
     "q_interval_join" ->
       """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
             p.event_id AS purchase_id, p.ts AS purchase_ts

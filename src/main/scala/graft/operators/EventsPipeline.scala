@@ -249,6 +249,38 @@ object EventsPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Upsert/latest-record view: one row per key, the most recent by
+    * (ts, event_id) — the batch form of the reference's per-series
+    * `find_one(sort=[("producer_timestamp", DESC)])` (app.py:177) and of
+    * a MERGE "latest wins" table maintenance step. One shuffle by key;
+    * the per-key argmax is a max_by struct aggregate (map-side
+    * combinable), not a global sort. */
+  def upsertLatest(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("r"))
+      .select(col("user_id"), col("r.ts").as("ts"),
+        col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
+      .orderBy(col("user_id"))
+
+  /** Trailing one-hour running sum per user — a RANGE-framed window
+    * (peers by value, not row position): for each event, the exact
+    * decimal sum of the user's values in [ts − 1h, ts]. Range frames
+    * over integer micros keep both engines' peer semantics identical. */
+  def trailingHourSum(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    events
+      .withColumn("trailing_sum",
+        sum(col("value").cast("decimal(28,6)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("trailing_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Batch interval join — every view paired with the same user's
     * purchases in the preceding hour — via TIME BINNING. A naive range
     * join plans as BroadcastNestedLoopJoin (O(N·M) comparisons); here

@@ -25,6 +25,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle for unknown queries: $missing")
   }
 
+  test("observe() collects pipeline metrics in the same pass") {
+    // The reference dashboard re-queried Mongo for record counts
+    // (app.py:488-497); observe() attaches the metrics to the flowing
+    // pass — no second scan.
+    val obs = org.apache.spark.sql.Observation("pipeline_metrics")
+    val events = Tables.load(spark, sf, "events")
+    val total = events.count()
+    val clicks = events
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .filter(col("event_type") === "click")
+      .count()
+    val m = obs.get
+    assert(m("n_rows") == total, s"observed ${m("n_rows")} of $total")
+    assert(clicks > 0 && clicks < total)
+    assert(m("sum_value").asInstanceOf[Double] > 0.0)
+  }
+
   test("top-1 = head of full sort (property: O3/A6)") {
     val events = Tables.load(spark, sf, "events")
     val viaLimit = operators.EventsPipeline.latestRecord(events)
