@@ -68,7 +68,10 @@ object Dedup {
     * Scale: posting lists are bounded by `maxDf` (shingles appearing in
     * more docs are dropped from the index — the standard df-pruning that
     * keeps the pair explosion sub-quadratic on web corpora); per-pair cost
-    * is Σ df² over surviving shingles. Doc-size table is broadcast. */
+    * is Σ df² over surviving shingles. The doc-size table is N-sized
+    * (one row per document), so it is NOT broadcast-hinted: the join is
+    * keyed by doc_id and left to the planner — AQE broadcasts it at
+    * small scale and shuffle-joins 12-byte rows at corpus scale. */
   def jaccardPairs(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val sh = documents
@@ -89,8 +92,8 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
-      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))

@@ -174,9 +174,11 @@ object TextAnalysis {
     * identical (ln is monotone in N/df and tf>0 scales positively) and
     * the score is ONE IEEE double division of exact integers —
     * deterministic across engines, where ln's last-ulp could differ
-    * between libm implementations. Shuffles are keyed by token hash
-    * (df table) and doc_id (per-doc top-k window); df is
-    * dimension-sized after aggregation and broadcast back. */
+    * between libm implementations. The df table is VOCABULARY-sized
+    * (100M+ terms on a web corpus), so it is not broadcast-hinted — the
+    * tf⋈df join is keyed by term and left to the planner (AQE
+    * broadcasts it when it is actually small); only the single-row N is
+    * forced broadcast. Per-doc top-k is one doc-keyed window. */
   def topTfidfTerms(documents: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
@@ -186,7 +188,7 @@ object TextAnalysis {
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df_), Seq("t"))
+      .join(df_, Seq("t"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
