@@ -21,27 +21,6 @@ object Smoke {
         println(s"SMOKE $name rows=${df.count()}")
       case Array(name, sfDir, "explain") =>
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-      case Array("probe") =>
-        // scratch: inspect optimizer-facing expression trees
-        import org.apache.spark.sql.functions._
-        val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
-        val v = e.filter(col("event_type") === "view")
-          .select(col("event_id").as("view_id"), col("user_id"),
-            col("ts").as("view_ts"))
-        val p = e.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"),
-            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-        val j = v.join(p,
-          col("user_id") === col("p_user_id") &&
-            col("purchase_ts") <= col("view_ts") &&
-            col("purchase_ts") >= col("view_ts") - expr("INTERVAL 1 HOUR"))
-        j.queryExecution.optimizedPlan.collect {
-          case jn: org.apache.spark.sql.catalyst.plans.logical.Join =>
-            jn.condition.foreach { c =>
-              println(c.treeString)
-              c.foreach(e => println(s"NODE ${e.getClass.getName}"))
-            }
-        }
       case Array(name, sfDir, "rtplan") =>
         // Post-execution adaptive plan (shows runtime exchange reuse).
         val df = SparkEntry.queries(name)(spark, sfDir)

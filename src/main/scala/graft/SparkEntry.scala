@@ -107,6 +107,9 @@ object SparkEntry {
     "q_dedup_clusters" -> t("documents")(operators.Pipeline.dedupClusters(_)),
     "q_heavy_hitters" -> t("documents")(T.heavyHitters(_)),
     "q_tfidf" -> t("documents")(T.topTfidfTerms(_)),
+    "q_chunked" -> t("documents")(T.chunkDocuments(_)),
+    "q_pii_scrub" -> t("documents")(T.scrubPii),
+    "q_pack_greedy" -> t("documents")(operators.Pipeline.packGreedy(_)),
     "q_stratified_sample" -> t("documents")(operators.Pipeline.stratifiedSample),
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
@@ -961,6 +964,43 @@ object SparkEntry {
              ORDER BY score DESC, tok) AS INTEGER) AS rk FROM s)
          SELECT doc_id, tok AS term, tf, df, score, rk
          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "q_chunked" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+           CAST(start // 40 AS INTEGER) AS chunk_idx,
+           len(w[start + 1 : start + 50]) AS chunk_tokens,
+           md5(array_to_string(w[start + 1 : start + 50], ' ')) AS chunk_md5
+         FROM tok, unnest(range(0, greatest(len(w), 1), 40)) AS u(start)
+         ORDER BY doc_id, chunk_idx""",
+    "q_pii_scrub" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+               THEN 'contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com about ' || text
+               ELSE text END AS t
+           FROM documents WHERE doc_id < 200)
+         SELECT doc_id,
+           md5(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+', '[REDACTED]',
+             'g')) AS scrubbed_md5,
+           CAST(len(regexp_split_to_array(t, '[a-z0-9._]+@[a-z0-9.-]+')) - 1
+             AS INTEGER) AS n_redactions
+         FROM p ORDER BY doc_id""",
+    "q_pack_greedy" ->
+      """WITH d AS (
+           SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT lang, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
+           FROM d)
+         SELECT lang, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           before // 2000 AS bin_id
+         FROM c ORDER BY lang, doc_id""",
     "q_heavy_hitters" ->
       """WITH t AS (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

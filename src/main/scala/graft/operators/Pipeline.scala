@@ -84,6 +84,8 @@ object Pipeline {
       cur = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] iter=$iter changed=$changed")
     }
     edges.unpersist()
     cur.select(
@@ -127,6 +129,28 @@ object Pipeline {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"), col("split"))
+  }
+
+  /** Greedy sequence packing: assign documents (in deterministic doc_id
+    * order, within their language shard) to training bins of
+    * ~`targetTokens`, bin = floor(running-token-count-before / target).
+    * The window is PARTITIONED by lang — packing is per shard, which is
+    * how it runs at scale (one packer per output shard; a global pack
+    * order would serialize). Pure integer window arithmetic →
+    * oracle-exact. */
+  def packGreedy(documents: DataFrame, targetTokens: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis.tokens
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        expr(s"before div $targetTokens").as("bin_id")) // exact integer div
+      .orderBy(col("lang"), col("doc_id"))
   }
 
   /** Deterministic stratified sampling: per-language keep rates applied

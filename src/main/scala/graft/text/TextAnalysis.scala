@@ -215,6 +215,55 @@ object TextAnalysis {
         col("max_chars"))
       .orderBy(col("bucket_start"))
 
+  /** Fixed-size token chunking with overlap — the standard step that
+    * turns variable-length documents into training-window-sized pieces.
+    * One generator pass per document (posexplode of the chunk-start
+    * sequence), a codegen'd slice+join per chunk, no shuffle before the
+    * final ordering. Chunk content is emitted as md5 (full content
+    * check, small output). */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 50,
+      overlap: Int = 10): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val step = chunkTokens - overlap
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(step))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start")
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(slice(col("w"), col("start") + 1, lit(chunkTokens)))
+          .as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("start") + 1, lit(chunkTokens))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Deterministic PII scrub: regex-redact email addresses, count
+    * redactions per document. The fixture corpus has no natural PII, so
+    * an email is deterministically injected into every 10th document
+    * first (the same corrupt-then-clean pattern parseOrDrop uses) —
+    * making the scrub observable and oracle-checkable. */
+  def scrubPii(documents: DataFrame): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+"
+    val withPii = when(col("doc_id") % 10 === 0,
+      concat(lit("contact user"), col("doc_id"),
+        lit("@example.com about "), col("text")))
+      .otherwise(col("text"))
+    documents
+      .filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(withPii, emailRe, "[REDACTED]"))
+          .as("scrubbed_md5"),
+        (size(split(withPii, emailRe, -1)) - 1).as("n_redactions"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint #1: md5 content hash (exact-dup key — stable
     * across engines, so oracle-checkable). */
   def md5Fingerprints(documents: DataFrame): DataFrame =
