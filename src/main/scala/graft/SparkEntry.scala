@@ -138,6 +138,10 @@ object SparkEntry {
       operators.SqlSurface.run(s, dir, operators.SqlSurface.correlatedSubquery)),
     "q_sql_in_subquery" -> ((s, dir) =>
       operators.SqlSurface.run(s, dir, operators.SqlSurface.inSubquery)),
+    "q_sql_exists" -> ((s, dir) =>
+      operators.SqlSurface.run(s, dir, operators.SqlSurface.existsSubquery)),
+    "q_sql_lateral" -> ((s, dir) =>
+      operators.SqlSurface.run(s, dir, operators.SqlSurface.lateralJoin)),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
@@ -157,6 +161,7 @@ object SparkEntry {
     "q_knn_lsh" -> t("embeddings")(V.lshTopK(_)),
     "q_knn_lsh_mp" -> t("embeddings")(V.lshTopKMultiProbe(_)),
     "q_knn_ivf" -> t("embeddings")(V.ivfTopK(_)),
+    "q_ann_recall" -> t("embeddings")(V.annRecall(_)),
     "q_cosine_neardup" -> t("embeddings")(V.cosineNearDupPairs(_)),
     // ---- multimodal plumbing (north star) ----
     "q_media_stats" -> t("documents")(M.payloadStats),
@@ -173,6 +178,25 @@ object SparkEntry {
   // q_minhash_lsh / q_simhash_pairs (engine-specific hashing),
   // q_media_features (stub codec runs in Scala).
   // ---------------------------------------------------------------------
+
+  /** Brute-force kNN oracle — also embedded as a subquery in the
+    * q_ann_recall oracle. */
+  private val knnBruteOracleSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+       c AS (SELECT query_id, vec_id,
+          round(list_sum(list_transform(range(1, 65), i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))
+               * sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i])))),
+            6) AS cos
+         FROM v CROSS JOIN q WHERE vec_id <> query_id),
+       r AS (SELECT query_id, vec_id, cos,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         FROM c)
+       SELECT query_id, rank, vec_id, round(cos, 3) AS cos
+       FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
 
   /** DuckDB SQL reproducing the SRP-LSH top-k exactly: the hyperplane
     * constants come from the same generator as Similarity.srpBucket, and
@@ -636,6 +660,8 @@ object SparkEntry {
     "q_sql_scalar_subquery" -> operators.SqlSurface.scalarSubquery,
     "q_sql_correlated" -> operators.SqlSurface.correlatedSubquery,
     "q_sql_in_subquery" -> operators.SqlSurface.inSubquery,
+    "q_sql_exists" -> operators.SqlSurface.existsSubquery,
+    "q_sql_lateral" -> operators.SqlSurface.lateralJoin,
     "q_anomaly_batch" ->
       """SELECT user_id, event_id, value, running_mean FROM (
            SELECT user_id, event_id, value,
@@ -1030,22 +1056,14 @@ object SparkEntry {
            FROM p)
          SELECT id_a, id_b, round(d / (na * nb), 3) AS cos
          FROM c ORDER BY id_a, id_b""",
-    "q_knn_brute" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings),
-         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
-         c AS (SELECT query_id, vec_id,
-            round(list_sum(list_transform(range(1, 65), i -> qe[i] * e[i]))
-              / (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))
-                 * sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i])))),
-              6) AS cos
-           FROM v CROSS JOIN q WHERE vec_id <> query_id),
-         r AS (SELECT query_id, vec_id, cos,
-            CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
-           FROM c)
-         SELECT query_id, rank, vec_id, round(cos, 3) AS cos
-         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_knn_brute" -> knnBruteOracleSql,
+    "q_ann_recall" ->
+      s"""SELECT b.query_id,
+            CAST(count(m.vec_id) AS DOUBLE) / 10.0 AS recall
+          FROM ($knnBruteOracleSql) b
+          LEFT JOIN (${lshMultiProbeOracleSql(bits = 6, nQueries = 5, k = 10)}) m
+            ON b.query_id = m.query_id AND b.vec_id = m.vec_id
+          GROUP BY b.query_id ORDER BY b.query_id""",
     "q_knn_lsh" -> lshOracleSql(bits = 6, nQueries = 5, k = 10),
     "q_knn_lsh_mp" -> lshMultiProbeOracleSql(bits = 6, nQueries = 5, k = 10),
     "q_cosine_neardup" -> cosineNearDupOracleSql(bits = 8, threshold = 0.9),

@@ -41,6 +41,25 @@ object SqlSurface {
          (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
        ORDER BY o_orderkey"""
 
+  val existsSubquery: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 300000)
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_orderstatus = 'F'
+                           AND o2.o_totalprice < 1000)
+       ORDER BY c_custkey"""
+
+  val lateralJoin: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+       FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+       ORDER BY c_custkey, o_orderkey"""
+
   def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
     Tables.registerAll(spark, sfDir)
     spark.sql(sql)

@@ -192,6 +192,25 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN index evaluation: per-query recall of the multi-probe LSH index
+    * against the exact brute-force top-k — the in-engine metric that
+    * justifies (or rejects) an index's recall/cost trade-off. Composes
+    * two oracled queries, so the recall itself is oracle-checked. */
+  def annRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      bits: Int = 6): DataFrame = {
+    val brute = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = lshTopKMultiProbe(embeddings, nQueries, k, bits)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    brute
+      .join(approx,
+        col("query_id") === col("aq") && col("vec_id") === col("av"),
+        "left_outer")
+      .groupBy(col("query_id"))
+      .agg((count(col("av")).cast("double") / lit(k.toDouble)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH-bucket candidates (the scalable near-dup shape). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,

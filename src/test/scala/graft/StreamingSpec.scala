@@ -134,6 +134,37 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch must overwrite its own output, not append duplicates")
   }
 
+  test("append mode drops late data beyond the watermark") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = streaming.StreamingPipeline.windowedCounts(mem.toDF())
+      .select(col("window.start").cast("string").as("ws"), col("event_type"),
+        col("n"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+    // batch 1: two in-window events + one that advances the watermark
+    // to 11:20, past the [10:00, 11:00) window end
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      Ev(2, ts("2024-01-01 10:45:00"), 1L, "click", 2.0, "{}"),
+      Ev(3, ts("2024-01-01 11:30:00"), 1L, "click", 3.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: a LATE event for the closed window — must be dropped
+    mem.addData(Ev(4, ts("2024-01-01 10:30:00"), 1L, "click", 4.0, "{}"))
+    q.processAllAvailable()
+    // batch 3: advance watermark past 12:00 to flush the 11:00 window
+    mem.addData(Ev(5, ts("2024-01-01 12:40:00"), 1L, "click", 5.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_test")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(rows("2024-01-01 10:00:00") == 2L,
+      s"late event must not join the closed window: $rows")
+    assert(rows("2024-01-01 11:00:00") == 1L, s"$rows")
+  }
+
   test("streaming dedup drops redeliveries within and across batches") {
     val sq = spark
     import sq.implicits._
