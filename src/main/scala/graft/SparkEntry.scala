@@ -121,6 +121,7 @@ object SparkEntry {
     "q_mode" -> t("events")(R.modalEventType),
     "q_string_agg" -> t("customer")(R.namesPerSegment),
     "q_correlation" -> t("lineitem")(R.qtyPriceCorrelation),
+    "q_regression" -> t("lineitem")(R.qtyPriceRegression),
     "q_window_suite" -> t("orders")(operators.Extended.windowSuite),
     "q_string_fns" -> t("customer")(operators.Extended.stringFunctions),
     "q_date_fns" -> t("orders")(operators.Extended.dateFunctions),
@@ -789,6 +790,23 @@ object SparkEntry {
                  * CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE))), 9)
               AS corr_qty_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_regression" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))
+               AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4)))
+               AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS slope,
+           round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE), 6) AS intercept
+         FROM m ORDER BY l_returnflag""",
     "q_brand_revenue" ->
       s"""SELECT p_brand, $revenueExpr AS revenue,
             ${Cols.sqlDecAvg("p_retailprice", 2)} AS avg_retail,

@@ -336,6 +336,30 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Simple linear regression (price ~ quantity) per group from the same
+    * exact decimal moments as [[qtyPriceCorrelation]]: slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n. The
+    * final arithmetic is a fixed sequence of IEEE double ops both
+    * engines perform identically (rounded to absorb the decimal→double
+    * ulp, as with corr). */
+  def qtyPriceRegression(lineitem: DataFrame): DataFrame = {
+    def m(c: Column, scale: Int = 4) =
+      sum(c.cast(s"decimal(38,$scale)")).cast("double")
+    val n = count(lit(1)).cast("double")
+    val sx = m(col("l_quantity"))
+    val sy = m(col("l_extendedprice"))
+    val sxx = m(col("l_quantity") * col("l_quantity"))
+    val sxy = m(col("l_quantity") * col("l_extendedprice"))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(slope, 9).as("slope"),
+        round((sy - slope * sx) / n, 6).as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** dropDuplicates on a projection (exact distinct rows). */
   def distinctEventShapes(events: DataFrame): DataFrame =
     events

@@ -192,6 +192,38 @@ class ScaleSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val sq = spark
+    import sq.implicits._
+    // 90% of the fact rows share one hot key; thresholds lowered so the
+    // skew detector fires at test scale.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+    spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id"))
+          .as("k"), col("id").as("payload"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 2).as("dval"))
+      val joined = fact.join(dim, "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(1200))
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("AQE is available and coalesces shuffle partitions") {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     val df = Tables.load(spark, sf, "lineitem")
