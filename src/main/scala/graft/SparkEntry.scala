@@ -122,6 +122,8 @@ object SparkEntry {
     "q_string_agg" -> t("customer")(R.namesPerSegment),
     "q_correlation" -> t("lineitem")(R.qtyPriceCorrelation),
     "q_regression" -> t("lineitem")(R.qtyPriceRegression),
+    "q_nullsafe_join" -> t("orders")(R.nullSafeJoin),
+    "q_na_clean" -> t("customer")(operators.Extended.naClean),
     "q_window_suite" -> t("orders")(operators.Extended.windowSuite),
     "q_string_fns" -> t("customer")(operators.Extended.stringFunctions),
     "q_date_fns" -> t("orders")(operators.Extended.dateFunctions),
@@ -790,6 +792,30 @@ object SparkEntry {
                  * CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE))), 9)
               AS corr_qty_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_nullsafe_join" ->
+      """WITH keyed AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS k
+           FROM orders WHERE o_orderkey < 500),
+         dim AS (
+           SELECT k, coalesce(k, 'UNKNOWN') AS dim_tag FROM (
+             SELECT DISTINCT o_orderpriority AS k FROM orders
+             UNION ALL SELECT NULL))
+         SELECT o_orderkey, dim_tag
+         FROM keyed JOIN dim ON keyed.k IS NOT DISTINCT FROM dim.k
+         ORDER BY o_orderkey""",
+    "q_na_clean" ->
+      """WITH w AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE c_acctbal END AS bal,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL
+                  ELSE c_mktsegment END AS seg
+           FROM customer)
+         SELECT c_custkey, coalesce(bal, 0.0) AS bal,
+           CASE WHEN seg = 'MACHINERY' THEN 'MACH' ELSE seg END AS seg
+         FROM w WHERE seg IS NOT NULL ORDER BY c_custkey""",
     "q_regression" ->
       """WITH m AS (
            SELECT l_returnflag, count(*) AS n,

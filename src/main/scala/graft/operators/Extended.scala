@@ -212,6 +212,26 @@ object Extended {
       .orderBy(col("event_id"))
   }
 
+  /** DataFrameNaFunctions surface (`na.fill` / `na.drop` / `na.replace`)
+    * — the missing-data toolkit every cleaning pipeline leans on. Nulls
+    * are derived deterministically (every 5th balance, every 3rd
+    * segment) so fill/drop behavior is observable and oracle-checked
+    * via the equivalent CASE/COALESCE SQL. */
+  def naClean(customer: DataFrame): DataFrame = {
+    val withNulls = customer
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+    withNulls.na
+      .fill(Map("bal" -> 0.0))
+      .na.replace("seg", Map("MACHINERY" -> "MACH"))
+      .na.drop(Seq("seg"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Semi-structured VARIANT path (Spark 4's open variant binary
     * encoding — the modern schema-on-read column type): `parse_json` into
     * a VariantType value once per row in a single projection,

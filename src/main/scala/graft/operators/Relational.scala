@@ -336,6 +336,26 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): rows whose join
+    * key is null still pair with null keys on the other side — the
+    * semantics plain `=` silently drops. Keys are derived (every 7th
+    * order's priority nulled) so the null-match path is exercised. Plans
+    * as a normal hash join (null-safe equality is a valid equi key). */
+  def nullSafeJoin(orders: DataFrame): DataFrame = {
+    val keyed = orders
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("k"))
+    val dim = orders
+      .select(col("o_orderpriority").as("k")).distinct()
+      .union(keyed.sparkSession.range(1).select(lit(null).cast("string").as("k")))
+      .withColumn("dim_tag", coalesce(col("k"), lit("UNKNOWN")))
+    keyed.join(dim, keyed("k") <=> dim("k"))
+      .select(col("o_orderkey"), col("dim_tag"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Simple linear regression (price ~ quantity) per group from the same
     * exact decimal moments as [[qtyPriceCorrelation]]: slope =
     * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n. The
