@@ -124,6 +124,8 @@ object SparkEntry {
     "q_regression" -> t("lineitem")(R.qtyPriceRegression),
     "q_nullsafe_join" -> t("orders")(R.nullSafeJoin),
     "q_na_clean" -> t("customer")(operators.Extended.naClean),
+    "q_typed_agg" -> ((s, dir) =>
+      operators.Extended.typedOrderStats(s, Tables.load(s, dir, "orders"))),
     "q_window_suite" -> t("orders")(operators.Extended.windowSuite),
     "q_string_fns" -> t("customer")(operators.Extended.stringFunctions),
     "q_date_fns" -> t("orders")(operators.Extended.dateFunctions),
@@ -792,6 +794,11 @@ object SparkEntry {
                  * CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE))), 9)
               AS corr_qty_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_typed_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 AS total_price
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q_nullsafe_join" ->
       """WITH keyed AS (
            SELECT o_orderkey,

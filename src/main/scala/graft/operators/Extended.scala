@@ -212,6 +212,24 @@ object Extended {
       .orderBy(col("event_id"))
   }
 
+  /** Typed Dataset[T] aggregation end-to-end (§2.9): groupByKey over a
+    * typed projection + a custom exact-cents `Aggregator` — the
+    * ergonomic Dataset path, oracle-checked like every untyped query
+    * (the aggregator accumulates integer cents, so results are
+    * order-independent and engine-exact). */
+  def typedOrderStats(spark: SparkSession, orders: DataFrame): DataFrame = {
+    import spark.implicits._
+    orders
+      .select(col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.TypedAggregators.exactPriceStats.toColumn)
+      .toDF("o_custkey", "r")
+      .select(col("o_custkey"), col("r._1").as("n_orders"),
+        col("r._2").as("total_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** DataFrameNaFunctions surface (`na.fill` / `na.drop` / `na.replace`)
     * — the missing-data toolkit every cleaning pipeline leans on. Nulls
     * are derived deterministically (every 5th balance, every 3rd
