@@ -166,6 +166,7 @@ object SparkEntry {
     "q_knn_lsh" -> t("embeddings")(V.lshTopK(_)),
     "q_knn_lsh_mp" -> t("embeddings")(V.lshTopKMultiProbe(_)),
     "q_knn_ivf" -> t("embeddings")(V.ivfTopK(_)),
+    "q_knn_ivf_mp" -> t("embeddings")(V.ivfTopK(_, nprobe = 2)),
     "q_ann_recall" -> t("embeddings")(V.annRecall(_)),
     "q_cosine_neardup" -> t("embeddings")(V.cosineNearDupPairs(_)),
     // ---- multimodal plumbing (north star) ----
@@ -202,6 +203,41 @@ object SparkEntry {
          FROM c)
        SELECT query_id, rank, vec_id, round(cos, 3) AS cos
        FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** IVF oracle (exact-decimal centroids), parameterized by how many
+    * nearest centroid lists each query probes. */
+  private def ivfOracleSql(nprobe: Int): String =
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+         dims AS (SELECT label, CAST(unnest(range(64)) AS INTEGER) AS pos,
+            unnest(e) AS x FROM v),
+         cent AS (SELECT label, pos,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS m
+           FROM dims GROUP BY label, pos),
+         cvec AS (SELECT label, list(m ORDER BY pos) AS c
+           FROM cent GROUP BY label),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+         probe AS (SELECT query_id, qe, label AS probe_label FROM (
+            SELECT q.query_id, q.qe, cvec.label,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                list_sum(list_transform(range(1, 65), j -> qe[j] * c[j]))
+                  / (sqrt(list_sum(list_transform(range(1, 65), j -> qe[j] * qe[j])))
+                     * sqrt(list_sum(list_transform(range(1, 65), j -> c[j] * c[j]))))
+                DESC, cvec.label) AS r
+            FROM q CROSS JOIN cvec) WHERE r <= $nprobe),
+         c2 AS (SELECT query_id, v.vec_id,
+            round(list_sum(list_transform(range(1, 65), j -> qe[j] * e[j]))
+              / (sqrt(list_sum(list_transform(range(1, 65), j -> qe[j] * qe[j])))
+                 * sqrt(list_sum(list_transform(range(1, 65), j -> e[j] * e[j])))),
+              6) AS cos
+           FROM v JOIN probe
+             ON v.label = probe.probe_label AND v.vec_id <> probe.query_id),
+         r2 AS (SELECT query_id, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM c2)
+         SELECT query_id, rank, vec_id, round(cos, 3) AS cos
+         FROM r2 WHERE rank <= 10 ORDER BY query_id, rank"""
 
   /** DuckDB SQL reproducing the SRP-LSH top-k exactly: the hyperplane
     * constants come from the same generator as Similarity.srpBucket, and
@@ -1118,38 +1154,8 @@ object SparkEntry {
     "q_knn_lsh" -> lshOracleSql(bits = 6, nQueries = 5, k = 10),
     "q_knn_lsh_mp" -> lshMultiProbeOracleSql(bits = 6, nQueries = 5, k = 10),
     "q_cosine_neardup" -> cosineNearDupOracleSql(bits = 8, threshold = 0.9),
-    "q_knn_ivf" ->
-      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings),
-         dims AS (SELECT label, CAST(unnest(range(64)) AS INTEGER) AS pos,
-            unnest(e) AS x FROM v),
-         cent AS (SELECT label, pos,
-            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE) AS m
-           FROM dims GROUP BY label, pos),
-         cvec AS (SELECT label, list(m ORDER BY pos) AS c
-           FROM cent GROUP BY label),
-         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
-         probe AS (SELECT query_id, qe, label AS probe_label FROM (
-            SELECT q.query_id, q.qe, cvec.label,
-              row_number() OVER (PARTITION BY q.query_id ORDER BY
-                list_sum(list_transform(range(1, 65), j -> qe[j] * c[j]))
-                  / (sqrt(list_sum(list_transform(range(1, 65), j -> qe[j] * qe[j])))
-                     * sqrt(list_sum(list_transform(range(1, 65), j -> c[j] * c[j]))))
-                DESC, cvec.label) AS r
-            FROM q CROSS JOIN cvec) WHERE r = 1),
-         c2 AS (SELECT query_id, v.vec_id,
-            round(list_sum(list_transform(range(1, 65), j -> qe[j] * e[j]))
-              / (sqrt(list_sum(list_transform(range(1, 65), j -> qe[j] * qe[j])))
-                 * sqrt(list_sum(list_transform(range(1, 65), j -> e[j] * e[j])))),
-              6) AS cos
-           FROM v JOIN probe
-             ON v.label = probe.probe_label AND v.vec_id <> probe.query_id),
-         r2 AS (SELECT query_id, vec_id, cos,
-            CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM c2)
-         SELECT query_id, rank, vec_id, round(cos, 3) AS cos
-         FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_knn_ivf" -> ivfOracleSql(nprobe = 1),
+    "q_knn_ivf_mp" -> ivfOracleSql(nprobe = 2),
     "q_media_stats" ->
       """SELECT 'image/stub-' || lang AS media_type,
             count(*) AS n_items,

@@ -152,10 +152,13 @@ object Similarity {
   }
 
   /** IVF-style ANN: coarse centroids (per-label mean vectors — a
-    * deterministic stand-in for offline k-means), each query probes the
-    * nearest centroid's inverted list. Centroid assignment and probe are
-    * broadcast joins; the corpus is scanned once. */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    * deterministic stand-in for offline k-means), each query probes its
+    * `nprobe` nearest centroids' inverted lists (nprobe is the standard
+    * IVF recall/cost dial; lists are disjoint so no dedup is needed).
+    * Centroid assignment and probe are broadcast joins; the corpus is
+    * scanned once. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
     val corpus = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     // centroid[d] = exact mean per dimension (posexplode → exact decimal
@@ -177,7 +180,7 @@ object Similarity {
     val probe = queries.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine(col("q"), col("centroid")))
       .withColumn("r", row_number().over(wq))
-      .filter(col("r") === 1)
+      .filter(col("r") <= nprobe)
       .select(col("query_id"), col("q"), col("label").as("probe_label"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
