@@ -54,6 +54,76 @@ class PropertySpec extends AnyFunSuite {
     assert(agg(eventsDf(rows).repartition(13)) == base)
   }
 
+  test("chunking covers every token exactly once per stride (invariant)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") < 100)
+    val chunkTokens = 50
+    val overlap = 10
+    val step = chunkTokens - overlap
+    val chunks = text.TextAnalysis
+      .chunkDocuments(docs, chunkTokens, overlap)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("covered"),
+        max(col("chunk_idx")).as("last_idx"))
+    val joined = chunks.join(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens")), "doc_id")
+      .collect()
+    joined.foreach { r =>
+      val (nChunks, covered, lastIdx, nTokens) =
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("covered"),
+          r.getAs[Int]("last_idx"), r.getAs[Int]("n_tokens"))
+      // stride structure: chunk i starts at i*step; last start < n_tokens
+      assert(lastIdx == (nTokens - 1).max(0) / step, r.toString)
+      // total coverage = n_tokens + overlap re-reads of interior chunks
+      val expectedOverlap = (0 until lastIdx).map { i =>
+        math.min(overlap, nTokens - (i + 1) * step)
+      }.sum
+      assert(covered == nTokens + expectedOverlap, r.toString)
+      assert(nChunks == lastIdx + 1)
+    }
+  }
+
+  test("packing bins respect the target bound (invariant)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val target = 2000L
+    val bins = operators.Pipeline.packGreedy(docs, target.toInt)
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"),
+        max(col("n_tokens")).as("max_doc"))
+      .collect()
+    // a bin's START is below bin boundary, so its total is bounded by
+    // target + its largest document (greedy packing's standard bound)
+    bins.foreach { r =>
+      assert(r.getAs[Long]("bin_tokens") <= target + r.getAs[Int]("max_doc"),
+        r.toString)
+    }
+    assert(bins.nonEmpty)
+  }
+
+  test("multi-probe recall is at least single-probe recall") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    def recallOf(bits: Int, multi: Boolean): Map[Long, Double] = {
+      val brute = vector.Similarity.bruteForceTopK(emb)
+        .select(col("query_id"), col("vec_id"))
+      val ann =
+        if (multi) vector.Similarity.lshTopKMultiProbe(emb, bits = bits)
+        else vector.Similarity.lshTopK(emb, bits = bits)
+      brute.join(ann.select(col("query_id").as("q2"), col("vec_id").as("v2")),
+          col("query_id") === col("q2") && col("vec_id") === col("v2"),
+          "left_outer")
+        .groupBy(col("query_id"))
+        .agg((count(col("v2")).cast("double") / 10.0).as("recall"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val sp = recallOf(6, multi = false)
+    val mp = recallOf(6, multi = true)
+    sp.keySet.foreach { q =>
+      assert(mp(q) >= sp(q), s"query $q: mp=${mp(q)} < sp=${sp(q)}")
+    }
+  }
+
   test("total count equals the sum of grouped counts") {
     val rows = samples(eventGen, 500)
     val df = eventsDf(rows)
