@@ -126,6 +126,12 @@ object SparkEntry {
     "q_na_clean" -> t("customer")(operators.Extended.naClean),
     "q_typed_agg" -> ((s, dir) =>
       operators.Extended.typedOrderStats(s, Tables.load(s, dir, "orders"))),
+    "q_decl_agg" -> t("orders")(o => o
+      .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+      .agg(functions.DeclarativeAggregates
+        .centsSum(org.apache.spark.sql.functions.col("o_totalprice"))
+        .as("total_cents"))
+      .orderBy(org.apache.spark.sql.functions.col("o_orderpriority"))),
     "q_window_suite" -> t("orders")(operators.Extended.windowSuite),
     "q_string_fns" -> t("customer")(operators.Extended.stringFunctions),
     "q_date_fns" -> t("orders")(operators.Extended.dateFunctions),
@@ -830,6 +836,11 @@ object SparkEntry {
                  * CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE))), 9)
               AS corr_qty_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_decl_agg" ->
+      """SELECT o_orderpriority,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS total_cents
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_typed_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,
             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
