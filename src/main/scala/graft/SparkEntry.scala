@@ -173,6 +173,7 @@ object SparkEntry {
     "q_knn_lsh_mp" -> t("embeddings")(V.lshTopKMultiProbe(_)),
     "q_knn_ivf" -> t("embeddings")(V.ivfTopK(_)),
     "q_knn_ivf_mp" -> t("embeddings")(V.ivfTopK(_, nprobe = 2)),
+    "q_knn_ivf_refined" -> t("embeddings")(V.ivfRefinedTopK(_)),
     "q_ann_recall" -> t("embeddings")(V.annRecall(_)),
     "q_cosine_neardup" -> t("embeddings")(V.cosineNearDupPairs(_)),
     // ---- multimodal plumbing (north star) ----
@@ -244,6 +245,54 @@ object SparkEntry {
               ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM c2)
          SELECT query_id, rank, vec_id, round(cos, 3) AS cos
          FROM r2 WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** IVF + one Lloyd refinement: re-assign to nearest seed, exact-mean
+    * the new clusters, probe the refined index. */
+  private val ivfRefinedOracleSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, 65), j -> $a[j] * $b[j]))
+            / (sqrt(list_sum(list_transform(range(1, 65), j -> $a[j] * $a[j])))
+               * sqrt(list_sum(list_transform(range(1, 65), j -> $b[j] * $b[j]))))"""
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+         dims AS (SELECT label, CAST(unnest(range(64)) AS INTEGER) AS pos,
+            unnest(e) AS x FROM v),
+         cent AS (SELECT label, pos,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS m
+           FROM dims GROUP BY label, pos),
+         seed AS (SELECT label, list(m ORDER BY pos) AS c
+           FROM cent GROUP BY label),
+         asg AS (SELECT vec_id, e, cluster FROM (
+            SELECT v.vec_id, v.e, seed.label AS cluster,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                ${cosSql("e", "c")} DESC, seed.label) AS r
+            FROM v CROSS JOIN seed) WHERE r = 1),
+         rdims AS (SELECT cluster, CAST(unnest(range(64)) AS INTEGER) AS pos,
+            unnest(e) AS x FROM asg),
+         rcent AS (SELECT cluster, pos,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS m
+           FROM rdims GROUP BY cluster, pos),
+         rvec AS (SELECT cluster, list(m ORDER BY pos) AS c
+           FROM rcent GROUP BY cluster),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+         probe AS (SELECT query_id, qe, cluster AS probe_cluster FROM (
+            SELECT q.query_id, q.qe, rvec.cluster,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                ${cosSql("qe", "c")} DESC, rvec.cluster) AS r
+            FROM q CROSS JOIN rvec) WHERE r = 1),
+         c2 AS (SELECT query_id, asg.vec_id,
+            round(${cosSql("qe", "e")}, 6) AS cos
+           FROM asg JOIN probe
+             ON asg.cluster = probe.probe_cluster
+            AND asg.vec_id <> probe.query_id),
+         r2 AS (SELECT query_id, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM c2)
+         SELECT query_id, rank, vec_id, round(cos, 3) AS cos
+         FROM r2 WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
 
   /** DuckDB SQL reproducing the SRP-LSH top-k exactly: the hyperplane
     * constants come from the same generator as Similarity.srpBucket, and
@@ -1167,6 +1216,7 @@ object SparkEntry {
     "q_cosine_neardup" -> cosineNearDupOracleSql(bits = 8, threshold = 0.9),
     "q_knn_ivf" -> ivfOracleSql(nprobe = 1),
     "q_knn_ivf_mp" -> ivfOracleSql(nprobe = 2),
+    "q_knn_ivf_refined" -> ivfRefinedOracleSql,
     "q_media_stats" ->
       """SELECT 'image/stub-' || lang AS media_type,
             count(*) AS n_items,

@@ -157,21 +157,25 @@ object Similarity {
     * IVF recall/cost dial; lists are disjoint so no dedup is needed).
     * Centroid assignment and probe are broadcast joins; the corpus is
     * scanned once. */
+  /** Exact per-dimension mean vectors per cluster key (posexplode →
+    * exact decimal sum / count → reassemble); exact so the centroids
+    * (and every cosine to them) are oracle-reproducible, unlike
+    * order-dependent avg(). */
+  private def exactMeans(members: DataFrame, keyCol: String): DataFrame =
+    members
+      .select(col(keyCol), posexplode(col("v")))
+      .groupBy(col(keyCol), col("pos"))
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .getField("m").as("centroid"))
+
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
       nprobe: Int = 1): DataFrame = {
     val corpus = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    // centroid[d] = exact mean per dimension (posexplode → exact decimal
-    // sum / count → collect); exact so the centroids (and every cosine
-    // to them) are oracle-reproducible, unlike order-dependent avg()
-    val centroids = corpus
-      .select(col("label"), posexplode(col("v")))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("col").cast("decimal(28,12)")).cast("double") /
-        count(lit(1)).cast("double")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-        .getField("m").as("centroid"))
+    val centroids = exactMeans(corpus.select(col("label"), col("v")), "label")
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("q"))
     // nearest centroid per query (tiny × tiny cross join)
@@ -187,6 +191,52 @@ object Similarity {
     corpus
       .join(broadcast(probe),
         col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 3).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF with ONE k-means (Lloyd) refinement round: the per-label seed
+    * centroids are refined by re-assigning every vector to its nearest
+    * seed and recomputing exact means over the new clusters — the
+    * iterative-ML shape (assign = cross join vs broadcast centroids;
+    * re-mean = one exact-decimal aggregation) that a full k-means job
+    * repeats to convergence. Queries then probe the refined index.
+    * Every step is deterministic (exact-decimal means, fixed tie-breaks)
+    * so the whole refinement is oracle-checked in SQL. */
+  def ivfRefinedTopK(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val seeds = exactMeans(corpus.select(col("label"), col("v")), "label")
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("scos").desc, col("label"))
+    val assigned = corpus.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("scos", cosine(col("v"), col("centroid")))
+      .withColumn("r", row_number().over(wv))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cluster"))
+    val refined = exactMeans(assigned.select(col("cluster"), col("v")),
+      "cluster")
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cluster"))
+    val probe = queries.crossJoin(broadcast(refined))
+      .withColumn("ccos", cosine(col("q"), col("centroid")))
+      .withColumn("r", row_number().over(wq))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("q"), col("cluster").as("probe_cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .join(broadcast(probe),
+        col("cluster") === col("probe_cluster") &&
+          col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("q"), col("v")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
