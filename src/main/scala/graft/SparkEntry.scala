@@ -52,6 +52,21 @@ object SparkEntry {
     "q_running_sum" -> t("events")(E.runningSum),
     "q_sessionize" -> t("events")(E.sessionize(_)),
     "q_asof_purchase" -> t("events")(E.asofLastPurchase),
+    "q_asof_custom" -> t("events") { ev =>
+      import org.apache.spark.sql.functions.col
+      // Same semantics as q_asof_purchase, but through the custom
+      // sort-merge AsOfJoinExec (plans/AsOfJoin.scala) instead of the
+      // window composition — one co-partitioned merge, O(1) state.
+      graft.plans.AsOfJoin.asofJoin(
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("ts"), col("user_id")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        keys = Seq("user_id"), ordCols = Seq("ts", "event_id"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("r_ts").as("last_purchase_ts"))
+        .orderBy(col("event_id"))
+    },
     "q_tumbling_hourly" -> t("events")(E.tumblingHourly),
     "q_dense_series" -> t("events")(E.denseHourlySeries),
     // ---- generalized relational inventory (SURVEY.md §2.3-2.6) ----
@@ -66,6 +81,17 @@ object SparkEntry {
     "q_theta_hist" -> t2("supplier", "customer")(R.acctbalThetaViaHistogram),
     "q_cross_join" -> t2("region", "nation")(R.regionNationCross),
     "q_window_top3" -> t("orders")(R.top3OrdersPerCustomer),
+    "q_zorder" -> t("orders") { o =>
+      import org.apache.spark.sql.functions.{col, expr}
+      // Morton code of (custkey, order epoch-day): the write-layout key
+      // for 2-D file pruning (functions/LayoutExpressions.scala). The
+      // z-values themselves are oracled — pure integer bit arithmetic.
+      o.select(col("o_orderkey"),
+          graft.functions.ZValue.zvalue(col("o_custkey"),
+            expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")).as("zval"))
+        .orderBy(col("zval"), col("o_orderkey"))
+        .limit(1000)
+    },
     "q_topk_custom" -> t("orders")(o =>
       graft.plans.TopKPerGroup.topKPerGroup(
         o.select(org.apache.spark.sql.functions.col("o_custkey"),
@@ -522,6 +548,13 @@ object SparkEntry {
                AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id <= e.event_id)))
               AS last_purchase_ts
          FROM events e WHERE e.event_type = 'view' ORDER BY e.event_id""",
+    "q_asof_custom" ->
+      """SELECT e.event_id, e.ts, e.user_id,
+            (SELECT max(p.ts) FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id <= e.event_id)))
+              AS last_purchase_ts
+         FROM events e WHERE e.event_type = 'view' ORDER BY e.event_id""",
     "q_tumbling_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
             count(*) AS n, ${Cols.sqlDecSum("value")} AS sum_value
@@ -603,6 +636,11 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_zorder" ->
+      s"""SELECT o_orderkey,
+            ${graft.functions.ZValue.zvalueSql("o_custkey",
+              "date_diff('day', DATE '1970-01-01', o_orderdate::DATE)")} AS zval
+          FROM orders ORDER BY zval, o_orderkey LIMIT 1000""",
     "q_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Data-layout expressions: Z-order (Morton) interleaving for
+  * multi-dimensional clustering.
+  *
+  * At 100 TB the scan is the cost, and the scan is only cheap when file
+  * min/max statistics prune; a sort by one column gives tight stats on
+  * that column alone. Writing data ordered by the Morton code of two
+  * range-normalized dimensions gives every file a bounded rectangle in
+  * BOTH dims, so predicates on either prune files — the standard layout
+  * trick (Delta/Iceberg `OPTIMIZE ZORDER BY`) expressed as a plain
+  * codegen'd expression + `repartitionByRange(zvalue)` write.
+  *
+  * The interleave is pure 64-bit mask/shift arithmetic (the magic-number
+  * bit-spread), so the exact same computation is expressible in DuckDB
+  * SQL — the z-values themselves are oracle-checkable, engine-neutral.
+  */
+object ZValue {
+  private final val M16 = 0x0000FFFF0000FFFFL
+  private final val M8 = 0x00FF00FF00FF00FFL
+  private final val M4 = 0x0F0F0F0F0F0F0F0FL
+  private final val M2 = 0x3333333333333333L
+  private final val M1 = 0x5555555555555555L
+
+  /** Spread the low 31 bits of v to even bit positions 0,2,...,60. */
+  def spread(v: Long): Long = {
+    var x = v & 0x7FFFFFFFL
+    x = (x | (x << 16)) & M16
+    x = (x | (x << 8)) & M8
+    x = (x | (x << 4)) & M4
+    x = (x | (x << 2)) & M2
+    x = (x | (x << 1)) & M1
+    x
+  }
+
+  /** Morton code of (x, y): x in even bits, y in odd. Inputs are taken
+    * modulo 2^31 (range-normalize dimensions first, as any z-order
+    * writer does); result is non-negative (< 2^62). */
+  def interleave(x: Long, y: Long): Long =
+    spread(x) | (spread(y) << 1)
+
+  /** Column form. */
+  def zvalue(x: Column, y: Column): Column =
+    Shim.column(ZValueExpr(Shim.expression(x), Shim.expression(y)))
+
+  /** The same bit-spread as a DuckDB SQL expression (for oracle SQL):
+    * textually expanded mask/shift chain — identical arithmetic, so
+    * Spark and DuckDB agree bit-for-bit. */
+  def spreadSql(e: String): String = {
+    val s0 = s"(($e) & 2147483647)"
+    val s1 = s"((($s0 | ($s0 << 16)) & ${M16}))"
+    val s2 = s"((($s1 | ($s1 << 8)) & ${M8}))"
+    val s3 = s"((($s2 | ($s2 << 4)) & ${M4}))"
+    val s4 = s"((($s3 | ($s3 << 2)) & ${M2}))"
+    s"((($s4 | ($s4 << 1)) & ${M1}))"
+  }
+
+  def zvalueSql(x: String, y: String): String =
+    s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
+}
+
+/** Native codegen'd Morton-code expression: stays inside whole-stage
+  * codegen (one static call, no boxing), null iff an input is null. */
+case class ZValueExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"zvalue requires (bigint, bigint) inputs, got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zvalue"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZValue.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZValue.interleave($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ZValueExpr = copy(left = l, right = r)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom sort-merge AsOfJoinExec (plans/AsOfJoin.scala): equality with
+  * the window formulation, plan shape (co-partitioned merge, no Window),
+  * null-key/null-ord SQL semantics, and tie handling. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def viaCustom() = {
+    val ev = Tables.load(spark, sf, "events")
+    plans.AsOfJoin.asofJoin(
+      ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("ts"), col("user_id")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      keys = Seq("user_id"), ordCols = Seq("ts", "event_id"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("r_ts").as("last_purchase_ts"))
+  }
+
+  test("custom exec equals the window last(ignoreNulls) formulation") {
+    val custom = viaCustom().orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), r.get(1), r.getLong(2), r.get(3)))
+    val window = operators.EventsPipeline
+      .asofLastPurchase(Tables.load(spark, sf, "events"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.getLong(2), r.get(3)))
+    assert(custom.length == window.length && custom.length > 0)
+    assert(custom.toSeq == window.toSeq)
+  }
+
+  test("plan is AsOfJoinExec fed by sorts, no Window operator") {
+    val plan = viaCustom().queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
+  test("full right payload flows through and ties break by tiebreaker") {
+    import spark.implicits._
+    // key a: left event 9 at ts=10 sees right events 7 (ts 4) and 8
+    // (ts 10, tie on ts, 8 <= 9) — as-of picks the LAST in
+    // (ts, event_id) order: event 8, payload intact. key b: no right
+    // row -> nulls. right key c: never consumed.
+    val left = Seq((1L, 5L, "a"), (9L, 10L, "a"), (4L, 2L, "b"))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq(("a", 4L, 7L, "x"), ("a", 10L, 8L, "y"), ("c", 1L, 9L, "z"))
+      .toDF("user_id", "ts", "event_id", "payload")
+    val out = plans.AsOfJoin
+      .asofJoin(left, right, Seq("user_id"), Seq("ts", "event_id"))
+      .select(col("event_id"), col("r_event_id"), col("r_payload"))
+      .orderBy(col("event_id")).collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 7L, "x"), Row(4L, null, null), Row(9L, 8L, "y")))
+  }
+
+  test("null keys and null ord columns never match (SQL UNKNOWN)") {
+    import spark.implicits._
+    val left = Seq((1L, java.lang.Long.valueOf(5L), "a"),
+      (2L, null.asInstanceOf[java.lang.Long], "a"),
+      (3L, java.lang.Long.valueOf(5L), null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq(("a", 1L, 7L), (null.asInstanceOf[String], 1L, 8L))
+      .toDF("user_id", "ts", "event_id")
+    val out = plans.AsOfJoin
+      .asofJoin(left, right, Seq("user_id"), Seq("ts"))
+      .select(col("event_id"), col("r_event_id"))
+      .orderBy(col("event_id")).collect()
+    assert(out.toSeq == Seq(Row(1L, 7L), Row(2L, null), Row(3L, null)))
+  }
+}

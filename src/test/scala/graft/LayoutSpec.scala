@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout (functions/LayoutExpressions.scala): bit-level
+  * correctness, codegen plan shape, and the actual layout property —
+  * range-partitioning by z-value bounds every partition in BOTH
+  * dimensions, where a single-column sort leaves the other dimension
+  * unbounded. */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("interleave places x in even bits, y in odd bits") {
+    import graft.functions.ZValue.interleave
+    assert(interleave(0L, 0L) == 0L)
+    assert(interleave(1L, 0L) == 1L) // x bit0 -> z bit0
+    assert(interleave(0L, 1L) == 2L) // y bit0 -> z bit1
+    assert(interleave(3L, 0L) == 5L) // 0b11 -> 0b101
+    assert(interleave(0L, 3L) == 10L) // 0b11 -> 0b1010
+    assert(interleave(0x7FFFFFFFL, 0x7FFFFFFFL) == 0x3FFFFFFFFFFFFFFFL)
+    // inputs are masked to 31 bits
+    assert(interleave(1L << 31, 0L) == 0L)
+    // z-order preserves locality: nearby points -> nearby codes
+    assert(math.abs(interleave(10L, 10L) - interleave(11L, 10L)) <= 3)
+  }
+
+  test("expression matches the Scala function and stays in codegen") {
+    import graft.functions.ZValue
+    val df = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("day"))
+      .limit(200)
+      .select(col("o_custkey"), col("day"),
+        ZValue.zvalue(col("o_custkey"), col("day")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == ZValue.interleave(r.getLong(0), r.getLong(1)))
+    }
+    // `*(n)` prefixes mark WholeStageCodegen spans in executedPlan strings.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(600))
+  }
+
+  test("z-layout bounds both dimensions; single-dim sort does not") {
+    import graft.functions.ZValue
+    // Range-normalize both dims to 0..1023 (what any z-order writer does —
+    // raw unbalanced bit widths degenerate to a single-dim sort), then
+    // compare FILE-PRUNING power: for a point predicate on one dimension,
+    // how many partitions' [min,max] must be read?
+    val raw = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey").as("x"),
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("y"))
+    val b = raw.agg(min("x"), max("x"), min("y"), max("y")).collect()(0)
+    val (x0, x1, y0, y1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val base = raw.select(
+      ((col("x") - x0) * 1023L / (x1 - x0)).cast("long").as("x"),
+      ((col("y") - y0) * 1023L / (y1 - y0)).cast("long").as("y"))
+    // partitions whose [min,max] on `dim` contains the domain midpoint —
+    // the partitions a `dim = 512` predicate cannot prune
+    def overlap(df: org.apache.spark.sql.DataFrame, dim: String): Long =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy(col("pid"))
+        .agg(min(col(dim)).as("lo"), max(col(dim)).as("hi"))
+        .filter(col("lo") <= 512L && col("hi") >= 512L)
+        .count()
+    val zLayout = base
+      .withColumn("z", ZValue.zvalue(col("x"), col("y")))
+      .repartitionByRange(8, col("z"))
+    val xLayout = base.repartitionByRange(8, col("x"))
+    // single-dim sort: every partition spans the full y range -> a y
+    // predicate reads ALL partitions
+    assert(overlap(xLayout, "y") == 8L)
+    // z-layout: BOTH dims are bounded per partition -> both predicates
+    // prune to a strict subset
+    val zx = overlap(zLayout, "x"); val zy = overlap(zLayout, "y")
+    assert(zx < 8L && zy < 8L, s"zx=$zx zy=$zy")
+  }
+}
