@@ -124,12 +124,16 @@ object SparkEntry {
     "q_interval_join" -> t("events")(E.intervalJoinBinned),
     "q_upsert_latest" -> t("events")(E.upsertLatest),
     "q_trailing_1h" -> t("events")(E.trailingHourSum),
+    "q_scd2" -> t("events")(E.scd2Build),
     "q_salted_agg" -> t("events")(operators.Skew.saltedValueSums(_)),
     "q_salted_join" ->
       t2("lineitem", "orders")(operators.Skew.saltedRevenueByPriority),
     "q_top_ngrams" -> t("documents")(T.topNgrams(_)),
     "q_length_histogram" -> t("documents")(T.lengthHistogram(_)),
     "q_dedup_decisions" -> t("documents")(operators.Pipeline.dedupDecisions(_)),
+    "q_dedup_incremental" -> t("documents")(D.incrementalDedup(_)),
+    "q_pagerank" -> t("lineitem")(operators.Graph.pagerank(_)),
+    "q_hll_mergeable" -> t("events")(operators.Extended.approxUsersBySketch),
     "q_dedup_clusters" -> t("documents")(operators.Pipeline.dedupClusters(_)),
     "q_heavy_hitters" -> t("documents")(T.heavyHitters(_)),
     "q_tfidf" -> t("documents")(T.topTfidfTerms(_)),
@@ -191,6 +195,7 @@ object SparkEntry {
     "q_dedup_digest" -> t("documents")(D.exactDedupByDigest),
     "q_jaccard_pairs" -> t("documents")(D.jaccardPairs(_)),
     "q_minhash_lsh" -> t("documents")(D.minhashLshPairs(_)),
+    "q_minhash_neutral" -> t("documents")(D.minhashLshPairsNeutral(_)),
     "q_simhash_pairs" -> t("documents")(D.simhashPairs(_)),
     // ---- similarity search (north star) ----
     "q_pairwise_cosine" -> t("embeddings")(V.pairwiseCosine(_)),
@@ -213,8 +218,10 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — one entry per SQL-expressible query above.
   // Omitted (rows-only check):
-  // q_approx_distinct / q_approx_percentile (approximate by design),
-  // q_minhash_lsh / q_simhash_pairs (engine-specific hashing),
+  // q_approx_distinct / q_approx_percentile / q_hll_mergeable
+  // (approximate by design; SketchSpec pins HLL invariants),
+  // q_minhash_lsh / q_simhash_pairs (engine-specific hashing — the
+  // neutral-hash variant q_minhash_neutral IS oracled),
   // q_media_features (stub codec runs in Scala).
   // ---------------------------------------------------------------------
 
@@ -491,6 +498,13 @@ object SparkEntry {
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS trailing_sum
          FROM events ORDER BY user_id, event_id""",
+    "q_scd2" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+           lead(ts, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS valid_to,
+           lead(ts, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) IS NULL AS is_current
+         FROM events ORDER BY user_id, valid_from, event_id""",
     "q_interval_join" ->
       """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
             p.event_id AS purchase_id, p.ts AS purchase_ts
@@ -1101,6 +1115,11 @@ object SparkEntry {
     "q_dedup_digest" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keeper_id""",
+    // Full MinHash+LSH under the oracle via engine-neutral hashing
+    // (dedup/Dedup.scala NeutralMinHash — constants shared with the plan).
+    "q_minhash_neutral" -> D.NeutralMinHash.oracleSql(),
+    "q_dedup_incremental" -> D.NeutralMinHash.incrementalOracleSql(),
+    "q_pagerank" -> operators.Graph.pagerankOracleSql(),
     "q_jaccard_pairs" ->
       """WITH tok AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -134,6 +134,179 @@ object Dedup {
         array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Engine-neutral MinHash: the same MinHash+LSH pipeline with every
+    * hash replaced by arithmetic BOTH engines compute bit-identically,
+    * making the full approximate-dedup path DuckDB-oracle-checkable
+    * (the trick that oracled SRP-LSH and q_rolling_fp):
+    *  - base shingle hash: first 8 md5 hex chars as a bigint
+    *    (`conv(substr(md5(s),1,8),16,10)` ≡ DuckDB
+    *    `('0x'||substr(md5(s),1,8))::BIGINT`), reduced mod P = 2³¹−1;
+    *  - k universal-family hashes h_i(x) = (a_i·x + b_i) mod P with
+    *    constants from one fixed LCG (products < 2⁶² — no overflow in
+    *    either engine, ANSI-safe);
+    *  - LSH bands keyed by the r-slice of the signature itself (array
+    *    equality join — no band hash needed);
+    *  - est. Jaccard = agreement/k with k a power of two, so the double
+    *    division is exact.
+    * Scale shape is identical to [[minhashLshPairs]]; the md5 base hash
+    * costs ~2× xxhash64, which is why the fast variant stays the default
+    * and this one exists to put the whole minhash path under the oracle. */
+  object NeutralMinHash {
+    val P = 2147483647L // 2^31 - 1, Mersenne prime
+    /** Fixed LCG constants (a_i odd-ish nonzero, b_i arbitrary) — embedded
+      * identically in the Spark plan and the generated oracle SQL. */
+    def a(i: Int): Long = (2654435761L * (i + 1) + 1) % P
+    def b(i: Int): Long = (40503L * (i + 1) * (i + 1) + 7) % P
+    def baseHash(s: Column): Column =
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long") % P
+
+    /** Shared CTE prefix (tok → … → bands) — the SQL twin of
+      * [[neutralBands]], used by every neutral-minhash oracle. */
+    def bandsCteSql(k: Int = 16, bands: Int = 4): String = {
+      val r = k / bands
+      val consts = (0 until k)
+        .map(i => s"($i, ${a(i)}, ${b(i)})").mkString(", ")
+      val bandRows = (0 until bands).map(i => s"($i)").mkString(", ")
+      s"""tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+           FROM tok),
+         hx AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % $P AS x
+           FROM sh),
+         consts(i, a, b) AS (VALUES $consts),
+         sig1 AS (
+           SELECT doc_id, i, min((a * x + b) % $P) AS m
+           FROM hx CROSS JOIN consts GROUP BY doc_id, i),
+         sigs AS (
+           SELECT doc_id, list(m ORDER BY i) AS sig FROM sig1 GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, sig, band,
+             sig[band * $r + 1 : band * $r + $r] AS key
+           FROM sigs CROSS JOIN (VALUES $bandRows) b(band))"""
+    }
+
+    /** DuckDB oracle SQL for [[minhashLshPairsNeutral]] with the same
+      * constants, shingling, banding, and threshold. */
+    def oracleSql(k: Int = 16, bands: Int = 4, threshold: Double = 0.5)
+        : String =
+      s"""WITH ${bandsCteSql(k, bands)},
+         cands AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.sig AS sa, y.sig AS sb
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT doc_a, doc_b,
+           len(list_filter(range(1, $k + 1), i -> sa[i] = sb[i]))
+             / ${k}.0 AS est_jaccard
+         FROM cands
+         WHERE len(list_filter(range(1, $k + 1), i -> sa[i] = sb[i]))
+             / ${k}.0 >= $threshold
+         ORDER BY doc_a, doc_b"""
+
+    /** DuckDB oracle SQL for [[incrementalDedup]]. */
+    def incrementalOracleSql(incomingSource: String = "src0", k: Int = 16,
+        bands: Int = 4): String =
+      s"""WITH ${bandsCteSql(k, bands)},
+         inc AS (
+           SELECT doc_id FROM documents WHERE source = '$incomingSource'),
+         hits AS (
+           SELECT DISTINCT x.doc_id
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id <> y.doc_id
+           WHERE x.doc_id IN (SELECT doc_id FROM inc)
+             AND y.doc_id NOT IN (SELECT doc_id FROM inc))
+         SELECT i.doc_id, h.doc_id IS NULL AS keep
+         FROM inc i LEFT JOIN hits h ON i.doc_id = h.doc_id
+         ORDER BY i.doc_id"""
+  }
+
+  /** Engine-neutral banded signatures: (doc_id, sig, band, band_key) —
+    * the shared LSH index both [[minhashLshPairsNeutral]] and
+    * [[incrementalDedup]] build. */
+  def neutralBands(documents: DataFrame, k: Int = 16, bands: Int = 4,
+      n: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    import NeutralMinHash.{P, a, b, baseHash}
+    val r = k / bands
+    val exploded = documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+    val x = baseHash(col("s"))
+    val hashed = exploded.select(
+      col("doc_id") +: (0 until k).map(i =>
+        ((lit(a(i)) * x + lit(b(i))) % P).as(s"h$i")): _*)
+    val sigs = hashed
+      .groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("h0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => slice(col("sig"), bnd * r + 1, lit(r)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+  }
+
+  /** Incremental (new-batch-vs-corpus) dedup — the production shape of
+    * LSH dedup: an arriving batch is checked against the existing
+    * corpus's band index and only unseen documents are kept. The corpus
+    * index is built once and reused across batches (here rebuilt,
+    * since the fixture has no persisted index); the decision is the
+    * standard LSH candidate gate (any shared band ⇒ duplicate).
+    *
+    * Scale: the join is per-band-key equi (the inverted index), never
+    * all-pairs; the incoming side is the small one and the output is
+    * ids+flags only. */
+  def incrementalDedup(documents: DataFrame, incomingSource: String = "src0",
+      k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+    val bandsDf = neutralBands(documents, k, bands, n)
+    val inc = documents.filter(col("source") === incomingSource)
+      .select(col("doc_id"))
+    val incBands = bandsDf.join(inc, Seq("doc_id"))
+      .select(col("doc_id"), col("band"), col("band_key"))
+    val corpusBands = bandsDf.join(inc, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("c_doc_id"), col("band").as("c_band"),
+        col("band_key").as("c_band_key"))
+    val hits = incBands.join(corpusBands,
+        col("band") === col("c_band") &&
+          col("band_key") === col("c_band_key") &&
+          col("doc_id") =!= col("c_doc_id"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    inc.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("hit").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[minhashLshPairs]] with engine-neutral hashing (see
+    * [[NeutralMinHash]]) — fully DuckDB-oracled. */
+  def minhashLshPairsNeutral(documents: DataFrame, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    val banded = neutralBands(documents, k, bands, n)
+    val matches = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (p, q) => p === q), v => v))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard", matches.cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash+LSH near-dup pairs: signatures → b bands of r rows → band
     * hash → inverted index on (band, hash) → candidate pairs → verified
     * with estimated Jaccard (signature agreement fraction). */

@@ -269,6 +269,26 @@ object EventsPipeline {
     * (peers by value, not row position): for each event, the exact
     * decimal sum of the user's values in [ts − 1h, ts]. Range frames
     * over integer micros keep both engines' peer semantics identical. */
+  /** SCD2 (slowly-changing-dimension type 2) history build: each event
+    * becomes a versioned row valid from its own timestamp until the
+    * user's next event — the standard "turn a change log into
+    * point-in-time queryable history" step of a warehouse/feature
+    * pipeline. One shuffle by key, one window pass (lead), no
+    * self-join; at 100 TB this is the minimal plan — the per-key sort is
+    * Spark's spillable window sort. (ts, event_id) ordering makes
+    * same-timestamp changes deterministic. */
+  def scd2Build(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   def trailingHourSum(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))

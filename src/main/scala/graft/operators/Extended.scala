@@ -297,4 +297,27 @@ object Extended {
         element_at(col("m"), col("event_type")).cast("long").as("type_val"))
       .orderBy(col("event_id"))
   }
+
+  /** Mergeable distinct-count sketches (Datasketches HLL via Spark's
+    * hll_sketch_agg / hll_union_agg): per-group sketches whose UNION
+    * answers the global question without rescanning — the 100-TB rollup
+    * pattern (sketch per partition/day once, merge for any slice;
+    * countDistinct cannot merge, approx_count_distinct merges but
+    * discards its sketch). Approximate by design → rows-only driver
+    * check; SketchSpec pins the invariants (error bound vs exact,
+    * merge associativity). Exact countDistinct is emitted alongside so
+    * the result is self-evident. */
+  def approxUsersBySketch(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val perOut = per.select(col("event_type"),
+      hll_sketch_estimate(col("sk")).as("approx_users"), col("exact_users"))
+    val global = per.agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(broadcast(
+        events.agg(countDistinct(col("user_id")).as("exact_users"))))
+      .select(lit("ALL").as("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_users"), col("exact_users"))
+    perOut.unionAll(global).orderBy(col("event_type"))
+  }
 }

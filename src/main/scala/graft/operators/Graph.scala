@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over fixture-derived graphs. Companion to
+  * Pipeline.dedupClusters (connected components): where CC iterates to
+  * a data-dependent fixpoint, PageRank here runs a FIXED number of
+  * rounds, so the whole computation is one declarative plan — no driver
+  * loop reading per-round scalars.
+  *
+  * Everything is integer fixed-point arithmetic (micro-units, `div`):
+  * ranks are bigints, so the result is bit-identical across engines and
+  * DuckDB-oracle-checkable with the same unrolled arithmetic — the same
+  * determinism trick as the exact-cents decimal aggregations.
+  */
+object Graph {
+
+  /** PageRank (damping 0.85, 3 rounds) over the bipartite
+    * part↔supplier graph of lineitem (who-supplies-what; part degree =
+    * supplier diversity). Undirected: each edge contributes both ways,
+    * so there are no dangling nodes. `partCap` bounds the fixture
+    * subgraph so the bench cost stays fixed across SFs.
+    *
+    * Fixed-point update, all integer ops (micro-units of rank):
+    *   contrib(v) = r(v) div deg(v);  r'(u) = 150000 + (850000 · Σ
+    *   contrib(in-neighbors)) div 1000000.
+    *
+    * Scale: per round = one shuffle join on src + one agg on dst — the
+    * textbook distributed PageRank. The repeated edges/deg subtrees
+    * stay unpersisted: Catalyst plans them once and runtime dedups via
+    * ReusedExchange; a 100-TB deployment would checkpoint ranks per
+    * round instead (lineage control, same plan shape per round). */
+  def pagerank(lineitem: DataFrame, partCap: Long = 2000, iters: Int = 3,
+      topK: Int = 100): DataFrame = {
+    val e0 = lineitem.filter(col("l_partkey") <= partCap)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = e0.select(
+        concat(lit("p"), col("p").cast("string")).as("src"),
+        concat(lit("s"), col("s").cast("string")).as("dst"))
+      .unionAll(e0.select(
+        concat(lit("s"), col("s").cast("string")).as("src"),
+        concat(lit("p"), col("p").cast("string")).as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val withDeg = edges.join(deg, "src")
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("150000 + (850000 * sum(contrib)) div 1000000").as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle: the same fixed-point arithmetic with the rounds
+    * unrolled as chained CTEs (`//` is DuckDB integer division). */
+  def pagerankOracleSql(partCap: Long = 2000, iters: Int = 3,
+      topK: Int = 100): String = {
+    val round = (prev: String, cur: String) =>
+      s"""$cur AS (
+           SELECT e.dst AS node,
+             150000 + (850000 * sum(r.r // d.d)) // 1000000 AS r
+           FROM edges e
+           JOIN $prev r ON e.src = r.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY e.dst)"""
+    val rounds = (1 to iters)
+      .map(i => round(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH e0 AS (
+         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+         WHERE l_partkey <= $partCap),
+       edges AS (
+         SELECT 'p' || p AS src, 's' || s AS dst FROM e0
+         UNION ALL SELECT 's' || s, 'p' || p FROM e0),
+       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       r0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM deg),
+       $rounds
+       SELECT node, r AS rank FROM r$iters
+       ORDER BY rank DESC, node LIMIT $topK"""
+  }
+}
