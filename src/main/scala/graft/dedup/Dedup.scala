@@ -21,8 +21,18 @@ import graft.text.TextAnalysis.tokens
   */
 object Dedup {
 
-  /** Word n-gram shingles (default 3-grams) as a distinct array. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Word n-gram shingles (default 3-grams) as a distinct array — the
+    * native codegen'd [[graft.functions.WordShingles]] (one compiled
+    * pass; the composable transform/slice/concat_ws form runs the HOF
+    * lambda interpreted and measured as the top cost of every
+    * shingle-based operator; equality with the composed form is pinned
+    * in DedupSpec). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordShingles.wordShingles(text, n)
+
+  /** The pre-optimization composable form of [[shingles]] (kept as the
+    * reference semantics the native expression must match). */
+  def shinglesComposed(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
@@ -85,11 +95,17 @@ object Dedup {
     val postings = sh.groupBy(col("h"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
+    // i<j pair expansion as two chained GENERATORS (posexplode, then
+    // explode of the tail slice): generators are compiled operators,
+    // where the equivalent nested-transform lambda runs in the
+    // interpreted HOF path per posting row (measured ~2× slower on the
+    // Σdf² hot loop).
     val pairs = postings
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("doc_a"),
+        explode(slice(col("ids"), col("pos") + 2, size(col("ids"))))
+          .as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))

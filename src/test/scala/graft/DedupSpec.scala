@@ -92,4 +92,25 @@ class DedupSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](1)
     assert(sig1.length == 16 && sig1 == sig2)
   }
+
+  test("native WordShingles equals the composed HOF form on the corpus") {
+    import org.apache.spark.sql.functions.col
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = Tables.load(spark, TestSpark.sf, "documents")
+        .select(
+          dedup.Dedup.shingles(col("text"), n).as("fast"),
+          dedup.Dedup.shinglesComposed(col("text"), n).as("ref"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+      }
+    }
+    // edge cases the fixture may not cover: empty string, double spaces
+    // (empty tokens kept), fewer tokens than n
+    val edge = docs(Seq("", "a  b c", "one two"))
+    val rows = edge.select(
+      dedup.Dedup.shingles(col("text"), 3).as("fast"),
+      dedup.Dedup.shinglesComposed(col("text"), 3).as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
 }
