@@ -133,6 +133,18 @@ object SparkEntry {
     "q_dedup_decisions" -> t("documents")(operators.Pipeline.dedupDecisions(_)),
     "q_dedup_incremental" -> t("documents")(D.incrementalDedup(_)),
     "q_pagerank" -> t("lineitem")(operators.Graph.pagerank(_)),
+    "q_synth_source" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      // Custom DSv2 generator source (sources/SyntheticEventsSource) —
+      // the pushed id-range narrows GENERATION, verified in SourcesSpec.
+      s.read.format("graft.sources.SyntheticEventsSource")
+        .option("n", 100000).option("slices", 8).load()
+        .filter(col("event_id") >= 25000 && col("event_id") < 75000)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
     "q_hll_mergeable" -> t("events")(operators.Extended.approxUsersBySketch),
     "q_dedup_clusters" -> t("documents")(operators.Pipeline.dedupClusters(_)),
     "q_heavy_hitters" -> t("documents")(T.heavyHitters(_)),
@@ -1120,6 +1132,16 @@ object SparkEntry {
     "q_minhash_neutral" -> D.NeutralMinHash.oracleSql(),
     "q_dedup_incremental" -> D.NeutralMinHash.incrementalOracleSql(),
     "q_pagerank" -> operators.Graph.pagerankOracleSql(),
+    "q_synth_source" ->
+      """SELECT CASE event_id % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+              WHEN 2 THEN 'purchase' WHEN 3 THEN 'scroll' ELSE 'hover'
+            END AS event_type,
+            count(*) AS n,
+            CAST(sum((event_id * 31) % 10000) AS BIGINT) AS sum_cents,
+            min(event_id) AS min_id, max(event_id) AS max_id
+          FROM (SELECT range AS event_id FROM range(0, 100000))
+          WHERE event_id >= 25000 AND event_id < 75000
+          GROUP BY 1 ORDER BY 1""",
     "q_jaccard_pairs" ->
       """WITH tok AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

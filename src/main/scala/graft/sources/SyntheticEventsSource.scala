@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DataTypes, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource V2: the reference's synthetic event producer
+  * (producer.py:90-101 — deterministic event records) re-expressed as a
+  * first-class Spark table that GENERATES rows distributively instead
+  * of materializing them up front.
+  *
+  * This is the full DSv2 read ladder:
+  *  - `TableProvider` → `Table` → `ScanBuilder` with
+  *    `SupportsPushDownRequiredColumns` (the reader materializes ONLY
+  *    requested fields) and `SupportsPushDownFilters` (range predicates
+  *    on `event_id` narrow the generated id interval — the scan never
+  *    produces filtered-out rows, the DSv2 analogue of parquet
+  *    row-group pruning);
+  *  - `Batch.planInputPartitions` splits the id range into `slices`
+  *    independent partitions — on a 1000-executor cluster each
+  *    partition generates its slice with zero coordination.
+  *
+  * Generation is pure integer arithmetic on `event_id`, so any query
+  * over the source is DuckDB-oracle-checkable via `range()`:
+  *   ts      = 2024-01-01T00:00:00Z + event_id seconds
+  *   user_id = (event_id · 2654435761) mod 1000
+  *   event_type = ("view","click","purchase","scroll","hover")[id mod 5]
+  *   cents   = (event_id · 31) mod 10000
+  *
+  * Usage: `spark.read.format("graft.sources.SyntheticEventsSource")
+  *   .option("n", 100000).option("slices", 8).load()`.
+  */
+class SyntheticEventsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticEventsSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SyntheticEventsTable(
+      Option(properties.get("n")).map(_.toLong).getOrElse(100000L),
+      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+}
+
+object SyntheticEventsSource {
+  val schema: StructType = new StructType()
+    .add("event_id", DataTypes.LongType, nullable = false)
+    .add("ts", DataTypes.TimestampType, nullable = false)
+    .add("user_id", DataTypes.LongType, nullable = false)
+    .add("event_type", DataTypes.StringType, nullable = false)
+    .add("cents", DataTypes.LongType, nullable = false)
+
+  val baseMicros: Long = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+  val types: Array[UTF8String] =
+    Array("view", "click", "purchase", "scroll", "hover")
+      .map(UTF8String.fromString)
+
+  def fieldValue(name: String, id: Long): Any = name match {
+    case "event_id" => id
+    case "ts" => baseMicros + id * 1000000L
+    case "user_id" => (id * 2654435761L) % 1000L
+    case "event_type" => types((id % 5).toInt)
+    case "cents" => (id * 31L) % 10000L
+  }
+}
+
+class SyntheticEventsTable(n: Long, slices: Int) extends Table
+    with SupportsRead {
+  override def name(): String = s"synthetic_events(n=$n)"
+  override def schema(): StructType = SyntheticEventsSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticScanBuilder(
+      Option(options.get("n")).map(_.toLong).getOrElse(n),
+      Option(options.get("slices")).map(_.toInt).getOrElse(slices))
+}
+
+class SyntheticScanBuilder(n: Long, slices: Int) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var lo: Long = 0L
+  private var hi: Long = n // exclusive
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SyntheticEventsSource.schema
+
+  /** Range predicates on event_id narrow [lo, hi); everything else is
+    * left for Spark to evaluate. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThanOrEqual("event_id", v: Number) =>
+        lo = math.max(lo, v.longValue); true
+      case GreaterThan("event_id", v: Number) =>
+        lo = math.max(lo, v.longValue + 1); true
+      case LessThan("event_id", v: Number) =>
+        hi = math.min(hi, v.longValue); true
+      case LessThanOrEqual("event_id", v: Number) =>
+        hi = math.min(hi, v.longValue + 1); true
+      case EqualTo("event_id", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1); true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"SyntheticEvents range=[$lo,$hi) PushedIdFilters: " +
+        pushed.mkString("[", ", ", "]") +
+        s" ReadSchema: ${required.fieldNames.mkString(",")}"
+    override def toBatch: Batch = this
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val span = math.max(0L, hi - lo)
+      val per = math.max(1L, (span + slices - 1) / slices)
+      (0 until slices).iterator
+        .map(s => (lo + s * per, math.min(hi, lo + (s + 1) * per)))
+        .filter { case (a, b) => a < b }
+        .map { case (a, b) =>
+          SyntheticRange(a, b, required.fieldNames): InputPartition
+        }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      SyntheticReaderFactory
+  }
+}
+
+case class SyntheticRange(lo: Long, hi: Long, fields: Array[String])
+    extends InputPartition
+
+object SyntheticReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[SyntheticRange]
+    new PartitionReader[InternalRow] {
+      private var id = r.lo - 1
+      private val row = new GenericInternalRow(r.fields.length)
+      override def next(): Boolean = { id += 1; id < r.hi }
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < r.fields.length) {
+          row.update(i, SyntheticEventsSource.fieldValue(r.fields(i), id))
+          i += 1
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

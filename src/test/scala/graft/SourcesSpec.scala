@@ -85,4 +85,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(decoded.count() == 2)
     assert(decoded.filter(col("event_id").isNotNull).count() == 1)
   }
+
+  // ---- custom DSv2 generator source (SyntheticEventsSource) ----
+
+  private def synth(n: Long = 1000, slices: Int = 4) =
+    spark.read.format("graft.sources.SyntheticEventsSource")
+      .option("n", n).option("slices", slices).load()
+
+  test("DSv2 source generates the documented deterministic rows") {
+    val rows = synth(n = 10, slices = 2).collect()
+    assert(rows.length == 10)
+    val r7 = rows.find(_.getLong(0) == 7L).get
+    assert(r7.getLong(2) == (7L * 2654435761L) % 1000L)
+    assert(r7.getString(3) == "purchase") // types(7 % 5 = 2)
+    assert(r7.getLong(4) == (7L * 31L) % 10000L)
+  }
+
+  test("DSv2 id-range filters are pushed into generation") {
+    val df = synth(n = 100000, slices = 8)
+      .filter(col("event_id") >= 25000 && col("event_id") < 75000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[25000,75000)"), plan.take(800))
+    assert(plan.contains("PushedIdFilters: ["), plan.take(800))
+    assert(df.count() == 50000)
+  }
+
+  test("DSv2 column pruning reaches the reader") {
+    val df = synth().select(col("event_type"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: event_type"), plan.take(800))
+    assert(df.distinct().count() == 5)
+  }
+
+  test("DSv2 partitions match the requested slices") {
+    assert(synth(n = 1000, slices = 4).rdd.getNumPartitions == 4)
+  }
 }
