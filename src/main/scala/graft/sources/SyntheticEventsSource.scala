@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataTypes, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -75,14 +76,17 @@ class SyntheticEventsTable(n: Long, slices: Int) extends Table
   override def name(): String = s"synthetic_events(n=$n)"
   override def schema(): StructType = SyntheticEventsSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SyntheticScanBuilder(
       Option(options.get("n")).map(_.toLong).getOrElse(n),
-      Option(options.get("slices")).map(_.toInt).getOrElse(slices))
+      Option(options.get("slices")).map(_.toInt).getOrElse(slices),
+      Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(0L))
 }
 
-class SyntheticScanBuilder(n: Long, slices: Int) extends ScanBuilder
+class SyntheticScanBuilder(n: Long, slices: Int, rowsPerBatch: Long)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var lo: Long = 0L
   private var hi: Long = n // exclusive
@@ -133,7 +137,52 @@ class SyntheticScanBuilder(n: Long, slices: Int) extends ScanBuilder
     }
     override def createReaderFactory(): PartitionReaderFactory =
       SyntheticReaderFactory
+
+    /** Streaming path: the same generator as an unbounded-API source
+      * with REAL offset semantics — offsets are id watermarks, each
+      * micro-batch covers [start, end) exactly once, and replay of a
+      * committed range regenerates identical rows (deterministic
+      * generation makes the source trivially replayable, which is what
+      * gives end-to-end exactly-once with any idempotent sink). */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : MicroBatchStream =
+      new SyntheticMicroBatchStream(hi,
+        if (rowsPerBatch > 0) rowsPerBatch else math.max(1L, hi / 4),
+        slices, required.fieldNames)
   }
+}
+
+case class SyntheticOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+class SyntheticMicroBatchStream(n: Long, rowsPerBatch: Long, slices: Int,
+    fields: Array[String]) extends MicroBatchStream {
+  private var advertised = 0L
+
+  override def initialOffset(): Offset = SyntheticOffset(0L)
+  override def latestOffset(): Offset = {
+    advertised = math.min(n, advertised + rowsPerBatch)
+    SyntheticOffset(advertised)
+  }
+  override def deserializeOffset(json: String): Offset =
+    SyntheticOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[SyntheticOffset].id
+    val hi = end.asInstanceOf[SyntheticOffset].id
+    val span = math.max(0L, hi - lo)
+    val per = math.max(1L, (span + slices - 1) / slices)
+    (0 until slices).iterator
+      .map(s => (lo + s * per, math.min(hi, lo + (s + 1) * per)))
+      .filter { case (a, b) => a < b }
+      .map { case (a, b) => SyntheticRange(a, b, fields): InputPartition }
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    SyntheticReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class SyntheticRange(lo: Long, hi: Long, fields: Array[String])

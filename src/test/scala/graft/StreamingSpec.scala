@@ -338,4 +338,25 @@ class StreamingSpec extends AnyFunSuite {
     val total = out.agg(sum("n")).collect()(0).getLong(0)
     assert(total == 1000L) // sf0.001 events row count
   }
+
+  test("custom DSv2 streaming source: each id exactly once, multi-batch") {
+    val df = spark.readStream
+      .format("graft.sources.SyntheticEventsSource")
+      .option("n", 1000).option("slices", 2).option("rowsPerBatch", 300)
+      .load()
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName("synth_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("synth_stream")
+    assert(got.count() == 1000L)
+    assert(got.select(col("event_id")).distinct().count() == 1000L)
+    // offsets advanced in rowsPerBatch steps -> several real micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    // streamed rows == batch rows (same deterministic generator)
+    val batch = spark.read.format("graft.sources.SyntheticEventsSource")
+      .option("n", 1000).load()
+    assert(got.select(sum(col("cents"))).collect()(0).getLong(0) ==
+      batch.select(sum(col("cents"))).collect()(0).getLong(0))
+  }
 }
