@@ -125,6 +125,7 @@ object SparkEntry {
     "q_upsert_latest" -> t("events")(E.upsertLatest),
     "q_trailing_1h" -> t("events")(E.trailingHourSum),
     "q_scd2" -> t("events")(E.scd2Build),
+    "q_incr_agg" -> t("events")(E.incrementalAggMerge(_)),
     "q_salted_agg" -> t("events")(operators.Skew.saltedValueSums(_)),
     "q_salted_join" ->
       t2("lineitem", "orders")(operators.Skew.saltedRevenueByPriority),
@@ -209,6 +210,7 @@ object SparkEntry {
     "q_minhash_lsh" -> t("documents")(D.minhashLshPairs(_)),
     "q_minhash_neutral" -> t("documents")(D.minhashLshPairsNeutral(_)),
     "q_simhash_pairs" -> t("documents")(D.simhashPairs(_)),
+    "q_simhash_neutral" -> t("documents")(D.simhashPairsNeutral(_)),
     // ---- similarity search (north star) ----
     "q_pairwise_cosine" -> t("embeddings")(V.pairwiseCosine(_)),
     "q_knn_brute" -> t("embeddings")(V.bruteForceTopK(_)),
@@ -510,6 +512,13 @@ object SparkEntry {
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS trailing_sum
          FROM events ORDER BY user_id, event_id""",
+    // merged-partials == flat recompute (the incremental-maintenance
+    // correctness property) — the oracle IS the flat recompute.
+    "q_incr_agg" ->
+      s"""SELECT event_type, count(*) AS n,
+            ${Cols.sqlDecSum("value")} AS sum_value,
+            min(value) AS min_value, max(value) AS max_value
+          FROM events GROUP BY 1 ORDER BY 1""",
     "q_scd2" ->
       """SELECT user_id, event_id, event_type, ts AS valid_from,
            lead(ts, 1) OVER (PARTITION BY user_id
@@ -1131,6 +1140,7 @@ object SparkEntry {
     // (dedup/Dedup.scala NeutralMinHash — constants shared with the plan).
     "q_minhash_neutral" -> D.NeutralMinHash.oracleSql(),
     "q_dedup_incremental" -> D.NeutralMinHash.incrementalOracleSql(),
+    "q_simhash_neutral" -> D.simhashNeutralOracleSql(),
     "q_pagerank" -> operators.Graph.pagerankOracleSql(),
     "q_synth_source" ->
       """SELECT CASE event_id % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'

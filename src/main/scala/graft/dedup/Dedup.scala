@@ -424,4 +424,75 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Engine-neutral SimHash (the [[NeutralMinHash]] treatment applied to
+    * SimHash): 32-bit fingerprints whose token hash is the md5-prefix
+    * bigint, vote arithmetic is pure integers (bit b set iff
+    * 2·ones(b) > n_tokens — strictly-positive vote, ties round to 0 in
+    * both engines), and candidates match on 2×16-bit chunks (pigeonhole:
+    * hamming ≤ 1 guarantees an equal half). Fully DuckDB-oracled;
+    * [[simhashPairs]] (xxhash64, 64-bit) remains the fast engine-native
+    * default. Same scale shape: one token pass, 32 map-side-combining
+    * vote sums per doc, chunk-keyed equi-join, never all-pairs. */
+  def simhashPairsNeutral(documents: DataFrame, maxHamming: Int = 1)
+      : DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")).as("h"))
+    val votes = tok.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tok"),
+      (0 until 32).map(b =>
+        sum(shr(col("h"), lit(b)).bitwiseAND(lit(1L))).as(s"o$b")): _*)
+    val fp = votes.select(col("doc_id"),
+      (0 until 32).map(b =>
+        when(col(s"o$b") * 2 > col("n_tok"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce((a, c) => a.bitwiseOR(c)).as("fp"))
+    val chunked = fp.select(
+      col("doc_id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(1)),
+        i => shr(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+    val hamming = bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB oracle for [[simhashPairsNeutral]]. */
+  def simhashNeutralOracleSql(maxHamming: Int = 1): String =
+    s"""WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       hx AS (
+         SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+         FROM tok),
+       bits AS (
+         SELECT doc_id, i,
+           sum((h >> i) & 1) AS ones, count(*) AS n
+         FROM hx CROSS JOIN (SELECT unnest(range(32)) AS i)
+         GROUP BY doc_id, i),
+       fp AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << i)
+             ELSE 0 END) AS BIGINT) AS fp
+         FROM bits GROUP BY doc_id),
+       chunked AS (
+         SELECT doc_id, fp, j AS chunk_idx, (fp >> (j * 16)) & 65535 AS chunk
+         FROM fp CROSS JOIN (SELECT unnest(range(2)) AS j)),
+       cands AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         FROM chunked a JOIN chunked b
+           ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, hamming FROM cands
+       WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b"""
 }

@@ -289,6 +289,47 @@ object EventsPipeline {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** Incremental aggregate maintenance: merge a previously-materialized
+    * rollup with a delta batch's rollup WITHOUT rescanning history — the
+    * 100-TB pattern behind every "daily partition updates an all-time
+    * rollup" job. Works because the aggregate state (count, exact-decimal
+    * sum, min, max) is a commutative monoid, so partial states combine by
+    * key: full-outer join + coalesce-merge. Here the fixture is split on
+    * an id cutoff into "existing" and "delta" to make the merge
+    * observable; the oracle recomputes the same totals flat, proving
+    * merged == recomputed. */
+  def incrementalAggMerge(events: DataFrame, cutoff: Long = 5000)
+      : DataFrame = {
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).as("dec_sum"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+    val existing = rollup(events.filter(col("event_id") < cutoff))
+      .select(col("event_type"), col("n").as("e_n"),
+        col("dec_sum").as("e_sum"), col("min_value").as("e_min"),
+        col("max_value").as("e_max"))
+    val delta = rollup(events.filter(col("event_id") >= cutoff))
+      .select(col("event_type"), col("n").as("d_n"),
+        col("dec_sum").as("d_sum"), col("min_value").as("d_min"),
+        col("max_value").as("d_max"))
+    existing.join(delta, Seq("event_type"), "full_outer")
+      .select(
+        col("event_type"),
+        (coalesce(col("e_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n"),
+        (coalesce(col("e_sum"), lit(0).cast("decimal(28,6)")) +
+          coalesce(col("d_sum"), lit(0).cast("decimal(28,6)")))
+          .cast("double").as("sum_value"),
+        least(coalesce(col("e_min"), col("d_min")),
+          coalesce(col("d_min"), col("e_min"))).as("min_value"),
+        greatest(coalesce(col("e_max"), col("d_max")),
+          coalesce(col("d_max"), col("e_max"))).as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
   def trailingHourSum(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
