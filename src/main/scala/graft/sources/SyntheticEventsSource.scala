@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataTypes, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -157,14 +157,25 @@ case class SyntheticOffset(id: Long) extends Offset {
 }
 
 class SyntheticMicroBatchStream(n: Long, rowsPerBatch: Long, slices: Int,
-    fields: Array[String]) extends MicroBatchStream {
+    fields: Array[String]) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
   private var advertised = 0L
+  // Trigger.AvailableNow contract: pin the end of "available" data at
+  // prepare time; the engine drains micro-batches (still rowsPerBatch
+  // each) until this target, then stops on its own.
+  private var target = n
+
+  override def prepareForTriggerAvailableNow(): Unit = target = n
 
   override def initialOffset(): Offset = SyntheticOffset(0L)
   override def latestOffset(): Offset = {
-    advertised = math.min(n, advertised + rowsPerBatch)
+    advertised = math.min(target, advertised + rowsPerBatch)
     SyntheticOffset(advertised)
   }
+  // SupportsAdmissionControl form (the rowsPerBatch step IS our rate
+  // limit, so the engine-supplied ReadLimit needs no extra handling).
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latestOffset()
   override def deserializeOffset(json: String): Offset =
     SyntheticOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset)

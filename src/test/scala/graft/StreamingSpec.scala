@@ -359,4 +359,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select(sum(col("cents"))).collect()(0).getLong(0) ==
       batch.select(sum(col("cents"))).collect()(0).getLong(0))
   }
+
+  test("DSv2 streaming source drains and stops under Trigger.AvailableNow") {
+    val df = spark.readStream
+      .format("graft.sources.SyntheticEventsSource")
+      .option("n", 800).option("slices", 2).option("rowsPerBatch", 250)
+      .load()
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName("synth_avnow")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "query did not self-terminate")
+    assert(spark.table("synth_avnow").count() == 800L)
+  }
+
+  test("stream-static broadcast enrichment joins each event to its dim row") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      Ev(2, ts("2024-01-01 10:06:00"), 2L, "view", 2.0, "{}"),
+      Ev(3, ts("2024-01-01 10:07:00"), 3L, "view", 3.0, "{}")) // no dim row
+    val q = mem.toDF()
+      .join(broadcast(dim), Seq("user_id"), "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched")
+      .select(col("event_id"), col("tier")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "gold", 2L -> "basic", 3L -> null))
+  }
 }
