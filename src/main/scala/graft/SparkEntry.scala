@@ -214,6 +214,7 @@ object SparkEntry {
     // ---- similarity search (north star) ----
     "q_pairwise_cosine" -> t("embeddings")(V.pairwiseCosine(_)),
     "q_knn_brute" -> t("embeddings")(V.bruteForceTopK(_)),
+    "q_knn_quantized" -> t("embeddings")(V.quantizedTopK(_)),
     "q_knn_lsh" -> t("embeddings")(V.lshTopK(_)),
     "q_knn_lsh_mp" -> t("embeddings")(V.lshTopKMultiProbe(_)),
     "q_knn_ivf" -> t("embeddings")(V.ivfTopK(_)),
@@ -241,6 +242,40 @@ object SparkEntry {
 
   /** Brute-force kNN oracle — also embedded as a subquery in the
     * q_ann_recall oracle. */
+  /** Quantized-scan kNN oracle: int8 reconstruction + coarse top-30 +
+    * exact rerank, the same affine/rounding arithmetic as the plan. */
+  private val knnQuantizedOracleSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""round(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
+            / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
+               * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))),
+            6)"""
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+       rv AS (SELECT vec_id, e,
+          list_transform(e, x -> list_min(e)
+            + round((x - list_min(e)) / (list_max(e) - list_min(e)) * 255)
+              / 255.0 * (list_max(e) - list_min(e))) AS r
+         FROM v),
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+       c AS (SELECT query_id, vec_id, e, qe,
+          ${cosSql("qe", "r")} AS coarse
+         FROM rv CROSS JOIN q WHERE vec_id <> query_id),
+       cr AS (SELECT query_id, vec_id, e, qe, coarse,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY coarse DESC, vec_id) AS crank
+         FROM c),
+       ex AS (SELECT query_id, vec_id,
+          ${cosSql("qe", "e")} AS cos
+         FROM cr WHERE crank <= 30),
+       r2 AS (SELECT query_id, vec_id, cos,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         FROM ex)
+       SELECT query_id, rank, vec_id, round(cos, 3) AS cos
+       FROM r2 WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   private val knnBruteOracleSql: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings),
@@ -1293,6 +1328,7 @@ object SparkEntry {
          SELECT id_a, id_b, round(d / (na * nb), 3) AS cos
          FROM c ORDER BY id_a, id_b""",
     "q_knn_brute" -> knnBruteOracleSql,
+    "q_knn_quantized" -> knnQuantizedOracleSql,
     "q_ann_recall" ->
       s"""SELECT b.query_id,
             CAST(count(m.vec_id) AS DOUBLE) / 10.0 AS recall

@@ -99,10 +99,21 @@ object VectorFunctions {
       Shim.expression(b.cast("array<double>"))))
 
   /** Register cosine_sim for SQL use on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zvalue", exprs => ZValueExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0),
+        exprs(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_shingles width must be an int literal, got $other")
+        }), "built-in")
+  }
 }
 
 /** Optimizer rule (the `Rule[LogicalPlan]` rung of the custom-operator
@@ -135,6 +146,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    // SQL surface for the other native expressions: zvalue(x, y) and
+    // word_shingles(text, n) — n must be a foldable int literal (the
+    // shingle width is a plan-time constant, like any generator arity).
+    ext.injectFunction((
+      new FunctionIdentifier("zvalue"),
+      new ExpressionInfo(classOf[ZValueExpr].getName, "zvalue"),
+      (exprs: Seq[Expression]) => ZValueExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0),
+        exprs(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_shingles width must be an int literal, got $other")
+        })))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
     // Banded time-range joins → binned equi-joins (no BNLJ at scale).
     ext.injectOptimizerRule(_ => graft.plans.BinTimeRangeJoin)

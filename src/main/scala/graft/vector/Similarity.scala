@@ -73,6 +73,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Quantized-scan kNN — the production memory-bound ANN pattern:
+    * the corpus is scanned in its int8-reconstructed form (4 bytes→1
+    * byte per dim in storage; here the reconstruction is computed from
+    * the same affine code as Pipeline.quantizeEmbeddings), a coarse
+    * top-`rerank` per query is taken on quantized cosines, and only the
+    * survivors get the exact full-precision cosine + final top-k. At
+    * 100 TB the coarse scan reads 1/4 the bytes and the exact pass
+    * touches `rerank` vectors per query. All arithmetic (affine code,
+    * reconstruct, cosine, HALF_UP rounding) is replicated in the DuckDB
+    * oracle — fully oracle-checked end to end. */
+  def quantizedTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      rerank: Int = 30): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val lo = array_min(col("v"))
+    val hi = array_max(col("v"))
+    val recon = transform(col("v"), x =>
+      lo + round((x - lo) / (hi - lo) * 255) / 255.0 * (hi - lo))
+    val coded = corpus.select(col("vec_id"), col("v"), recon.as("r"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("vec_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    coded
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("coarse", round(cosine(col("q"), col("r")), 6))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= rerank)
+      .withColumn("cos", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 3).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (splitmix64 of (plane, dim))
     * — exposed so the DuckDB oracle can embed the SAME constants and
     * reproduce the buckets exactly. */

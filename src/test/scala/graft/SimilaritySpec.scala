@@ -65,6 +65,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12) // self-similarity = 1
   }
 
+  test("zvalue and word_shingles are registered for SQL") {
+    functions.VectorFunctions.register(spark)
+    val z = spark.sql("SELECT zvalue(3L, 0L) AS z, zvalue(0L, 3L) AS z2")
+      .collect()(0)
+    assert(z.getLong(0) == 5L && z.getLong(1) == 10L)
+    val sh = spark.sql(
+      "SELECT word_shingles('a b c d', 3) AS s").collect()(0)
+      .getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
   test("multi-probe LSH recall is at least single-probe recall") {
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
     val exact = vector.Similarity.bruteForceTopK(df, nQueries = 5, k = 10)
