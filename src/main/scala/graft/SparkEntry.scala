@@ -227,7 +227,8 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) =>
       M.featurePipeline(s, Tables.load(s, dir, "documents"))),
     // ---- structured streaming (SURVEY.md §2.8) ----
-    "q_stream_windowed" -> ((s, dir) => S.runWindowedBatch(s, dir))
+    "q_stream_windowed" -> ((s, dir) => S.runWindowedBatch(s, dir)),
+    "q_synth_stream" -> ((s, _) => S.runSyntheticStream(s))
   )
 
   // ---------------------------------------------------------------------
@@ -1177,6 +1178,17 @@ object SparkEntry {
     "q_dedup_incremental" -> D.NeutralMinHash.incrementalOracleSql(),
     "q_simhash_neutral" -> D.simhashNeutralOracleSql(),
     "q_pagerank" -> operators.Graph.pagerankOracleSql(),
+    "q_synth_stream" ->
+      """SELECT date_trunc('hour',
+              TIMESTAMP '2024-01-01 00:00:00' + event_id * INTERVAL 1 SECOND)
+              AS window_start,
+            CASE event_id % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+              WHEN 2 THEN 'purchase' WHEN 3 THEN 'scroll' ELSE 'hover'
+            END AS event_type,
+            count(*) AS n,
+            CAST(sum((event_id * 31) % 10000) AS BIGINT) AS sum_cents
+          FROM (SELECT range AS event_id FROM range(0, 50000))
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_synth_source" ->
       """SELECT CASE event_id % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
               WHEN 2 THEN 'purchase' WHEN 3 THEN 'scroll' ELSE 'hover'

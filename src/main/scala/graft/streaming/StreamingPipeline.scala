@@ -239,6 +239,34 @@ object StreamingPipeline {
   /** Run the windowed aggregation synchronously over the sf events table
     * (AvailableNow → memory sink) and return the completed result — lets
     * the batch-oriented driver harness exercise the streaming path. */
+  def runSyntheticStream(spark: SparkSession, n: Long = 50000,
+      rowsPerBatch: Long = 20000): DataFrame = {
+    // End-to-end ORACLED streaming: the custom DSv2 streaming source
+    // (sources/SyntheticEventsSource) drains under AvailableNow in
+    // ceil(n/rowsPerBatch) real micro-batches through a watermarked
+    // event-time window agg; generation is deterministic arithmetic, so
+    // the completed result is exactly DuckDB-checkable via range().
+    val name = "synth_stream_out"
+    val q = spark.readStream
+      .format("graft.sources.SyntheticEventsSource")
+      .option("n", n).option("slices", 4)
+      .option("rowsPerBatch", rowsPerBatch)
+      .load()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("window_start"), col("event_type"))
+  }
+
   def runWindowedBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "stream_windowed_out"
     val q = windowedCounts(eventsStream(spark, sfDir, maxFilesPerTrigger = 1))
