@@ -126,6 +126,7 @@ object SparkEntry {
     "q_trailing_1h" -> t("events")(E.trailingHourSum),
     "q_scd2" -> t("events")(E.scd2Build),
     "q_incr_agg" -> t("events")(E.incrementalAggMerge(_)),
+    "q_table_diff" -> t("events")(operators.Pipeline.tableDiffSummary),
     "q_salted_agg" -> t("events")(operators.Skew.saltedValueSums(_)),
     "q_salted_join" ->
       t2("lineitem", "orders")(operators.Skew.saltedRevenueByPriority),
@@ -548,6 +549,26 @@ object SparkEntry {
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS trailing_sum
          FROM events ORDER BY user_id, event_id""",
+    "q_table_diff" ->
+      """WITH o AS (
+           SELECT event_id, event_type, value FROM events
+           WHERE event_id % 20 <> 19),
+         n AS (
+           SELECT event_id, event_type,
+             CASE WHEN event_id % 10 = 5 THEN value + 1.0 ELSE value END
+               AS value
+           FROM events WHERE event_id % 20 <> 0),
+         d AS (
+           SELECT coalesce(o.event_id, n.event_id) AS event_id,
+             CASE WHEN o.event_id IS NULL THEN 'added'
+                  WHEN n.event_id IS NULL THEN 'removed'
+                  WHEN o.event_type = n.event_type AND o.value = n.value
+                    THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
+         SELECT status, count(*) AS n,
+           min(event_id) AS min_id, max(event_id) AS max_id
+         FROM d GROUP BY status ORDER BY status""",
     // merged-partials == flat recompute (the incremental-maintenance
     // correctness property) — the oracle IS the flat recompute.
     "q_incr_agg" ->

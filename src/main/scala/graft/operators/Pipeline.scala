@@ -212,4 +212,44 @@ object Pipeline {
         aggregate(q, lit(0L), (acc, x) => acc + x).as("q8_sum"))
       .orderBy(col("vec_id"))
   }
+
+  /** Snapshot reconciliation (table diff): classify every key across two
+    * snapshots as added / removed / changed / unchanged — the
+    * anti-entropy step behind replica audits, CDC validation, and
+    * backfill sign-off. One full-outer join on the key (each side
+    * shuffles once); values compare as a struct so the operator takes
+    * any column list. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(col(key),
+      struct(compareCols.map(col): _*).as("o_v"))
+    val n = newSnap.select(col(key),
+      struct(compareCols.map(col): _*).as("n_v"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("o_v").isNull, "added")
+          .when(col("n_v").isNull, "removed")
+          .when(col("o_v") === col("n_v"), "unchanged")
+          .otherwise("changed"))
+      .select(col(key), col("status"))
+  }
+
+  /** [[snapshotDiff]] driven by two deterministic snapshots derived from
+    * the events fixture via modulo gates (so every status appears at
+    * every SF): old omits id%20==19, new omits id%20==0 and bumps every
+    * value at id%10==5 — aggregated to per-status counts + key bounds. */
+  def tableDiffSummary(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("event_type"), col("value"))
+    val oldSnap = base.filter(col("event_id") % 20 =!= 19)
+    val newSnap = base.filter(col("event_id") % 20 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 10 === 5, col("value") + 1.0)
+          .otherwise(col("value")))
+    snapshotDiff(oldSnap, newSnap, "event_id",
+      Seq("event_type", "value"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("status"))
+  }
 }

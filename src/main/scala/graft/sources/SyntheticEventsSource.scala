@@ -174,8 +174,13 @@ class SyntheticMicroBatchStream(n: Long, rowsPerBatch: Long, slices: Int,
   }
   // SupportsAdmissionControl form (the rowsPerBatch step IS our rate
   // limit, so the engine-supplied ReadLimit needs no extra handling).
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+  // On RESTART the engine passes the checkpoint-restored offset as
+  // `start` while this object is fresh — floor the advance there, or a
+  // restarted query would re-advertise (and re-emit) committed ranges.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    advertised = math.max(advertised, start.asInstanceOf[SyntheticOffset].id)
     latestOffset()
+  }
   override def deserializeOffset(json: String): Offset =
     SyntheticOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset)

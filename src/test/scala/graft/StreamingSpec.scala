@@ -373,6 +373,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("synth_avnow").count() == 800L)
   }
 
+  test("DSv2 streaming source resumes from checkpoint without duplicates") {
+    // Run 1 drains n=600 into a parquet sink with a checkpoint; run 2
+    // reuses the checkpoint with n=1000 — the committed offset (600)
+    // must be respected, so only ids 600..999 are appended. This is the
+    // exactly-once-across-restart property the offset design claims.
+    val base = java.nio.file.Files.createTempDirectory("synth_ckpt").toString
+    val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    def run(n: Int): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.SyntheticEventsSource")
+        .option("n", n).option("slices", 2).option("rowsPerBatch", 250)
+        .load()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000))
+    }
+    run(600)
+    assert(spark.read.parquet(sink).count() == 600L)
+    run(1000)
+    val after = spark.read.parquet(sink)
+    assert(after.count() == 1000L)
+    assert(after.select(col("event_id")).distinct().count() == 1000L)
+  }
+
   test("stream-static broadcast enrichment joins each event to its dim row") {
     val sq = spark
     import sq.implicits._
