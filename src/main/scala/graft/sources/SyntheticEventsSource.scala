@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataTypes, StructType}
@@ -87,11 +89,44 @@ class SyntheticEventsTable(n: Long, slices: Int) extends Table
 
 class SyntheticScanBuilder(n: Long, slices: Int, rowsPerBatch: Long)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var lo: Long = 0L
   private var hi: Long = n // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticEventsSource.schema
+  private var aggPushed: Option[Aggregation] = None
+
+  /** LIMIT k over an ordered-by-nothing generator = generate only the
+    * first k ids of the (filtered) range. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true // fully handled — Spark may drop its own Limit
+  }
+
+  /** COUNT(*) / MIN(event_id) / MAX(event_id) over a generated id range
+    * are CLOSED FORMS — answer them at plan time with a one-row scan,
+    * the DSv2 analogue of parquet footer-statistics aggregation. Only
+    * complete (not partial) pushdown is claimed, and only with no
+    * grouping. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => isEventId(m.column)
+      case m: Max => isEventId(m.column)
+      case c: Count => !c.isDistinct && isEventId(c.column)
+      case _ => false
+    }
+  private def isEventId(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.sameElements(Array("event_id"))
+    case _ => false
+  }
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    aggPushed = Some(agg)
+    true
+  }
 
   /** Range predicates on event_id narrow [lo, hi); everything else is
     * left for Spark to evaluate. */
@@ -117,7 +152,34 @@ class SyntheticScanBuilder(n: Long, slices: Int, rowsPerBatch: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = aggPushed match {
+    case Some(agg) =>
+      // Closed-form aggregate scan: one partition, one row.
+      val span = math.max(0L, hi - lo)
+      val values: Array[Any] = agg.aggregateExpressions.map {
+        case _: CountStar => span
+        case _: Count => span
+        case _: Min => if (span > 0) lo else null
+        case _: Max => if (span > 0) hi - 1 else null
+      }.toArray
+      val schema = new StructType(values.indices.map(i =>
+        org.apache.spark.sql.types.StructField(s"agg_$i",
+          DataTypes.LongType)).toArray)
+      new Scan with Batch {
+        override def readSchema(): StructType = schema
+        override def description(): String =
+          s"SyntheticEvents range=[$lo,$hi) PushedAggregates: " +
+            agg.aggregateExpressions.mkString("[", ", ", "]")
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(SyntheticAggRow(values))
+        override def createReaderFactory(): PartitionReaderFactory =
+          SyntheticReaderFactory
+      }
+    case None => buildRowScan()
+  }
+
+  private def buildRowScan(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def description(): String =
       s"SyntheticEvents range=[$lo,$hi) PushedIdFilters: " +
@@ -204,8 +266,22 @@ class SyntheticMicroBatchStream(n: Long, rowsPerBatch: Long, slices: Int,
 case class SyntheticRange(lo: Long, hi: Long, fields: Array[String])
     extends InputPartition
 
+/** Single pre-computed row (closed-form aggregate pushdown result). */
+case class SyntheticAggRow(values: Array[Any]) extends InputPartition
+
 object SyntheticReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case SyntheticAggRow(values) => new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(values.clone())
+      override def close(): Unit = ()
+    }
+    case _ => createRowReader(p)
+  }
+
+  private def createRowReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[SyntheticRange]
     new PartitionReader[InternalRow] {
       private var id = r.lo - 1

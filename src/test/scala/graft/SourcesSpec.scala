@@ -120,4 +120,30 @@ class SourcesSpec extends AnyFunSuite {
   test("DSv2 partitions match the requested slices") {
     assert(synth(n = 1000, slices = 4).rdd.getNumPartitions == 4)
   }
+
+  test("DSv2 aggregate pushdown answers count/min/max in closed form") {
+    val df = synth(n = 100000, slices = 8)
+      .filter(col("event_id") >= 25000 && col("event_id") < 75000)
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("lo"),
+        max(col("event_id")).as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: ["), plan.take(900))
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((50000L, 25000L, 74999L)))
+  }
+
+  test("DSv2 aggregate pushdown on an empty range yields 0/null/null") {
+    val df = synth(n = 100).filter(col("event_id") >= 500)
+      .agg(count(lit(1)), min(col("event_id")), max(col("event_id")))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("DSv2 limit pushdown narrows generation to the first k ids") {
+    val df = synth(n = 100000, slices = 8).limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[0,7)"), plan.take(900))
+    assert(df.count() == 7L)
+  }
 }
