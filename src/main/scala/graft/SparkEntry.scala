@@ -92,6 +92,24 @@ object SparkEntry {
         .orderBy(col("zval"), col("o_orderkey"))
         .limit(1000)
     },
+    "q_zorder_range" -> t("orders") { o =>
+      import org.apache.spark.sql.functions.{col, expr}
+      // The read pattern the z-order layout serves: a 2-D box query
+      // becomes z BETWEEN z(lo,lo) AND z(hi,hi) — a sargable 1-D range
+      // over the layout key that row-group stats prune — plus the exact
+      // box residual (the curve exits the box between the corner codes).
+      val day = expr(
+        "cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")
+      val z = graft.functions.ZValue.zvalue(col("o_custkey"), day)
+      val zLo = graft.functions.ZValue.interleave(40L, 9500L)
+      val zHi = graft.functions.ZValue.interleave(90L, 10000L)
+      o.select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+          z.as("zval"))
+        .filter(col("zval").between(zLo, zHi) &&
+          col("o_custkey").between(40L, 90L) &&
+          col("day").between(9500L, 10000L))
+        .orderBy(col("o_orderkey"))
+    },
     "q_topk_custom" -> t("orders")(o =>
       graft.plans.TopKPerGroup.topKPerGroup(
         o.select(org.apache.spark.sql.functions.col("o_custkey"),
@@ -733,6 +751,23 @@ object SparkEntry {
             ${graft.functions.ZValue.zvalueSql("o_custkey",
               "date_diff('day', DATE '1970-01-01', o_orderdate::DATE)")} AS zval
           FROM orders ORDER BY zval, o_orderkey LIMIT 1000""",
+    "q_zorder_range" -> {
+      import graft.functions.ZValue
+      s"""SELECT o_orderkey, o_custkey,
+            date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS day,
+            ${ZValue.zvalueSql("o_custkey",
+              "date_diff('day', DATE '1970-01-01', o_orderdate::DATE)")}
+              AS zval
+          FROM orders
+          WHERE ${ZValue.zvalueSql("o_custkey",
+              "date_diff('day', DATE '1970-01-01', o_orderdate::DATE)")}
+              BETWEEN ${ZValue.interleave(40L, 9500L)}
+                  AND ${ZValue.interleave(90L, 10000L)}
+            AND o_custkey BETWEEN 40 AND 90
+            AND date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+              BETWEEN 9500 AND 10000
+          ORDER BY o_orderkey"""
+    },
     "q_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

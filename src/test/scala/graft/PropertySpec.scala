@@ -182,4 +182,39 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(e - x) < 0.35, s"$pair est=$e exact=$x")
     }
   }
+
+  test("property: native WordShingles == composed form on adversarial text") {
+    // Random texts over a tiny alphabet WITH runs of spaces (empty
+    // tokens), leading/trailing spaces, and empty strings — the inputs
+    // where a hand-rolled splitter diverges from split(' ', -1).
+    val textGen: Gen[String] = Gen.listOfN(12,
+      Gen.oneOf("a", "b", "ab", "", " ", "  ")).map(_.mkString(" "))
+    val texts = samples(textGen, 60) ++ Seq("", " ", "   ", "a", "a b")
+    val schema = StructType(Seq(StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.map(Row(_))), schema)
+    for (n <- Seq(1, 2, 3, 4)) {
+      val rows = df.select(
+        dedup.Dedup.shingles(col("text"), n).as("fast"),
+        dedup.Dedup.shinglesComposed(col("text"), n).as("ref")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n diverged: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("property: zvalue is monotonic in each coordinate (box-query safety)") {
+    // z(x1,y1) <= z(x2,y2) whenever x1<=x2 && y1<=y2 — the property that
+    // makes `z BETWEEN z(corner_lo) AND z(corner_hi)` a correct superset
+    // of any 2-D box (q_zorder_range relies on it).
+    import graft.functions.ZValue.interleave
+    val coordGen = Gen.choose(0L, 0x7FFFFFFFL)
+    val pts = samples(Gen.zip(coordGen, coordGen, coordGen, coordGen), 300)
+    pts.foreach { case (a, b, c, d) =>
+      val (x1, x2) = (math.min(a, b), math.max(a, b))
+      val (y1, y2) = (math.min(c, d), math.max(c, d))
+      assert(interleave(x1, y1) <= interleave(x2, y2))
+    }
+  }
 }
