@@ -140,6 +140,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("binaryFile source ingests opaque media bytes with metadata") {
+    // the real ingestion path for multimodal payloads (Multimodal.scala
+    // consumes exactly this shape: opaque bytes + typed metadata)
+    val dir = java.nio.file.Files.createTempDirectory("binfiles")
+    val payloads = Seq("img0" -> Array[Byte](1, 2, 3, 4),
+      "img1" -> Array[Byte](9, 8, 7))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(dir.resolve(s"$name.bin"), bytes)
+    }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir.toString)
+    assert(df.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val byName = df.collect().map(r =>
+      (r.getString(0).split('/').last, r.getAs[Array[Byte]]("content")))
+      .toMap
+    assert(byName("img0.bin").toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(byName("img1.bin").toSeq == Seq[Byte](9, 8, 7))
+  }
+
   test("DSv2 limit pushdown narrows generation to the first k ids") {
     val df = synth(n = 100000, slices = 8).limit(7)
     val plan = df.queryExecution.executedPlan.toString
