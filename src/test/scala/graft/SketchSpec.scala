@@ -27,6 +27,32 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct is within its rsd bound of exact") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val approx = operators.Relational.approxDistinctParts(li)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, x) =>
+      val a = approx(k).toDouble
+      // rsd 0.01 requested; allow 5 sigma
+      assert(math.abs(a - x) / x <= 0.05, s"$k approx=$a exact=$x")
+    }
+  }
+
+  test("approx_percentile median sits within the exact quartile band") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val approx = operators.Extended.approxPercentiles(li)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bands = operators.Extended.percentiles(li)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3)))
+    bands.foreach { case (k, q1, q3) =>
+      val m = approx(k)
+      assert(m >= q1 && m <= q3, s"$k approx median $m outside [$q1,$q3]")
+    }
+  }
+
   test("union of per-group sketches equals the single global sketch") {
     val ev = Tables.load(spark, sf, "events")
     val merged = ev.groupBy(col("event_type"))
