@@ -48,6 +48,7 @@ object SparkEntry {
     "q_labels" -> t("events")(E.labels),
     "q_json_extract" -> t("events")(E.jsonExtract),
     "q_parse_or_drop" -> t("events")(E.parseOrDrop),
+    "q_corrupt_records" -> t("events")(E.corruptRecords),
     "q_interarrival" -> t("events")(E.interArrival),
     "q_running_sum" -> t("events")(E.runningSum),
     "q_sessionize" -> t("events")(E.sessionize(_)),
@@ -273,9 +274,10 @@ object SparkEntry {
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings),
        rv AS (SELECT vec_id, e,
-          list_transform(e, x -> list_min(e)
+          CASE WHEN list_max(e) = list_min(e) THEN e
+          ELSE list_transform(e, x -> list_min(e)
             + round((x - list_min(e)) / (list_max(e) - list_min(e)) * 255)
-              / 255.0 * (list_max(e) - list_min(e))) AS r
+              / 255.0 * (list_max(e) - list_min(e))) END AS r
          FROM v),
        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
        c AS (SELECT query_id, vec_id, e, qe,
@@ -616,6 +618,39 @@ object SparkEntry {
                ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END,
                '%Y-%m-%d %H:%M:%S') AS parsed
            FROM events) WHERE parsed IS NOT NULL ORDER BY event_id""",
+    "q_corrupt_records" ->
+      """WITH pay AS (
+           SELECT CASE
+               WHEN event_id % 10 = 0 THEN substring(props, 1, length(props) - 1)
+               WHEN event_id % 10 = 1 THEN '{"k": "s' || event_id || '"}'
+               WHEN event_id % 10 = 2 THEN '{}'
+               WHEN event_id % 10 = 3 THEN NULL
+               ELSE props END AS payload
+           FROM events),
+         cls AS (
+           SELECT payload,
+             CASE
+               WHEN payload IS NULL THEN 'null_payload'
+               WHEN NOT json_valid(payload) THEN 'malformed_json'
+               WHEN json_extract(payload, '$.k') IS NULL THEN 'missing_field'
+               WHEN try_cast(json_extract_string(payload, '$.k') AS INTEGER)
+                 IS NULL THEN 'wrong_type'
+               ELSE 'valid' END AS failure_class,
+             -- PERMISSIVE capture contract: malformed text and
+             -- type-conversion failures land in _corrupt_record; a
+             -- merely-missing field does not.
+             CASE
+               WHEN payload IS NULL THEN NULL
+               WHEN NOT json_valid(payload)
+                 OR try_cast(json_extract_string(payload, '$.k') AS INTEGER)
+                    IS NULL AND json_extract(payload, '$.k') IS NOT NULL
+               THEN payload END AS captured
+           FROM pay)
+         SELECT failure_class,
+           count(*) AS n,
+           CAST(count(captured) AS BIGINT) AS n_captured,
+           min(captured) AS sample_reject
+         FROM cls GROUP BY 1 ORDER BY 1""",
     "q_interarrival" ->
       """SELECT user_id, event_id, gap_us FROM (
            SELECT user_id, event_id,
@@ -859,7 +894,7 @@ object SparkEntry {
              list_sort(list_distinct(['k', event_type])) AS keys
            FROM base)
          SELECT event_id,
-           len(keys) AS n_entries,
+           CAST(len(keys) AS INTEGER) AS n_entries,
            array_to_string(keys, ',') AS keys_csv,
            array_to_string(list_transform(keys,
              x -> CAST(CASE WHEN x = 'k' THEN kv ELSE tv END AS VARCHAR)),
@@ -1152,9 +1187,11 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 100),
          q AS (SELECT vec_id, list_min(e) AS min_val, list_max(e) AS max_val,
-            list_transform(e, x -> CAST(round(
+            CASE WHEN list_max(e) = list_min(e)
+            THEN list_transform(e, x -> 0)
+            ELSE list_transform(e, x -> CAST(round(
               (x - list_min(e)) / (list_max(e) - list_min(e)) * 255)
-              AS INTEGER)) AS q8v
+              AS INTEGER)) END AS q8v
            FROM v)
          SELECT vec_id, min_val, max_val,
             array_to_string(list_transform(q8v, x -> CAST(x AS VARCHAR)), ',')
@@ -1334,7 +1371,7 @@ object SparkEntry {
            SELECT doc_id, string_split(text, ' ') AS w FROM documents)
          SELECT doc_id,
            CAST(start // 40 AS INTEGER) AS chunk_idx,
-           len(w[start + 1 : start + 50]) AS chunk_tokens,
+           CAST(len(w[start + 1 : start + 50]) AS INTEGER) AS chunk_tokens,
            md5(array_to_string(w[start + 1 : start + 50], ' ')) AS chunk_md5
          FROM tok, unnest(range(0, greatest(len(w), 1), 40)) AS u(start)
          ORDER BY doc_id, chunk_idx""",

@@ -195,6 +195,47 @@ object EventsPipeline {
       .select(col("event_id"), col("parsed"))
       .orderBy(col("event_id"))
 
+  /** PERMISSIVE corrupt-record surfacing — the other half of the
+    * reference's skip-malformed rule (app.py:207-218 LOGS every skipped
+    * record before dropping it): count and inspect the rejects instead of
+    * silently dropping. Corruption is derived deterministically
+    * (event_id % 10) mirroring producer malformations: truncated JSON,
+    * wrong-typed field, missing field, null payload.
+    *
+    * `from_json` runs in PERMISSIVE mode with columnNameOfCorruptRecord,
+    * so the raw reject text rides along each failed parse; the output
+    * pins per-class counts, how many rows PERMISSIVE captured (malformed
+    * text and type-conversion failures are captured; a merely-missing
+    * field is not), and min() as an inspectable sample reject. One scan,
+    * one parse per row, one tiny (≤5-group) aggregation. */
+  def corruptRecords(events: DataFrame): DataFrame = {
+    val m = col("event_id") % 10
+    val payload = when(m === 0, expr("substring(props, 1, length(props) - 1)"))
+      .when(m === 1,
+        concat(lit("{\"k\": \"s"), col("event_id").cast("string"), lit("\"}")))
+      .when(m === 2, lit("{}"))
+      .when(m === 3, lit(null).cast("string"))
+      .otherwise(col("props"))
+    val parsed = from_json(payload, "k INT, _corrupt_record STRING",
+      Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record"))
+    events
+      .select(payload.as("payload"), parsed.getField("_corrupt_record").as("corrupt"))
+      .withColumn("failure_class",
+        when(col("payload").isNull, "null_payload")
+          .when(try_parse_json(col("payload")).isNull, "malformed_json")
+          .when(get_json_object(col("payload"), "$.k").isNull, "missing_field")
+          .when(expr("try_cast(get_json_object(payload, '$.k') AS int)").isNull,
+            "wrong_type")
+          .otherwise("valid"))
+      .groupBy(col("failure_class"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("corrupt")).as("n_captured"),
+        min(col("corrupt")).as("sample_reject"))
+      .orderBy(col("failure_class"))
+  }
+
   /** Tumbling-window aggregation in batch form (the idiomatic upgrade of
     * the reference's poll-loop micro-batching, SURVEY.md §2.8/T4):
     * per-hour record counts + exact value sums. */

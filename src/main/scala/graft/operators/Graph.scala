@@ -80,7 +80,7 @@ object Graph {
        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
        r0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM deg),
        $rounds
-       SELECT node, r AS rank FROM r$iters
+       SELECT node, CAST(r AS BIGINT) AS rank FROM r$iters
        ORDER BY rank DESC, node LIMIT $topK"""
   }
 }

@@ -199,9 +199,14 @@ object Pipeline {
     val v = col("embedding").cast("array<double>")
     val lo = array_min(v)
     val hi = array_max(v)
-    val q = transform(v, x =>
-      round((x - array_min(v)) / (array_max(v) - array_min(v)) * 255)
-        .cast("int"))
+    // Zero-range (constant) vectors quantize to all-zero codes (they
+    // reconstruct exactly via min_val); the unguarded affine form would
+    // divide by 0 → NaN → null codes. Mirrored in the DuckDB oracle.
+    val q = when(array_max(v) === array_min(v),
+        transform(v, _ => lit(0)))
+      .otherwise(transform(v, x =>
+        round((x - array_min(v)) / (array_max(v) - array_min(v)) * 255)
+          .cast("int")))
     embeddings
       .filter(col("vec_id") < 100)
       .select(

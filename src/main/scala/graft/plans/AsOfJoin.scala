@@ -124,7 +124,12 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
           joined(lRow, rightNulls)
         } else {
           val lOrd = lOrdProj(lRow).copy() // rOrdProj below reuses its buffer
-          if (!anyNull(lOrd)) {
+          if (anyNull(lOrd)) {
+            // ANY null ord component means the lexicographic comparison is
+            // UNKNOWN: match nothing — even when a right row is already
+            // held for this key from an earlier (non-null) left row.
+            joined(lRow, rightNulls)
+          } else {
             var advance = true
             while (advance && rBuf.hasNext) {
               val rKey = rKeyProj(rBuf.head)
@@ -138,8 +143,8 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                 } else advance = false
               } else advance = false
             }
+            joined(lRow, if (held != null) held else rightNulls)
           }
-          joined(lRow, if (held != null) held else rightNulls)
         }
         outProj(joined)
       }

@@ -240,8 +240,14 @@ class SyntheticMicroBatchStream(n: Long, rowsPerBatch: Long, slices: Int,
   // `start` while this object is fresh — floor the advance there, or a
   // restarted query would re-advertise (and re-emit) committed ranges.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    advertised = math.max(advertised, start.asInstanceOf[SyntheticOffset].id)
-    latestOffset()
+    val startId = start.asInstanceOf[SyntheticOffset].id
+    advertised = math.max(advertised, startId)
+    // Never advertise BELOW the committed start: a restart with a smaller
+    // `n` than the committed watermark (run 1 n=1000, run 2 n=600) would
+    // otherwise return end < start after the min(target, ...) step.
+    advertised = math.max(startId,
+      math.min(target, advertised + rowsPerBatch))
+    SyntheticOffset(advertised)
   }
   override def deserializeOffset(json: String): Offset =
     SyntheticOffset(json.toLong)

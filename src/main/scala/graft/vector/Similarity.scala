@@ -89,8 +89,11 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val lo = array_min(col("v"))
     val hi = array_max(col("v"))
-    val recon = transform(col("v"), x =>
-      lo + round((x - lo) / (hi - lo) * 255) / 255.0 * (hi - lo))
+    // Zero-range (constant) vectors reconstruct as identity: the affine
+    // code would divide by (hi - lo) = 0 and poison the coarse score
+    // with NaN. Mirrored in the DuckDB oracle.
+    val recon = when(hi === lo, col("v")).otherwise(transform(col("v"), x =>
+      lo + round((x - lo) / (hi - lo) * 255) / 255.0 * (hi - lo)))
     val coded = corpus.select(col("vec_id"), col("v"), recon.as("r"))
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("q"))

@@ -71,4 +71,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       .orderBy(col("event_id")).collect()
     assert(out.toSeq == Seq(Row(1L, 7L), Row(2L, null), Row(3L, null)))
   }
+
+  test("null in a NON-leading ord column matches nothing, even after a " +
+      "held match for the same key") {
+    import spark.implicits._
+    // Sorted left order for key a: (ts=5, id=null) sorts FIRST
+    // (nulls-first), then (ts=5, id=1), then (ts=9, id=null) — the last
+    // one arrives while a right row is already held for the key and must
+    // STILL produce nulls (lexicographic comparison with null = UNKNOWN).
+    val left = Seq(
+      (1L, java.lang.Long.valueOf(5L), java.lang.Long.valueOf(1L), "a"),
+      (2L, java.lang.Long.valueOf(5L), null.asInstanceOf[java.lang.Long], "a"),
+      (3L, java.lang.Long.valueOf(9L), null.asInstanceOf[java.lang.Long], "a"))
+      .toDF("event_id", "ts", "seq", "user_id")
+    val right = Seq(("a", 4L, 7L, 70L))
+      .toDF("user_id", "ts", "seq", "payload")
+    val out = plans.AsOfJoin
+      .asofJoin(left, right, Seq("user_id"), Seq("ts", "seq"))
+      .select(col("event_id"), col("r_payload"))
+      .orderBy(col("event_id")).collect()
+    assert(out.toSeq == Seq(Row(1L, 70L), Row(2L, null), Row(3L, null)))
+  }
 }

@@ -63,6 +63,21 @@ class ReferenceSemanticsSpec extends AnyFunSuite {
     assert(out.count() == 18)
   }
 
+  test("corrupt records are counted and captured per class (app.py:216-218)") {
+    // event_id % 10 drives the derived corruption: 0 -> truncated JSON,
+    // 1 -> wrong-typed field, 2 -> missing field, 3 -> null payload.
+    val df = eventsDf((0L until 20L).map(i =>
+      Row(i, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, """{"k": 7}""")))
+    val out = operators.EventsPipeline.corruptRecords(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.get(3)))
+    assert(out.toSeq == Seq(
+      ("malformed_json", 2L, 2L, """{"k": 7"""), // PERMISSIVE captures raw text
+      ("missing_field", 2L, 0L, null),           // missing field: NOT corrupt
+      ("null_payload", 2L, 0L, null),
+      ("valid", 12L, 0L, null),
+      ("wrong_type", 2L, 2L, """{"k": "s1"}""")))  // conversion failure captured
+  }
+
   test("empty batch yields empty result; storage fallback returns latest") {
     val empty = eventsDf(Seq.empty)
     assert(operators.EventsPipeline.latestRecord(empty).count() == 0)

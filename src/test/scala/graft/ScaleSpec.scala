@@ -69,6 +69,12 @@ class ScaleSpec extends AnyFunSuite {
     val hist = operators.Relational.acctbalThetaViaHistogram(s, c).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(hist.toSeq == nl.toSeq)
+    // The rank computation must be the binned BROADCAST EQUI-join (no
+    // driver-collected threshold array literal, no interpreted HOF):
+    val plan = operators.Relational.acctbalThetaViaHistogram(s, c)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("LambdaFunction"), plan.take(1200))
   }
 
   test("bloom-prefiltered join returns exactly the plain join's rows") {

@@ -25,6 +25,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
   }
 
+  test("quantized top-k handles constant (zero-range) vectors without NaN") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      Row(1L, Seq(0.5f, 0.5f, 0.5f, 0.5f)), // constant: hi == lo
+      Row(2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      Row(3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(vecs), schema)
+    val out = vector.Similarity.quantizedTopK(df, nQueries = 1, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // the constant vector reconstructs as identity -> real cosine 0.5,
+    // ranked between the near-parallel (2) and orthogonal (3) vectors
+    assert(out.toSeq == Seq((1, 2L, 0.994), (2, 1L, 0.5), (3, 3L, 0.0)))
+    // the same guard in quantizeEmbeddings: all-zero codes, not nulls
+    val q = operators.Pipeline.quantizeEmbeddings(df)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 1L)
+      .collect()(0)
+    assert(q.getAs[String]("q8") == "0,0,0,0")
+    assert(q.getAs[Long]("q8_sum") == 0L)
+  }
+
   test("LSH top-k on real embeddings recalls most of exact top-10") {
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
     val exact = vector.Similarity.bruteForceTopK(df, nQueries = 1, k = 10)

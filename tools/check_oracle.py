@@ -34,7 +34,8 @@ def norm(df):
     df = df[cols]
     rows = [tuple(to_cell(c) for c in r)
             for r in df.itertuples(index=False, name=None)]
-    return cols, rows
+    dtypes = [str(df[c].dtype) for c in cols]
+    return cols, rows, dtypes
 
 
 def is_null(x):
@@ -90,10 +91,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        gc, gr = norm(got)
-        wc, wr = norm(want)
+        gc, gr, gt = norm(got)
+        wc, wr, wt = norm(want)
         if gc != wc:
             print(f"FAIL {name}: columns spark={gc} duckdb={wc}")
+            n_fail += 1
+            continue
+        # The driver's hash is TYPE-sensitive (e.g. DuckDB sum(BIGINT)
+        # yields HUGEINT -> pandas object, vs Spark's int64): a dtype
+        # mismatch fails the driver even when every value is identical.
+        if gt != wt:
+            diffs = [(c, a, b) for c, a, b in zip(gc, gt, wt) if a != b]
+            print(f"FAIL {name}: dtypes differ (driver hash is typed): "
+                  + ", ".join(f"{c}: spark={a} duckdb={b}"
+                              for c, a, b in diffs))
             n_fail += 1
             continue
         if len(gr) != len(wr):
