@@ -80,6 +80,7 @@ object SparkEntry {
     "q_anti_join" -> t2("customer", "orders")(R.customersWithoutOrders),
     "q_theta_join" -> t2("supplier", "customer")(R.acctbalTheta),
     "q_theta_hist" -> t2("supplier", "customer")(R.acctbalThetaViaHistogram),
+    "q_strict_rank" -> t2("supplier", "customer")(R.customerRankAmongSuppliers),
     "q_cross_join" -> t2("region", "nation")(R.regionNationCross),
     "q_window_top3" -> t("orders")(R.top3OrdersPerCustomer),
     "q_zorder" -> t("orders") { o =>
@@ -177,6 +178,8 @@ object SparkEntry {
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
+    "q_temperature_resample" ->
+      t("documents")(operators.Pipeline.temperatureResample(_)),
     "q_corpus_sample" -> t("documents")(operators.Pipeline.corpusSample(_)),
     "q_brand_revenue" -> t2("lineitem", "part")(R.revenueByBrand),
     "q_supplier_balances" -> t2("supplier", "nation")(R.supplierBalances),
@@ -220,6 +223,7 @@ object SparkEntry {
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
     "q_quality" -> t("documents")(T.qualityScores),
+    "q_repetition" -> t("documents")(T.repetitionRatio(_)),
     "q_lang_id" -> t("documents")(T.languageId),
     "q_md5_fp" -> t("documents")(T.md5Fingerprints),
     "q_rolling_fp" -> t("documents")(T.rollingFingerprints),
@@ -235,6 +239,7 @@ object SparkEntry {
     "q_pairwise_cosine" -> t("embeddings")(V.pairwiseCosine(_)),
     "q_knn_brute" -> t("embeddings")(V.bruteForceTopK(_)),
     "q_knn_quantized" -> t("embeddings")(V.quantizedTopK(_)),
+    "q_knn_pq" -> t("embeddings")(V.pqTopK(_)),
     "q_knn_lsh" -> t("embeddings")(V.lshTopK(_)),
     "q_knn_lsh_mp" -> t("embeddings")(V.lshTopKMultiProbe(_)),
     "q_knn_ivf" -> t("embeddings")(V.ivfTopK(_)),
@@ -349,6 +354,68 @@ object SparkEntry {
               ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM c2)
          SELECT query_id, rank, vec_id, round(cos, 3) AS cos
          FROM r2 WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** Product quantization: per-subspace exact-mean codebooks, max-sub-
+    * cosine encode, ADC table-sum scan (exact decimal sums), exact
+    * rerank — every step of vector/Similarity.pqTopK mirrored. */
+  private val knnPqOracleSql: String = {
+    def cosSql(n: Int, a: String, b: String): String =
+      s"""(list_sum(list_transform(range(1, ${n + 1}), j -> $a[j] * $b[j]))
+            / (sqrt(list_sum(list_transform(range(1, ${n + 1}), j -> $a[j] * $a[j])))
+               * sqrt(list_sum(list_transform(range(1, ${n + 1}), j -> $b[j] * $b[j])))))"""
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+         subs AS (SELECT vec_id, label, CAST(s AS INTEGER) AS sub,
+            e[s * 8 + 1 : s * 8 + 8] AS sv
+           FROM v, (SELECT unnest(range(8)) AS s)),
+         dims AS (SELECT sub, label, CAST(unnest(range(8)) AS INTEGER) AS pos,
+            unnest(sv) AS x FROM subs),
+         cent AS (SELECT sub, label, pos,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS mc
+           FROM dims GROUP BY sub, label, pos),
+         cb AS (SELECT sub, label AS code, list(mc ORDER BY pos) AS c
+           FROM cent GROUP BY sub, label),
+         codes AS (SELECT vec_id, sub, code FROM (
+            SELECT subs.vec_id, subs.sub, cb.code,
+              row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+                ORDER BY ${cosSql(8, "sv", "c")} DESC, cb.code) AS r
+            FROM subs JOIN cb ON subs.sub = cb.sub) WHERE r = 1),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+         qsubs AS (SELECT query_id, CAST(s AS INTEGER) AS sub,
+            qe[s * 8 + 1 : s * 8 + 8] AS qs
+           FROM q, (SELECT unnest(range(8)) AS s)),
+         parts AS (SELECT query_id, qsubs.sub, code,
+            list_sum(list_transform(range(1, 9), j -> qs[j] * c[j])) AS dpart,
+            list_sum(list_transform(range(1, 9), j -> c[j] * c[j])) AS n2part
+           FROM qsubs JOIN cb ON qsubs.sub = cb.sub),
+         qn AS (SELECT query_id,
+            sqrt(list_sum(list_transform(range(1, 65), j -> qe[j] * qe[j])))
+              AS qn
+           FROM q),
+         adc AS (SELECT parts.query_id, codes.vec_id,
+            CAST(sum(CAST(dpart AS DECIMAL(28,12))) AS DOUBLE) AS adot,
+            CAST(sum(CAST(n2part AS DECIMAL(28,12))) AS DOUBLE) AS an2
+           FROM codes JOIN parts
+             ON codes.sub = parts.sub AND codes.code = parts.code
+           GROUP BY parts.query_id, codes.vec_id),
+         coarse AS (SELECT query_id, vec_id FROM (
+            SELECT adc.query_id, adc.vec_id,
+              row_number() OVER (PARTITION BY adc.query_id
+                ORDER BY round(adot / (qn.qn * sqrt(an2)), 6) DESC,
+                  adc.vec_id) AS crank
+            FROM adc JOIN qn ON adc.query_id = qn.query_id
+            WHERE adc.vec_id <> adc.query_id) WHERE crank <= 100),
+         ex AS (SELECT coarse.query_id, coarse.vec_id,
+            round(${cosSql(64, "qe", "e")}, 6) AS cos
+           FROM coarse JOIN v ON coarse.vec_id = v.vec_id
+           JOIN q ON coarse.query_id = q.query_id),
+         r2 AS (SELECT query_id, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM ex)
+         SELECT query_id, rank, vec_id, round(cos, 3) AS cos
+         FROM r2 WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
 
   /** IVF + one Lloyd refinement: re-assign to nearest seed, exact-mean
     * the new clusters, probe the refined index. */
@@ -627,25 +694,33 @@ object SparkEntry {
                WHEN event_id % 10 = 3 THEN NULL
                ELSE props END AS payload
            FROM events),
+         ext AS (
+           -- json_extract* may throw on malformed text even under a CASE
+           -- guard (vectorized evaluation), so extraction only ever sees
+           -- sanitized input: malformed payloads are swapped for '{}'.
+           SELECT payload,
+             payload IS NOT NULL AND json_valid(payload) AS ok,
+             json_extract_string(CASE WHEN payload IS NOT NULL
+                 AND json_valid(payload) THEN payload ELSE '{}' END,
+               '$.k') AS kstr
+           FROM pay),
          cls AS (
            SELECT payload,
              CASE
                WHEN payload IS NULL THEN 'null_payload'
-               WHEN NOT json_valid(payload) THEN 'malformed_json'
-               WHEN json_extract(payload, '$.k') IS NULL THEN 'missing_field'
-               WHEN try_cast(json_extract_string(payload, '$.k') AS INTEGER)
-                 IS NULL THEN 'wrong_type'
+               WHEN NOT ok THEN 'malformed_json'
+               WHEN kstr IS NULL THEN 'missing_field'
+               WHEN try_cast(kstr AS INTEGER) IS NULL THEN 'wrong_type'
                ELSE 'valid' END AS failure_class,
              -- PERMISSIVE capture contract: malformed text and
              -- type-conversion failures land in _corrupt_record; a
              -- merely-missing field does not.
              CASE
                WHEN payload IS NULL THEN NULL
-               WHEN NOT json_valid(payload)
-                 OR try_cast(json_extract_string(payload, '$.k') AS INTEGER)
-                    IS NULL AND json_extract(payload, '$.k') IS NOT NULL
+               WHEN NOT ok OR (kstr IS NOT NULL
+                 AND try_cast(kstr AS INTEGER) IS NULL)
                THEN payload END AS captured
-           FROM pay)
+           FROM ext)
          SELECT failure_class,
            count(*) AS n,
            CAST(count(captured) AS BIGINT) AS n_captured,
@@ -769,6 +844,12 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, count(*) AS n_richer_customers
          FROM customer JOIN supplier ON s_acctbal < c_acctbal
          GROUP BY s_suppkey, s_name ORDER BY s_suppkey""",
+    "q_strict_rank" ->
+      """SELECT c_custkey, c_acctbal,
+            CAST((SELECT count(*) FROM supplier
+                  WHERE s_acctbal < c.c_acctbal) AS BIGINT)
+              AS n_poorer_suppliers
+         FROM customer c ORDER BY c_custkey""",
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
          ORDER BY r_name, n_name""",
@@ -1183,6 +1264,29 @@ object SparkEntry {
             count(*) AS n_docs,
             CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+    "q_temperature_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents
+            GROUP BY lang),
+         tot AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n,
+            CAST(sum(CAST(pow(n_lang, 0.5) AS DECIMAL(28,12))) AS DOUBLE)
+              AS s
+           FROM c),
+         t AS (SELECT lang, n_lang,
+            CAST(floor(tot.n * pow(n_lang, 0.5) / tot.s) AS BIGINT)
+              AS target
+           FROM c, tot),
+         r AS (SELECT doc_id, d.lang, n_lang, target,
+            row_number() OVER (PARTITION BY d.lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents d JOIN t ON d.lang = t.lang),
+         cp AS (SELECT doc_id, lang,
+            target // n_lang
+              + CASE WHEN rk <= target % n_lang THEN 1 ELSE 0 END
+              AS n_copies
+           FROM r)
+         SELECT doc_id, lang, CAST(u.copy AS INTEGER) AS copy
+         FROM cp, unnest(range(n_copies)) AS u(copy)
+         ORDER BY doc_id, copy""",
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 100),
@@ -1224,6 +1328,23 @@ object SparkEntry {
               / CAST(len(string_split(text, ' ')) AS DOUBLE)
               AS distinct_token_ratio
          FROM documents ORDER BY doc_id""",
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+            FROM documents),
+         g AS (SELECT doc_id, lang,
+            CAST(greatest(len(w) - 2, 1) AS BIGINT) AS n_grams,
+            CAST(len(list_distinct(
+              CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(0, len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')) END)) AS BIGINT)
+              AS n_distinct
+           FROM t)
+         SELECT doc_id, lang, n_grams, n_distinct,
+            round(1.0 - CAST(n_distinct AS DOUBLE)
+              / CAST(n_grams AS DOUBLE), 6) AS rep_ratio,
+            round(1.0 - CAST(n_distinct AS DOUBLE)
+              / CAST(n_grams AS DOUBLE), 6) > 0.05 AS repetitive
+         FROM g ORDER BY doc_id""",
     "q_md5_fp" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     // Engine-neutral rolling hash: per-token base hash = first 8 md5 hex
@@ -1447,6 +1568,7 @@ object SparkEntry {
     "q_knn_ivf" -> ivfOracleSql(nprobe = 1),
     "q_knn_ivf_mp" -> ivfOracleSql(nprobe = 2),
     "q_knn_ivf_refined" -> ivfRefinedOracleSql,
+    "q_knn_pq" -> knnPqOracleSql,
     "q_media_stats" ->
       """SELECT 'image/stub-' || lang AS media_type,
             count(*) AS n_items,

@@ -220,14 +220,18 @@ object EventsPipeline {
       Map("mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> "_corrupt_record"))
     events
-      .select(payload.as("payload"), parsed.getField("_corrupt_record").as("corrupt"))
+      .select(payload.as("payload"), parsed.getField("k").as("k"),
+        parsed.getField("_corrupt_record").as("corrupt"))
+      // ONE parse per row: classes derive from the parse result itself;
+      // only captured rows (corrupt != null) pay a second, validity-only
+      // parse to split malformed text from type-conversion failures
+      // (`when` branches evaluate lazily in codegen).
       .withColumn("failure_class",
         when(col("payload").isNull, "null_payload")
+          .when(col("corrupt").isNull && col("k").isNull, "missing_field")
+          .when(col("corrupt").isNull, "valid")
           .when(try_parse_json(col("payload")).isNull, "malformed_json")
-          .when(get_json_object(col("payload"), "$.k").isNull, "missing_field")
-          .when(expr("try_cast(get_json_object(payload, '$.k') AS int)").isNull,
-            "wrong_type")
-          .otherwise("valid"))
+          .otherwise("wrong_type"))
       .groupBy(col("failure_class"))
       .agg(
         count(lit(1)).as("n"),

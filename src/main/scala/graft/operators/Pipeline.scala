@@ -175,6 +175,47 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based language rebalancing (the mC4/XLM-R multilingual
+    * mixing op): resample so language l's share follows
+    * p_l^tau / Σ p^tau — tau < 1 flattens the distribution, upweighting
+    * low-resource languages. Targets are DATA-DRIVEN (computed from the
+    * corpus itself, broadcast back), and the resample is EXACT and
+    * deterministic: docs rank per language by md5(doc_id); every doc gets
+    * `target div n` copies and the first `target mod n` ranked docs one
+    * extra — downsampling (target < n: first `target` docs once) and
+    * upsampling (integer replication via explode) in one rule, Σ copies =
+    * target exactly. All arithmetic (sqrt, decimal sums, floor, integer
+    * div/mod) replays identically in DuckDB → fully oracled.
+    *
+    * Scale: two tiny broadcast aggregates + one per-language window rank
+    * over the corpus + a narrow explode — one shuffle on lang (or none,
+    * if the corpus is already lang-partitioned, which a multilingual
+    * store would be). */
+  def temperatureResample(documents: DataFrame, tau: Double = 0.5)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val tot = counts.agg(
+      sum(col("n_lang")).as("n"),
+      sum(pow(col("n_lang"), tau).cast("decimal(28,12)")).cast("double")
+        .as("s"))
+    val targets = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_lang"),
+        floor(col("n") * pow(col("n_lang"), tau) / col("s")).cast("long")
+          .as("target"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(broadcast(targets), Seq("lang"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_copies", expr("target div n_lang") +
+        when(col("rk") <= col("target") % col("n_lang"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0) // sequence(0, -1) would step backwards
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), col("n_copies").cast("int") - 1)).as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
   /** Per-language deterministic corpus sample via the custom
     * TypedImperativeAggregate (BottomKByHash): same k ids regardless of
     * partitioning, run, or engine — differential-tested against DuckDB's

@@ -144,7 +144,7 @@ object Relational {
     * combine applies). Out-of-grid values are clamped: below-grid rows
     * match only their zero base row (rank 0), above-grid rows match the
     * top bucket where every dim value passes the strict filter. */
-  private def strictRankViaBuckets(df: DataFrame, key: String, value: String,
+  def strictRankViaBuckets(df: DataFrame, key: String, value: String,
       dim: DataFrame, dimValue: String, idxName: String,
       bucketWidth: Double = 500.0): DataFrame = {
     val sb = dim.select(col(dimValue).as("_b"),
@@ -173,6 +173,19 @@ object Relational {
       .groupBy(df.columns.map(col).toIndexedSeq: _*)
       .agg(sum(col("_contrib")).as(idxName))
   }
+
+  /** Strict rank as a first-class operator: every customer's position in
+    * the SUPPLIER balance distribution (#{suppliers strictly poorer}) —
+    * the "percentile against a reference distribution" op behind score
+    * normalization and calibration curves. One [[strictRankViaBuckets]]
+    * pass; equivalent to a correlated COUNT subquery with none of its
+    * O(N·M) cost. */
+  def customerRankAmongSuppliers(supplier: DataFrame, customer: DataFrame)
+      : DataFrame =
+    strictRankViaBuckets(
+      customer.select(col("c_custkey"), col("c_acctbal")),
+      "c_custkey", "c_acctbal", supplier, "s_acctbal", "n_poorer_suppliers")
+      .orderBy(col("c_custkey"))
 
   /** Scalable rewrite of [[acctbalTheta]]: the BroadcastNestedLoopJoin
     * form materializes every matching (supplier, customer) pair — ~N·M/2

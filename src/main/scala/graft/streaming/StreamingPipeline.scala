@@ -97,6 +97,36 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Stream-static AS-OF enrichment — the production streaming shape of
+    * the reference's "latest matching state" lookup (app.py:165-190
+    * point-lookup, S8/T5): each event picks up the most recent dimension
+    * snapshot row (per key) at or before its own ord value. Runs the
+    * custom sort-merge AsOfJoinExec (plans/AsOfJoin.scala) per micro-batch
+    * via foreachBatch — a micro-batch is a static DataFrame, so the whole
+    * batch operator ladder (custom strategy included) applies unchanged,
+    * which is exactly why this beats a stream-stream join here: the dim
+    * side is a bounded, slowly-changing snapshot, not a stream, so no
+    * watermark/state machinery is needed and the stream holds ZERO state.
+    *
+    * Delivery matches startDualWrite: each batch writes its own
+    * deterministic `batch_id=<id>` directory with overwrite, so a
+    * replayed batch clobbers its own partial output (exactly-once with
+    * the checkpoint). At 100 TB the snapshot side is dimension-sized and
+    * co-partition-shuffled per batch (or pre-bucketed on the keys); the
+    * fact stream shuffles each batch once on its keys. */
+  def startAsOfEnrich(stream: DataFrame, dim: DataFrame, sinkDir: String,
+      checkpointDir: String, keys: Seq[String], ordCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.plans.AsOfJoin.asofJoin(batch, dim, keys, ordCols)
+          .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup (the streaming face of the dedup north star):
     * drops re-deliveries of the same event_id — both within a micro-batch
     * and across batches. State is one entry per id, bounded by the

@@ -77,6 +77,32 @@ object TextAnalysis {
 
   }
 
+  /** N-gram repetition ratio — the standard "duplicate n-gram fraction"
+    * quality filter (Gopher/FineWeb-style rules drop documents whose
+    * repeated-3-gram share exceeds a threshold). distinct-gram counts
+    * come from the native codegen'd WordShingles expression (which
+    * dedups); the TOTAL gram count is pure arithmetic
+    * (max(1, n_tokens - n + 1)), so no raw gram list is ever
+    * materialized — one narrow scan, no shuffle before the final order.
+    * The comparison uses the ROUNDED ratio so the flag is
+    * oracle-boundary-safe. */
+  def repetitionRatio(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.05): DataFrame = {
+    import graft.dedup.Dedup.shingles
+    val toks = tokens(col("text"))
+    val total = greatest(size(toks) - (n - 1), lit(1)).cast("long")
+    val distinctN = size(shingles(col("text"), n)).cast("long")
+    documents
+      .select(
+        col("doc_id"), col("lang"),
+        total.as("n_grams"),
+        distinctN.as("n_distinct"),
+        round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 6)
+          .as("rep_ratio"))
+      .withColumn("repetitive", col("rep_ratio") > threshold)
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic: score each candidate language by stopword /
     * character n-gram evidence. The fixture corpus is synthetic (same
     * vocabulary for every lang label) so accuracy is meaningless there,

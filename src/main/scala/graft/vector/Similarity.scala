@@ -114,6 +114,98 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization ANN (ADC scan + exact rerank) — the
+    * memory-bound production pattern one step beyond [[quantizedTopK]]:
+    * instead of 1 byte per DIMENSION, the corpus stores m (=8) CODES per
+    * vector (4 bits each here), and the scan never touches vectors at
+    * all — each query precomputes a (sub, code) lookup table and the
+    * approximate cosine is a table-sum over the codes (asymmetric
+    * distance computation). Survivors get the exact cosine.
+    *
+    * Codebooks: per-subspace exact per-component means grouped by label
+    * (the same deterministic k-means stand-in as [[ivfTopK]]); encode
+    * assigns each sub-vector its max-sub-cosine codeword (native codegen
+    * cosine). ADC decomposition for cosine: adot = Σ_sub <q_sub, c_sub>,
+    * |v̂|² = Σ_sub |c_sub|², acos = adot / (|q|·sqrt(Σ|c_sub|²)) — both
+    * sums run as exact decimal aggregations so they are order-independent
+    * and oracle-reproducible. Every arithmetic step is mirrored in DuckDB
+    * SQL.
+    *
+    * Scale: the codebook (m × #codes rows) broadcasts; the ADC join
+    * touches only (vec_id, sub, code) triples — 100 TB of vectors never
+    * move. This demo scans all codes per query; a deployment composes the
+    * IVF probe in front (scan one cell's codes, same ADC). */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      m: Int = 8, dim: Int = 64, rerank: Int = 100): DataFrame = {
+    val subLen = dim / m
+    def subSlices(v: Column): Column =
+      array((0 until m).map(s => slice(v, s * subLen + 1, subLen)): _*)
+    def decSumD(c: Column): Column =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val subs = corpus
+      .select(col("vec_id"), col("label"), posexplode(subSlices(col("v"))))
+      .select(col("vec_id"), col("label"), col("pos").as("sub"),
+        col("col").as("sv"))
+    // codebook: per (sub, label) exact per-component mean sub-vector
+    val codebook = subs
+      .select(col("sub"), col("label"), posexplode(col("sv")))
+      .groupBy(col("sub"), col("label"), col("pos"))
+      .agg((decSumD(col("col")) / count(lit(1)).cast("double")).as("mc"))
+      .groupBy(col("sub"), col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mc"))))
+        .getField("mc").as("centroid"))
+      .withColumnRenamed("label", "code")
+    // encode: max-sub-cosine codeword per (vec_id, sub)
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("scos").desc, col("code"))
+    val codes = subs
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("scos", cosine(col("sv"), col("centroid")))
+      .withColumn("r", row_number().over(wEnc))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+    // per-query ADC lookup tables (tiny: nQueries × m × #codes)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val qsubs = queries
+      .select(col("query_id"), posexplode(subSlices(col("q"))))
+      .select(col("query_id"), col("pos").as("sub"), col("col").as("qs"))
+    val parts = qsubs
+      .join(codebook, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(col("qs"), col("centroid")).as("dpart"),
+        dot(col("centroid"), col("centroid")).as("n2part"))
+    val qnorm = queries.select(col("query_id"), norm(col("q")).as("qn"))
+    // ADC scan over codes only; coarse top-`rerank` per query
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("vec_id"))
+    val coarse = codes
+      .join(broadcast(parts), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(decSumD(col("dpart")).as("adot"), decSumD(col("n2part")).as("an2"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qnorm), Seq("query_id"))
+      .withColumn("acos",
+        round(col("adot") / (col("qn") * sqrt(col("an2"))), 6))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact rerank on the survivors only
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    coarse
+      .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 3).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (splitmix64 of (plane, dim))
     * — exposed so the DuckDB oracle can embed the SAME constants and
     * reproduce the buckets exactly. */

@@ -31,6 +31,26 @@ class DedupSpec extends AnyFunSuite {
     assert(dig.toSeq == out.toSeq)
   }
 
+  test("repetition ratio flags a looped document, passes normal prose") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)))
+    val loop = Seq.fill(10)("buy cheap pills now").mkString(" ")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, base, "en"), Row(1L, loop, "en"), Row(2L, "hi", "en"))),
+      schema)
+    val out = text.TextAnalysis.repetitionRatio(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    // base: 20 tokens -> 18 grams, all distinct -> not repetitive
+    assert(out(0) == ((0L, 18L, 18L, false)))
+    // loop: 40 tokens -> 38 grams, only 7 distinct -> repetitive
+    assert(out(1)._2 == 38L && out(1)._3 < 10L && out(1)._4)
+    // short doc (< n tokens): one whole-text gram, never repetitive
+    assert(out(2) == ((2L, 1L, 1L, false)))
+  }
+
   test("jaccard pairs finds near-duplicates, skips unrelated") {
     val nearDup = base.replace("lazy", "sleepy") // one word differs
     val other = "completely different words with no overlap at all " +

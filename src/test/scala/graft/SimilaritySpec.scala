@@ -99,6 +99,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sh == Seq("a b c", "b c d"))
   }
 
+  test("PQ ADC top-k recalls most of the exact top-10 and never returns " +
+      "the query itself") {
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+    val exact = vector.Similarity.bruteForceTopK(df, nQueries = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = vector.Similarity.pqTopK(df, nQueries = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pq.length == 20)
+    assert(!pq.exists { case (q, v) => q == v })
+    // ADC + rerank=30 is approximate: require substantial (not perfect)
+    // agreement with the exact ranking
+    val hits = pq.count(exact.contains)
+    assert(hits >= 8, s"PQ recall too low: $hits/20")
+  }
+
   test("multi-probe LSH recall is at least single-probe recall") {
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
     val exact = vector.Similarity.bruteForceTopK(df, nQueries = 5, k = 10)

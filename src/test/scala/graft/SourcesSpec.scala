@@ -86,6 +86,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(decoded.filter(col("event_id").isNotNull).count() == 1)
   }
 
+  test("kafka adapter builds the reference's consumer/producer options") {
+    val c = sources.Kafka.consumerOptions("broker:9092", "weather",
+      startingOffsets = "latest", maxOffsetsPerTrigger = Some(500L),
+      groupIdPrefix = Some("dashboard"))
+    // app.py:147-163: topic, bootstrap servers, auto_offset_reset=latest,
+    // consumer group, bounded poll -> their Structured Streaming names
+    assert(c("kafka.bootstrap.servers") == "broker:9092")
+    assert(c("subscribe") == "weather")
+    assert(c("startingOffsets") == "latest")
+    assert(c("maxOffsetsPerTrigger") == "500")
+    assert(c("groupIdPrefix") == "dashboard")
+    assert(c("failOnDataLoss") == "false")
+    val p = sources.Kafka.producerOptions("broker:9092", "weather")
+    assert(p("topic") == "weather" && p.contains("kafka.bootstrap.servers"))
+  }
+
+  test("kafka reader constructs; load() raises the standard deploy error " +
+      "(connector jar not shipped in this sandbox)") {
+    val reader = sources.Kafka.reader(spark,
+      sources.Kafka.consumerOptions("broker:9092", "weather"))
+    val e = intercept[Exception] { reader.load() }
+    // Spark's guidance error names the kafka provider / integration guide
+    // artifact the user must deploy — the documented substitution path.
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   // ---- custom DSv2 generator source (SyntheticEventsSource) ----
 
   private def synth(n: Long = 1000, slices: Int = 4) =

@@ -97,6 +97,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$sink/hist").count() == 3)
   }
 
+  test("stream-static as-of enrichment joins each batch to the latest " +
+      "dim snapshot and survives checkpoint restart") {
+    val sq = spark
+    import sq.implicits._
+    val sink = Files.createTempDirectory("graft_asof_sink").toString
+    val ckpt = Files.createTempDirectory("graft_asof_ckpt").toString
+    val srcDir = Files.createTempDirectory("graft_asof_src").toString
+    // dim snapshot history: user 1 was bronze from ts=1, gold from ts=5
+    val dim = Seq((1L, 1L, "bronze"), (1L, 5L, "gold"), (2L, 3L, "silver"))
+      .toDF("user_id", "ver", "tier")
+    val mk = (id: Long, user: Long, ver: Long) => (id, user, ver)
+    Seq(mk(1, 1L, 2L), mk(2, 1L, 7L)).toDF("event_id", "user_id", "ver")
+      .write.parquet(s"$srcDir/f1")
+    Seq(mk(3, 2L, 9L), mk(4, 3L, 9L)).toDF("event_id", "user_id", "ver")
+      .write.parquet(s"$srcDir/f2")
+    val schema = spark.read.parquet(s"$srcDir/f1").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    def run(): Unit = {
+      val q = streaming.StreamingPipeline.startAsOfEnrich(
+        stream, dim, s"$sink/hist", ckpt, Seq("user_id"), Seq("ver"))
+      assert(q.awaitTermination(60000))
+    }
+    run()
+    val out = spark.read.parquet(s"$sink/hist")
+      .select(col("event_id"), col("r_tier")).collect()
+      .map(r => (r.getLong(0), r.get(1))).toMap
+    // event 1: user 1 at ver 2 -> bronze; event 2: ver 7 -> gold;
+    // event 3: user 2 at ver 9 -> silver; event 4: unknown user -> null
+    assert(out == Map(1L -> "bronze", 2L -> "gold", 3L -> "silver",
+      4L -> null))
+    // restart with the same checkpoint: no re-processing, no duplicates
+    run()
+    assert(spark.read.parquet(s"$sink/hist").count() == 4)
+  }
+
   test("dual-write survives mid-batch failure replay without duplicates") {
     val sq = spark
     import sq.implicits._
