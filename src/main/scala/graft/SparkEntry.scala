@@ -246,6 +246,7 @@ object SparkEntry {
     "q_knn_ivf_mp" -> t("embeddings")(V.ivfTopK(_, nprobe = 2)),
     "q_knn_ivf_refined" -> t("embeddings")(V.ivfRefinedTopK(_)),
     "q_ann_recall" -> t("embeddings")(V.annRecall(_)),
+    "q_pq_recall" -> t("embeddings")(V.pqRecall(_)),
     "q_cosine_neardup" -> t("embeddings")(V.cosineNearDupPairs(_)),
     // ---- multimodal plumbing (north star) ----
     "q_media_stats" -> t("documents")(M.payloadStats),
@@ -1560,6 +1561,13 @@ object SparkEntry {
             CAST(count(m.vec_id) AS DOUBLE) / 10.0 AS recall
           FROM ($knnBruteOracleSql) b
           LEFT JOIN (${lshMultiProbeOracleSql(bits = 6, nQueries = 5, k = 10)}) m
+            ON b.query_id = m.query_id AND b.vec_id = m.vec_id
+          GROUP BY b.query_id ORDER BY b.query_id""",
+    "q_pq_recall" ->
+      s"""SELECT b.query_id,
+            CAST(count(m.vec_id) AS DOUBLE) / 10.0 AS recall
+          FROM ($knnBruteOracleSql) b
+          LEFT JOIN ($knnPqOracleSql) m
             ON b.query_id = m.query_id AND b.vec_id = m.vec_id
           GROUP BY b.query_id ORDER BY b.query_id""",
     "q_knn_lsh" -> lshOracleSql(bits = 6, nQueries = 5, k = 10),

@@ -397,6 +397,24 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** PQ index evaluation: per-query recall of the ADC scan + rerank
+    * against the exact brute-force top-k — the acceptance metric for a
+    * compression level (codebook size / m / rerank budget). */
+  def pqRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10)
+      : DataFrame = {
+    val brute = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = pqTopK(embeddings, nQueries, k)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    brute
+      .join(approx,
+        col("query_id") === col("aq") && col("vec_id") === col("av"),
+        "left_outer")
+      .groupBy(col("query_id"))
+      .agg((count(col("av")).cast("double") / lit(k.toDouble)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH-bucket candidates (the scalable near-dup shape). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
