@@ -49,6 +49,8 @@ object SparkEntry {
     "q_json_extract" -> t("events")(E.jsonExtract),
     "q_parse_or_drop" -> t("events")(E.parseOrDrop),
     "q_corrupt_records" -> t("events")(E.corruptRecords),
+    "q_funnel" -> t("events")(E.funnel),
+    "q_retention" -> t("events")(E.retention),
     "q_interarrival" -> t("events")(E.interArrival),
     "q_running_sum" -> t("events")(E.runningSum),
     "q_sessionize" -> t("events")(E.sessionize(_)),
@@ -727,6 +729,32 @@ object SparkEntry {
            CAST(count(captured) AS BIGINT) AS n_captured,
            min(captured) AS sample_reject
          FROM cls GROUP BY 1 ORDER BY 1""",
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+            JOIN v ON e.user_id = v.user_id
+            WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+            JOIN c ON e.user_id = c.user_id
+            WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+         SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM v
+         UNION ALL
+         SELECT 2, 'view>click', count(*) FROM c
+         UNION ALL
+         SELECT 3, 'view>click>purchase', count(*) FROM p
+         ORDER BY step_idx""",
+    "q_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+            CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+              AS INTEGER) AS week
+           FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM uw
+           GROUP BY user_id)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+            count(DISTINCT uw.user_id) AS n_users
+         FROM uw JOIN c ON uw.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_interarrival" ->
       """SELECT user_id, event_id, gap_us FROM (
            SELECT user_id, event_id,

@@ -294,6 +294,55 @@ object EventsPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered conversion funnel (view → click → purchase): users advance a
+    * step only with a LATER event of the next type — the sequential
+    * constraint that separates a funnel from three independent counts.
+    * Three per-type aggregations chained by (user_id) joins; each scan
+    * pushes its event_type filter into the parquet reader and each join
+    * key is the already-shuffled user_id, so AQE reuses the partitioning.
+    * step_idx carries the funnel order so the output is one tiny ordered
+    * table. */
+  def funnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def step(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("step_idx"), lit(name).as("step"),
+          col("n_users"))
+    step(v, 1, "view")
+      .unionAll(step(c, 2, "view>click"))
+      .unionAll(step(p, 3, "view>click>purchase"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Weekly cohort retention matrix: users grouped by first-active week,
+    * counted per week-offset they return — THE engagement query of every
+    * analytics warehouse. Weeks are integer day-index divisions anchored
+    * to the fixture epoch (engine-neutral arithmetic, no calendar-week
+    * locale trap). One distinct (user, week) pass + a per-user min +
+    * one grouped count — two shuffles on user_id, one on the tiny
+    * (cohort, offset) key. */
+  def retention(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+        expr("datediff(to_date(ts), date'2024-01-01') div 7").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Upsert/latest-record view: one row per key, the most recent by
     * (ts, event_id) — the batch form of the reference's per-series
     * `find_one(sort=[("producer_timestamp", DESC)])` (app.py:177) and of
