@@ -72,6 +72,7 @@ object SparkEntry {
     },
     "q_tumbling_hourly" -> t("events")(E.tumblingHourly),
     "q_dense_series" -> t("events")(E.denseHourlySeries),
+    "q_interpolate" -> t("events")(E.interpolateHourly),
     // ---- generalized relational inventory (SURVEY.md §2.3-2.6) ----
     "q1_pricing_summary" -> t("lineitem")(R.q1PricingSummary),
     "q_join_priority" -> t2("lineitem", "orders")(R.revenueByPriority),
@@ -157,6 +158,7 @@ object SparkEntry {
     "q_dedup_decisions" -> t("documents")(operators.Pipeline.dedupDecisions(_)),
     "q_dedup_incremental" -> t("documents")(D.incrementalDedup(_)),
     "q_pagerank" -> t("lineitem")(operators.Graph.pagerank(_)),
+    "q_triangles" -> t("lineitem")(operators.Graph.triangles(_)),
     "q_synth_source" -> ((s, _) => {
       import org.apache.spark.sql.functions._
       // Custom DSv2 generator source (sources/SyntheticEventsSource) —
@@ -223,6 +225,7 @@ object SparkEntry {
       operators.SqlSurface.run(s, dir, operators.SqlSurface.lateralJoin)),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
+    "q_diversity" -> t("documents")(T.lexicalDiversity),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
     "q_quality" -> t("documents")(T.qualityScores),
     "q_repetition" -> t("documents")(T.repetitionRatio(_)),
@@ -249,7 +252,12 @@ object SparkEntry {
     "q_knn_ivf_refined" -> t("embeddings")(V.ivfRefinedTopK(_)),
     "q_ann_recall" -> t("embeddings")(V.annRecall(_)),
     "q_pq_recall" -> t("embeddings")(V.pqRecall(_)),
-    "q_cosine_neardup" -> t("embeddings")(V.cosineNearDupPairs(_)),
+    // fixture embeddings are near-random (max within-cluster cos ≈0.5),
+    // so the near-dup demos run at threshold 0.35 to exercise nonzero
+    // output; 0.9 stays the operator default for real corpora.
+    "q_cosine_neardup" ->
+      t("embeddings")(V.cosineNearDupPairs(_, threshold = 0.35)),
+    "q_semdedup" -> t("embeddings")(V.semDedup(_)),
     // ---- multimodal plumbing (north star) ----
     "q_media_stats" -> t("documents")(M.payloadStats),
     "q_media_features" -> ((s, dir) =>
@@ -552,6 +560,43 @@ object SparkEntry {
             >= $threshold
        ORDER BY id_a, id_b"""
 
+  /** SemDeDup oracle: same per-label exact-mean centroids as the IVF
+    * oracle, nearest-centroid assignment, within-cluster pairs,
+    * lowest-id keeper per duplicate (unrounded threshold filter,
+    * rounded output — matches Similarity.semDedup). */
+  private def semDedupOracleSql(threshold: Double): String = {
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, 65), j -> $a[j] * $b[j]))
+          / (sqrt(list_sum(list_transform(range(1, 65), j -> $a[j] * $a[j])))
+             * sqrt(list_sum(list_transform(range(1, 65), j -> $b[j] * $b[j]))))"""
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+         dims AS (SELECT label, CAST(unnest(range(64)) AS INTEGER) AS pos,
+            unnest(e) AS x FROM v),
+         cent AS (SELECT label, pos,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS m
+           FROM dims GROUP BY label, pos),
+         cvec AS (SELECT label, list(m ORDER BY pos) AS c
+           FROM cent GROUP BY label),
+         assign AS (SELECT vec_id, e, label AS cluster FROM (
+            SELECT v.vec_id, v.e, cvec.label,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                ${cos("e", "c")} DESC, cvec.label) AS r
+            FROM v CROSS JOIN cvec) WHERE r = 1),
+         p AS (SELECT b.vec_id AS dup_id, a.vec_id AS kept_id,
+              a.cluster, ${cos("a.e", "b.e")} AS cos
+           FROM assign a JOIN assign b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE ${cos("a.e", "b.e")} >= $threshold),
+         k AS (SELECT dup_id, kept_id, cluster, cos,
+              row_number() OVER (PARTITION BY dup_id ORDER BY kept_id)
+                AS rn
+           FROM p)
+       SELECT dup_id, kept_id, cluster, round(cos, 3) AS cos
+       FROM k WHERE rn = 1 ORDER BY dup_id"""
+  }
+
   private val decSumQty = Cols.sqlDecSum("l_quantity", 2)
   private val revenueExpr =
     "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)"
@@ -819,6 +864,42 @@ object SparkEntry {
           SELECT spine.hour, coalesce(n, 0) AS n,
             coalesce(sum_value, 0.0) AS sum_value
           FROM spine LEFT JOIN c USING (hour) ORDER BY spine.hour""",
+    "q_interpolate" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+              date_trunc('hour', max(ts)) AS hi FROM events),
+          hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+              AS hour FROM b),
+          spine AS (SELECT event_type, hour
+            FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN hours),
+          o AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+              count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS mv
+            FROM events GROUP BY 1, 2),
+          j AS (SELECT s.event_type, s.hour, o.n, o.mv,
+              CAST(epoch(s.hour) AS DOUBLE) AS hr
+            FROM spine s LEFT JOIN o USING (event_type, hour)),
+          w AS (SELECT *,
+              last_value(mv IGNORE NULLS) OVER pw AS pv,
+              last_value(CASE WHEN mv IS NOT NULL THEN hr END IGNORE NULLS)
+                OVER pw AS ph,
+              first_value(mv IGNORE NULLS) OVER nw AS nv,
+              first_value(CASE WHEN mv IS NOT NULL THEN hr END IGNORE NULLS)
+                OVER nw AS nh
+            FROM j
+            WINDOW pw AS (PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            nw AS (PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          SELECT event_type, hour, coalesce(n, 0) AS n,
+            CASE WHEN n IS NOT NULL THEN mv
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   THEN pv + (nv - pv) * (hr - ph) / (nh - ph)
+                 ELSE coalesce(pv, nv) END AS value_filled,
+            CASE WHEN n IS NOT NULL THEN 'observed'
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+                 ELSE 'edge' END AS fill
+          FROM w ORDER BY event_type, hour""",
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
             $decSumQty AS sum_qty,
@@ -1338,6 +1419,18 @@ object SparkEntry {
               w -> (length(w) + 3) // 4)) AS BIGINT) AS n_subwords,
             CAST(length(text) AS INTEGER) AS len_chars
          FROM documents ORDER BY doc_id""",
+    "q_diversity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),
+          d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS ss
+            FROM c GROUP BY doc_id)
+          SELECT doc_id, n_tokens, n_types,
+            CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+            1.0 - CAST(ss AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+              AS simpson
+          FROM d ORDER BY doc_id""",
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
             CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -1421,6 +1514,7 @@ object SparkEntry {
     "q_dedup_incremental" -> D.NeutralMinHash.incrementalOracleSql(),
     "q_simhash_neutral" -> D.simhashNeutralOracleSql(),
     "q_pagerank" -> operators.Graph.pagerankOracleSql(),
+    "q_triangles" -> operators.Graph.trianglesOracleSql(),
     "q_synth_stream" ->
       """SELECT date_trunc('hour',
               TIMESTAMP '2024-01-01 00:00:00' + event_id * INTERVAL 1 SECOND)
@@ -1600,7 +1694,8 @@ object SparkEntry {
           GROUP BY b.query_id ORDER BY b.query_id""",
     "q_knn_lsh" -> lshOracleSql(bits = 6, nQueries = 5, k = 10),
     "q_knn_lsh_mp" -> lshMultiProbeOracleSql(bits = 6, nQueries = 5, k = 10),
-    "q_cosine_neardup" -> cosineNearDupOracleSql(bits = 8, threshold = 0.9),
+    "q_cosine_neardup" -> cosineNearDupOracleSql(bits = 8, threshold = 0.35),
+    "q_semdedup" -> semDedupOracleSql(threshold = 0.40),
     "q_knn_ivf" -> ivfOracleSql(nprobe = 1),
     "q_knn_ivf_mp" -> ivfOracleSql(nprobe = 2),
     "q_knn_ivf_refined" -> ivfRefinedOracleSql,

@@ -331,8 +331,11 @@ object EventsPipeline {
     * one grouped count — two shuffles on user_id, one on the tiny
     * (cohort, offset) key. */
   def retention(events: DataFrame): DataFrame = {
+    // `div` yields LONG in Spark; the engine-neutral week index is an
+    // INT on both sides of the oracle (the driver's hash is typed).
     val uw = events.select(col("user_id"),
-        expr("datediff(to_date(ts), date'2024-01-01') div 7").as("week"))
+        expr("CAST(datediff(to_date(ts), date'2024-01-01') div 7 AS INT)")
+          .as("week"))
       .distinct()
     val cohort = uw.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))
@@ -502,6 +505,61 @@ object EventsPipeline {
       .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
       .orderBy(col("hour"))
+  }
+
+  /** Gap-fill WITH linear interpolation: per event_type, the dense
+    * hourly mean-value series where empty buckets get the value
+    * interpolated between the nearest observed neighbors (edge buckets
+    * fall back to the nearest single neighbor) — the time-series repair
+    * step downstream ML expects after [[denseHourlySeries]]'s zero-fill.
+    *
+    * Neighbor lookup is two IGNORE-NULLS running window passes per
+    * type (no self-join); the spine is |types| × |hours| — partitioned
+    * by event_type so the window never single-partitions event data.
+    * All arithmetic is rational (decimal-exact means, epoch-second
+    * ratios), so the interpolated values are oracle-exact. */
+  def interpolateHourly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val hours = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("hour"))
+    val spine = events.select(col("event_type")).distinct()
+      .crossJoin(hours)
+    val obs = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mv"))
+    val wP = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wN = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val hr = unix_timestamp(col("hour")).cast("double")
+    spine.join(obs, Seq("event_type", "hour"), "left_outer")
+      .withColumn("hr", hr)
+      .withColumn("pv", last(col("mv"), ignoreNulls = true).over(wP))
+      .withColumn("ph",
+        last(when(col("mv").isNotNull, col("hr")), ignoreNulls = true)
+          .over(wP))
+      .withColumn("nv", first(col("mv"), ignoreNulls = true).over(wN))
+      .withColumn("nh",
+        first(when(col("mv").isNotNull, col("hr")), ignoreNulls = true)
+          .over(wN))
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNotNull, col("mv"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv")) * (col("hr") - col("ph")) /
+              (col("nh") - col("ph")))
+          .otherwise(coalesce(col("pv"), col("nv"))).as("value_filled"),
+        when(col("n").isNotNull, lit("observed"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            lit("interpolated"))
+          .otherwise(lit("edge")).as("fill"))
+      .orderBy(col("event_type"), col("hour"))
   }
 
   /** Batch form of the streaming anomaly detector

@@ -77,6 +77,31 @@ object TextAnalysis {
 
   }
 
+  /** Lexical diversity per document: type/token ratio and Gini–Simpson
+    * index (1 − Σ(c/n)²) over whitespace unigrams — the
+    * concentration-based diversity signal corpus-quality filters use
+    * where entropy would otherwise appear. Deliberately rational
+    * arithmetic only (counts, squares, one division): no transcendental
+    * `ln`, whose last-bit rounding is not pinned across engines (same
+    * reason tfidf ranks with tf·N/df). One explode + two hash
+    * aggregations on (doc_id, token) → doc_id; no window, no join. */
+  def lexicalDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nt"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("doc_id"),
+        col("nt").as("n_tokens"),
+        col("n_types"),
+        (col("n_types").cast("double") / col("nt").cast("double"))
+          .as("ttr"),
+        (lit(1.0) - col("ss").cast("double") /
+          (col("nt") * col("nt")).cast("double")).as("simpson"))
+      .orderBy(col("doc_id"))
+
   /** N-gram repetition ratio — the standard "duplicate n-gram fraction"
     * quality filter (Gopher/FineWeb-style rules drop documents whose
     * repeated-3-gram share exceeds a threshold). distinct-gram counts

@@ -415,6 +415,46 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest coarse
+    * centroid (per-label exact-mean seeds — the same deterministic
+    * stand-in for offline k-means the IVF index uses), compare pairs
+    * ONLY within a cluster, and emit one decision row per duplicate:
+    * the vector is a near-dup (cosine ≥ threshold) of a lower-id
+    * cluster-mate, and `kept_id` is the lowest such id (the keeper).
+    *
+    * Scale: candidate pairs never cross cluster boundaries — cost is
+    * Σ|cluster|², the SemDeDup contract (centroid count grows with the
+    * corpus so clusters stay bounded); assignment is one corpus scan
+    * against k broadcast centroids. No all-pairs join exists. */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.40)
+      : DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val seeds = exactMeans(corpus.select(col("label"), col("v")), "label")
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("scos").desc, col("label"))
+    val assigned = corpus.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("scos", cosine(col("v"), col("centroid")))
+      .withColumn("r", row_number().over(wv))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cluster"))
+    val a = assigned.select(col("cluster").as("ca"), col("vec_id").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cluster").as("cb"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    val wd = Window.partitionBy(col("id_b")).orderBy(col("id_a"))
+    a.join(b, col("ca") === col("cb") && col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(col("id_b").as("dup_id"), col("id_a").as("kept_id"),
+        col("ca").as("cluster"), round(col("cos"), 3).as("cos"))
+      .orderBy(col("dup_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH-bucket candidates (the scalable near-dup shape). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,

@@ -163,4 +163,91 @@ class OperatorSpec extends AnyFunSuite {
     val out2 = text.TextAnalysis.languageId(docs).collect().toSeq
     assert(out1 == out2 && out1.length == 500)
   }
+
+  test("funnel steps are ordered and monotonically non-increasing") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts", TimestampType)))
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      R(1L, "view", ts(1)), R(1L, "click", ts(2)), R(1L, "purchase", ts(3)),
+      R(2L, "view", ts(1)), R(2L, "purchase", ts(2)), // no click: stops at 1
+      R(3L, "click", ts(1)), R(3L, "view", ts(2)), // click BEFORE view
+      R(4L, "view", ts(1)), R(4L, "click", ts(2))) // no purchase
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = operators.EventsPipeline.funnel(df)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 4L), (2, 2L), (3, 1L)))
+  }
+
+  test("retention cohort 0-offset equals cohort size") {
+    val events = Tables.load(spark, sf, "events")
+    val out = operators.EventsPipeline.retention(events)
+    // every user appears at offset 0 of their own cohort, so the
+    // 0-offset cell is the cohort's total distinct-user count
+    val zero = out.filter(col("week_offset") === 0)
+      .agg(sum(col("n_users"))).collect()(0).getLong(0)
+    val users = events.select(col("user_id")).distinct().count()
+    assert(zero == users)
+    assert(out.filter(col("week_offset") < 0).isEmpty)
+  }
+
+  test("linear interpolation fills interior gaps exactly") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    val rows = Seq(
+      R("a", ts(0), 1.0), R("a", ts(3), 4.0), // gap at hours 1,2
+      R("b", ts(2), 10.0)) // edges at hours 0,1,3
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = operators.EventsPipeline.interpolateHourly(df)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      ("a", 1.0, "observed"), ("a", 2.0, "interpolated"),
+      ("a", 3.0, "interpolated"), ("a", 4.0, "observed"),
+      ("b", 10.0, "edge"), ("b", 10.0, "edge"),
+      ("b", 10.0, "observed"), ("b", 10.0, "edge")))
+  }
+
+  test("lexical diversity: ttr and Simpson index are exact") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val rows = Seq(R(1L, "a a b"), R(2L, "x y z"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val res = text.TextAnalysis.lexicalDiversity(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(res.toSeq == Seq(
+      (1L, 3L, 2L, 2.0 / 3.0, 1.0 - 5.0 / 9.0),
+      (2L, 3L, 3L, 1.0, 1.0 - 3.0 / 9.0)))
+  }
+
+  test("triangle count on a known co-supply graph") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType)))
+    // part 1 supplied by {1,2,3} -> K3; part 2 by {3,4} -> pendant edge
+    val rows = Seq(R(1L, 1L), R(1L, 2L), R(1L, 3L), R(2L, 3L), R(2L, 4L),
+      R(1L, 1L)) // duplicate lineitem row must not double-count
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = operators.Graph.triangles(df).collect()(0)
+    assert(out.getLong(0) == 4) // nodes
+    assert(out.getLong(1) == 4) // edges
+    assert(out.getLong(2) == 5) // wedges: deg 2,2,3,1 -> 1+1+3+0
+    assert(out.getLong(3) == 1) // one triangle
+    assert(out.getDouble(4) == 3.0 * 1.0 / 5.0)
+  }
 }

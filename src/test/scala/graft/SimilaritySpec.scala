@@ -136,4 +136,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.length == 10) // C(5,2)
     assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
+
+  test("semDedup marks near-duplicates with the lowest-id keeper") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("label", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = Seq(
+      Row(0L, "x", Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      Row(1L, "x", Seq(0.999f, 0.01f, 0.0f, 0.0f)), // near-dup of 0
+      Row(2L, "x", Seq(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal: kept
+      Row(3L, "y", Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      Row(4L, "y", Seq(0.0f, 0.0f, 0.95f, 0.05f))) // near-dup of 3
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(vecs), schema)
+    val out = vector.Similarity.semDedup(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 0L), (4L, 3L)))
+    // every decision stays within one cluster and above the threshold
+    val full = vector.Similarity.semDedup(df, threshold = 0.9).collect()
+    assert(full.forall(_.getDouble(3) >= 0.9))
+  }
 }
