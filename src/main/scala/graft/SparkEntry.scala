@@ -148,6 +148,8 @@ object SparkEntry {
     "q_upsert_latest" -> t("events")(E.upsertLatest),
     "q_trailing_1h" -> t("events")(E.trailingHourSum),
     "q_scd2" -> t("events")(E.scd2Build),
+    "q_cdc_apply" -> t("events")(E.cdcApply),
+    "q_winsorized" -> t("events")(E.winsorizedStats),
     "q_incr_agg" -> t("events")(E.incrementalAggMerge(_)),
     "q_table_diff" -> t("events")(operators.Pipeline.tableDiffSummary),
     "q_salted_agg" -> t("events")(operators.Skew.saltedValueSums(_)),
@@ -172,6 +174,8 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
     "q_hll_mergeable" -> t("events")(operators.Extended.approxUsersBySketch),
+    "q_kll_mergeable" -> t("events")(operators.Extended.kllValueQuantiles),
+    "q_theta_overlap" -> t("events")(operators.Extended.thetaOverlap),
     "q_dedup_clusters" -> t("documents")(operators.Pipeline.dedupClusters(_)),
     "q_heavy_hitters" -> t("documents")(T.heavyHitters(_)),
     "q_tfidf" -> t("documents")(T.topTfidfTerms(_)),
@@ -232,6 +236,9 @@ object SparkEntry {
     "q_lang_id" -> t("documents")(T.languageId),
     "q_md5_fp" -> t("documents")(T.md5Fingerprints),
     "q_rolling_fp" -> t("documents")(T.rollingFingerprints),
+    "q_bm25" -> t("documents")(T.bm25Rank(_)),
+    "q_char_entropy" -> t("documents")(T.charEntropy(_)),
+    "q_bigram_lm" -> t("documents")(T.bigramLogProb(_)),
     // ---- deduplication (north star) ----
     "q_dedup_exact" -> t("documents")(D.exactDedup),
     "q_dedup_digest" -> t("documents")(D.exactDedupByDigest),
@@ -270,8 +277,9 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — one entry per SQL-expressible query above.
   // Omitted (rows-only check):
-  // q_approx_distinct / q_approx_percentile / q_hll_mergeable
-  // (approximate by design; SketchSpec pins HLL invariants),
+  // q_approx_distinct / q_approx_percentile / q_hll_mergeable /
+  // q_kll_mergeable / q_theta_overlap
+  // (approximate by design; SketchSpec pins HLL + KLL + Theta invariants),
   // q_minhash_lsh / q_simhash_pairs (engine-specific hashing — the
   // neutral-hash variant q_minhash_neutral IS oracled),
   // q_media_features (stub codec runs in Scala).
@@ -718,6 +726,41 @@ object SparkEntry {
            lead(ts, 1) OVER (PARTITION BY user_id
              ORDER BY ts, event_id) IS NULL AS is_current
          FROM events ORDER BY user_id, valid_from, event_id""",
+    "q_cdc_apply" ->
+      """WITH c AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rk
+           FROM events)
+         SELECT user_id, op AS last_op, ts AS last_ts, value AS last_value
+         FROM c WHERE rk = 1 AND op <> 'D' ORDER BY user_id""",
+    // nearest-rank winsorize: bounds are ACTUAL data values (rank
+    // ceil(p*n)), so they are bit-exact across engines; the clipped mean
+    // sums exact decimals (same cast as Spark's decimal(28,6)).
+    "q_winsorized" ->
+      """WITH ranked AS (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         bounds AS (
+           SELECT event_type, min(value) AS lo, max(value) AS hi
+           FROM ranked
+           WHERE rk = ceil(n * 0.05) OR rk = ceil(n * 0.95)
+           GROUP BY event_type)
+         SELECT e.event_type,
+           count(*) AS n,
+           min(b.lo) AS p05,
+           min(b.hi) AS p95,
+           CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi)
+             AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS winsorized_mean
+         FROM events e JOIN bounds b USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
     "q_interval_join" ->
       """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
             p.event_id AS purchase_id, p.ts AS purchase_ts
@@ -1480,6 +1523,99 @@ object SparkEntry {
                  t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 36028797018963967) AS rolling_fp
          FROM documents ORDER BY doc_id""",
+    // BM25: determinism contract mirrored from TextAnalysis.bm25Rank —
+    // integer aggs, idf rounded to 9 decimals right after ln(), per-doc
+    // score summed in fixed column order (s1+s2+s3). Float literals are
+    // written as the same arithmetic Scala performs ((1.2 + 1.0), not
+    // 2.2) so both engines compute identical doubles.
+    "q_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         stats AS (
+           SELECT t, count(*) AS cf, count(DISTINCT doc_id) AS df
+           FROM toks GROUP BY t),
+         query AS (
+           SELECT * FROM (
+             SELECT t, df, row_number() OVER (ORDER BY cf DESC, t) AS qrk
+             FROM stats) WHERE qrk <= 3),
+         n AS (
+           SELECT count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_len
+           FROM documents),
+         dl AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         tf AS (
+           SELECT doc_id, t, df, qrk, count(*) AS tf
+           FROM toks JOIN query USING (t) GROUP BY 1, 2, 3, 4),
+         s AS (
+           SELECT tf.doc_id, qrk,
+             round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) /
+                      (CAST(df AS DOUBLE) + 0.5)), 9)
+               * (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+               (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                 CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+                 CAST(tot_len AS DOUBLE))) AS s
+           FROM tf JOIN dl USING (doc_id), n),
+         perdoc AS (
+           SELECT doc_id,
+             max(CASE WHEN qrk = 1 THEN s END) AS s1,
+             max(CASE WHEN qrk = 2 THEN s END) AS s2,
+             max(CASE WHEN qrk = 3 THEN s END) AS s3
+           FROM s GROUP BY doc_id),
+         sc AS (
+           SELECT doc_id,
+             coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0) AS score
+           FROM perdoc),
+         r AS (
+           SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+               AS INTEGER) AS rk
+           FROM sc)
+         SELECT doc_id, score, rk FROM r WHERE rk <= 20 ORDER BY rk""",
+    // char entropy: per-char terms rounded to 9 decimals then summed as
+    // DECIMAL (order-independent) — same contract as the Spark plan.
+    "q_char_entropy" ->
+      """WITH idx AS (
+           SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+           FROM documents WHERE doc_id < 200),
+         chars AS (
+           SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+           FROM idx),
+         counts AS (
+           SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+         n AS (SELECT doc_id, count(*) AS n FROM chars GROUP BY 1),
+         terms AS (
+           SELECT doc_id, n,
+             CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+               log2(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 9)
+               AS DECIMAL(20,9)) AS term
+           FROM counts JOIN n USING (doc_id))
+         SELECT doc_id, n AS n_chars_tok, count(*) AS distinct_chars,
+           CAST(sum(term) AS DOUBLE) AS entropy_bits
+         FROM terms GROUP BY doc_id, n ORDER BY doc_id""",
+    // bigram LM: ln(c12/c1) rounded to 9 decimals, summed as DECIMAL;
+    // the average is one final double division.
+    "q_bigram_lm" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                 FROM w WHERE len(w) >= 2)),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         lm AS (
+           SELECT w1, w2,
+             CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)), 9)
+               AS DECIMAL(20,9)) AS lp
+           FROM c12 JOIN c1 USING (w1))
+         SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_logprob
+         FROM bg JOIN lm USING (w1, w2)
+         WHERE doc_id < 200
+         GROUP BY doc_id ORDER BY doc_id""",
     // argmax tie-break mirrors Spark's sort_array(desc) on struct(score,
     // lang): score DESC then candidate lang DESC.
     "q_lang_id" ->

@@ -594,4 +594,64 @@ object EventsPipeline {
       .select(col("user_id"), col("event_id"), col("running_value"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** Winsorized (clipped) per-type statistics: clamp `value` to its
+    * nearest-rank p05/p95 order statistics before averaging — the outlier
+    * treatment a metrics pipeline applies before trend charts (the
+    * reference charts raw value and is whipsawed by outliers,
+    * app.py:373-390).
+    *
+    * Nearest-rank (an ACTUAL data value at rank ceil(p·n)), not
+    * interpolated percentile_cont: picking a real value keeps the bounds
+    * bit-exact across engines (interpolation formulas differ in float
+    * association). Clipped mean sums exact decimals. One window sort per
+    * type + one agg — at scale the sort is the cost, same as any exact
+    * percentile; approximate variants live in q_approx_percentile. */
+  def winsorizedStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = events
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val bounds = ranked
+      .filter(col("rk") === ceil(col("n") * lit(0.05)) ||
+        col("rk") === ceil(col("n") * lit(0.95)))
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    events
+      .join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("lo")).as("p05"),
+        min(col("hi")).as("p95"),
+        (sum(least(greatest(col("value"), col("lo")), col("hi"))
+          .cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("winsorized_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CDC apply-changes: interpret the event stream as a change log
+    * (signup=INSERT, error=DELETE, anything else=UPSERT) and materialize
+    * the final table state — last writer wins by (ts, event_id), deletes
+    * drop the key. The MERGE INTO semantics of a warehouse CDC sink,
+    * expressed as one window + filter (no iterative merge): at 100 TB the
+    * log shuffles once on the key and each key resolves independently.
+    * Complements q_upsert_latest (no deletes) and q_scd2 (full history). */
+  def cdcApply(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("op",
+        when(col("event_type") === "signup", lit("I"))
+          .when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("op").as("last_op"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
 }

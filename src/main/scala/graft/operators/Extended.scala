@@ -320,4 +320,71 @@ object Extended {
         hll_sketch_estimate(col("sk")).as("approx_users"), col("exact_users"))
     perOut.unionAll(global).orderBy(col("event_type"))
   }
+
+  /** Mergeable KLL quantile rollup (functions/QuantileSketch.scala) — the
+    * quantile twin of [[approxUsersBySketch]]: stage 1 builds the sketch
+    * table a 100 TB pipeline would persist (one ~KB sketch per
+    * (event_type, day)); stage 2 answers per-type AND global p50/p95/p99
+    * by UNIONING sketches — never re-reading raw rows. Both stages are
+    * distributed aggregates (partial-merge inside the
+    * TypedImperativeAggregate); nothing collects. Rows-only by design
+    * (sketch compaction is engine-native — same class as
+    * q_approx_percentile); SketchSpec pins the rank-error bound and
+    * merge associativity, q_percentile is the exact twin. */
+  def kllValueQuantiles(events: DataFrame): DataFrame = {
+    import graft.functions.QuantileSketch
+    val ranks = Seq(0.5, 0.95, 0.99)
+    val rollup = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(QuantileSketch.kllSketch(col("value")).as("sk"))
+    def readout(grouped: DataFrame): DataFrame = grouped
+      .select(col("event_type"),
+        element_at(col("q"), 1).as("approx_p50"),
+        element_at(col("q"), 2).as("approx_p95"),
+        element_at(col("q"), 3).as("approx_p99"))
+    val per = readout(rollup.groupBy(col("event_type"))
+      .agg(QuantileSketch.kllUnionQuantiles(col("sk"), ranks).as("q")))
+    val global = readout(rollup
+      .agg(QuantileSketch.kllUnionQuantiles(col("sk"), ranks).as("q"))
+      .withColumn("event_type", lit("ALL")))
+    per.unionAll(global).orderBy(col("event_type"))
+  }
+
+  /** Audience overlap via Theta sketches (functions/ThetaSketch.scala):
+    * per-segment user sketches, then |A∩B| / |A\B| estimates per segment
+    * pair — the set-operation capability HLL lacks. The scan→sketch agg
+    * is distributed; the pair algebra runs over one tiny row per segment
+    * pair (5 segments → 10 pairs) through a typed Dataset map (the
+    * sketch bytes are opaque to SQL — this is the documented
+    * Dataset[T]-where-it-helps case, not a hot path). Exact twins are
+    * computed relationally in the same result for self-evidencing
+    * rows-only checks; SketchSpec pins the error bound. */
+  def thetaOverlap(events: DataFrame): DataFrame = {
+    import graft.functions.ThetaSketch
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sk = events.groupBy(col("event_type"))
+      .agg(ThetaSketch.thetaSketch(col("user_id")).as("sk"))
+      .as[(String, Array[Byte])]
+    val approx = sk.joinWith(broadcast(sk), lit(true), "inner")
+      .filter(p => p._1._1 < p._2._1)
+      .map { case ((ta, ska), (tb, skb)) =>
+        (ta, tb, ThetaSketch.intersectEstimate(ska, skb),
+          ThetaSketch.aNotBEstimate(ska, skb))
+      }
+      .toDF("type_a", "type_b", "approx_both", "approx_only_a")
+    val ua = events.select(col("event_type"), col("user_id")).distinct()
+    val exact = ua.as("a")
+      .join(ua.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_both"))
+    approx.join(exact, Seq("type_a", "type_b"), "left_outer")
+      .select(col("type_a"), col("type_b"), col("approx_both"),
+        coalesce(col("exact_both"), lit(0L)).as("exact_both"),
+        col("approx_only_a"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

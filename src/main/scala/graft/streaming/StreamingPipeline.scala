@@ -217,6 +217,34 @@ object StreamingPipeline {
         col("purchase_id"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER stream-stream join: every view emits, with purchase
+    * columns null when no purchase landed in the preceding hour. Outer
+    * results can only emit once the watermark passes the join window (the
+    * engine must prove no matching purchase can still arrive), so nulls
+    * surface watermark-delayed — the canonical conversion-attribution
+    * shape ("views that did NOT convert" drives retargeting). Same
+    * bounded state as the inner form; the time-bound condition is
+    * REQUIRED by Spark for outer stream-stream joins. */
+  def viewsLeftJoinPurchases(stream: DataFrame): DataFrame = {
+    val views = validated(stream)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = validated(stream)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") <= col("view_ts") &&
+        col("purchase_ts") >= col("view_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Spark 4 `transformWithState` form of per-user state (the successor
     * API to flatMapGroupsWithState: typed state handles, TTL, timers;
     * requires the RocksDB state store provider). Emits an anomaly record

@@ -343,4 +343,138 @@ object TextAnalysis {
           .as("rolling_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** BM25 document ranking against a data-driven query (the 3 globally
+    * most frequent corpus terms — self-contained, no external query set).
+    * The retrieval scorer an LLM-pipeline contamination/quality gate
+    * actually runs.
+    *
+    * Determinism contract (the oracle hash is exact): all aggregates are
+    * integer counts; `idf` is the only transcendental (`ln`) and is
+    * ROUNDED to 9 decimals immediately, so every downstream +,*,/ is an
+    * IEEE-exact op both engines agree on; the per-doc score sums the ≤3
+    * per-term scores in FIXED column order (s1+s2+s3), never through a
+    * float SUM whose partial-aggregation order is engine-dependent.
+    *
+    * Scale: term stats and tf are map-side-combined integer aggs on
+    * (term) / (doc_id, term); the 3-row query table broadcasts; no
+    * shuffle grows with corpus size beyond the tf agg itself. */
+  def bm25Rank(documents: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+      topDocs: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    // corpus term stats: total freq (query selection) + doc freq (idf)
+    val termStats = toks.groupBy(col("t"))
+      .agg(count(lit(1)).as("cf"), count_distinct(col("doc_id")).as("df"))
+    val qw = Window.orderBy(col("cf").desc, col("t"))
+    val query = termStats
+      .withColumn("qrk", row_number().over(qw))
+      .filter(col("qrk") <= 3)
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("tot_len"))
+    val docLen = documents.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val tf = toks.join(broadcast(query.select(col("t"), col("df"), col("qrk"))), Seq("t"))
+      .groupBy(col("doc_id"), col("t"), col("df"), col("qrk"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 9))
+      .withColumn("s",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+              col("n_docs").cast("double") / col("tot_len").cast("double"))))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("qrk") === 1, col("s"))).as("s1"),
+        max(when(col("qrk") === 2, col("s"))).as("s2"),
+        max(when(col("qrk") === 3, col("s"))).as("s3"))
+      .withColumn("score",
+        coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
+          coalesce(col("s3"), lit(0.0)))
+    val rw = Window.orderBy(col("score").desc, col("doc_id"))
+    perDoc
+      .withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= topDocs)
+      .select(col("doc_id"), col("score"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  /** Character-level Shannon entropy per document (bits/char) — the
+    * classic gibberish/boilerplate quality signal (low entropy = repeated
+    * filler, high = random noise).
+    *
+    * Chars come from an explicit 1..len substring explode (identical in
+    * both engines, unlike empty-separator split edge cases). Per-char
+    * terms `(c/n)·log2(n/c)` are rounded to 9 decimals and summed as
+    * DECIMAL — exact, order-independent — so the result hash-matches
+    * DuckDB despite float partial-agg ordering. */
+  def charEntropy(documents: DataFrame, maxDocs: Int = 200): DataFrame = {
+    val chars = documents
+      .filter(col("doc_id") < maxDocs)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1)))).as("ch"))
+    val counts = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val n = chars.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    counts
+      .join(n, Seq("doc_id"))
+      .withColumn("term",
+        round((col("c").cast("double") / col("n").cast("double")) *
+          log2(col("n").cast("double") / col("c").cast("double")), 9)
+          .cast("decimal(20,9)"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("distinct_chars"),
+        sum(col("term")).cast("double").as("entropy_bits"))
+      .select(col("doc_id"), col("n").as("n_chars_tok"),
+        col("distinct_chars"), col("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram language-model fluency score: train token-bigram conditional
+    * probabilities on the corpus itself, then score each document by its
+    * average log-probability — the cheap statistical stand-in for
+    * perplexity filtering in a training-data pipeline.
+    *
+    * Counts are exact integers; each bigram's `ln(c12/c1)` is rounded to
+    * 9 decimals and summed as DECIMAL (order-independent, oracle-exact);
+    * the average is one final double division. Scale: two integer aggs
+    * over the bigram stream + one broadcast-sized (vocab) join against
+    * the unigram table — or shuffle join when the vocab outgrows
+    * broadcast; no per-doc state beyond the agg. */
+  def bigramLogProb(documents: DataFrame, maxDocs: Int = 200): DataFrame = {
+    val bigrams = documents
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      // guard: sequence(0, -1) would DESCEND for 1-token docs (ANSI
+      // element_at(0) error), so single-token docs carry no bigrams
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("w1"),
+            element_at(col("w"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val lm = c12.join(c1, Seq("w1"))
+      .withColumn("lp",
+        round(log(col("c12").cast("double") / col("c1").cast("double")), 9)
+          .cast("decimal(20,9)"))
+    bigrams
+      .filter(col("doc_id") < maxDocs)
+      .join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_lp").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -250,4 +250,72 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.getLong(3) == 1) // one triangle
     assert(out.getDouble(4) == 3.0 * 1.0 / 5.0)
   }
+
+  test("char entropy bounded by log2(distinct chars); uniform text exact") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // "abab" -> uniform over {a,b} -> exactly 1 bit/char
+    val rows = Seq(R(1L, "abab"), R(2L, "aaaa"), R(3L, "abcd"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val res = text.TextAnalysis.charEntropy(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(res(1L) == ((2L, 1.0)))
+    assert(res(2L) == ((1L, 0.0)))
+    assert(res(3L) == ((4L, 2.0)))
+    // bound holds on the fixture corpus
+    val fx = text.TextAnalysis.charEntropy(Tables.load(spark, sf, "documents"))
+    assert(fx.filter(col("entropy_bits") < -1e-9 ||
+      col("entropy_bits") > log2(col("distinct_chars")) + lit(1e-6)).count() == 0)
+  }
+
+  test("bigram LM: probabilities <= 1 so avg log-prob <= 0; repeated text scores 0") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // corpus where every bigram is deterministic: P = 1, logprob = 0
+    val rows = Seq(R(1L, "a b c"), R(2L, "a b c"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val res = text.TextAnalysis.bigramLogProb(df).collect()
+    assert(res.length == 2 && res.forall(_.getDouble(2) == 0.0))
+    val fx = text.TextAnalysis.bigramLogProb(Tables.load(spark, sf, "documents"))
+    assert(fx.filter(col("avg_logprob") > 1e-12).count() == 0)
+  }
+
+  test("bm25: rank 1 has max score; single-token docs don't break scoring") {
+    val out = text.TextAnalysis.bm25Rank(Tables.load(spark, sf, "documents"))
+      .collect()
+    assert(out.length == 20)
+    assert(out.map(_.getInt(2)).toSeq == (1 to 20))
+    val scores = out.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("winsorized mean sits within [p05, p95]; bounds are data values") {
+    val events = Tables.load(spark, sf, "events")
+    val out = operators.EventsPipeline.winsorizedStats(events).collect()
+    val values = events.select("value").collect().map(_.getDouble(0)).toSet
+    out.foreach { r =>
+      val (lo, hi, m) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi && m >= lo - 1e-6 && m <= hi + 1e-6)
+      assert(values.contains(lo) && values.contains(hi)) // nearest-rank
+    }
+  }
+
+  test("cdc apply: deletes drop keys, survivors carry the latest row") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf, "events")
+    val out = operators.EventsPipeline.cdcApply(events)
+    assert(out.filter(col("last_op") === "D").count() == 0)
+    // survivors+deleted partition the key space
+    val lastOps = events
+      .withColumn("rk", expr(
+        "row_number() over (partition by user_id order by ts desc, event_id desc)"))
+      .filter(col("rk") === 1)
+    val deleted = lastOps.filter(col("event_type") === "error").count()
+    val total = events.select("user_id").distinct().count()
+    assert(out.count() == total - deleted)
+  }
 }

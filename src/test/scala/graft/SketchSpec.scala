@@ -64,4 +64,82 @@ class SketchSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(merged == direct, s"merged=$merged direct=$direct")
   }
+
+  test("KLL quantiles land within the rank-error bound of exact") {
+    val ev = Tables.load(spark, sf, "events")
+    val approx = operators.Extended.kllValueQuantiles(ev).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // KLL k=200 normalized rank error ≈1.65% (99% conf); verify via the
+    // TRUE rank of the returned value: p50 estimate must have true rank
+    // in [0.5-eps, 0.5+eps].
+    val eps = 0.02
+    val types = approx.keySet - "ALL"
+    types.foreach { t =>
+      val vals = ev.filter(col("event_type") === t)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      def trueRank(q: Double): Double =
+        vals.count(_ <= q).toDouble / vals.length
+      val (p50, p95) = approx(t)
+      assert(math.abs(trueRank(p50) - 0.5) <= eps,
+        s"$t p50=$p50 trueRank=${trueRank(p50)}")
+      assert(math.abs(trueRank(p95) - 0.95) <= eps,
+        s"$t p95=$p95 trueRank=${trueRank(p95)}")
+    }
+  }
+
+  test("KLL merge associativity: daily-sketch union == direct sketch quantile") {
+    import graft.functions.QuantileSketch
+    val ev = Tables.load(spark, sf, "events")
+    // union of per-day sketches
+    val viaRollup = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(QuantileSketch.kllSketch(col("value")).as("sk"))
+      .agg(QuantileSketch.kllUnionQuantiles(col("sk"), Seq(0.5)).as("q"))
+      .select(element_at(col("q"), 1)).collect()(0).getDouble(0)
+    // exact rank of both results must satisfy the same bound; and the
+    // driver-side merge helper must agree with the distributed union
+    val sketches = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(QuantileSketch.kllSketch(col("value")).as("sk"))
+      .select("sk").collect().map(_.getAs[Array[Byte]](0)).toSeq
+    val viaDriver = QuantileSketch.mergeQuantile(sketches, 0.5)
+    // KLL compaction coin-flips, so merge orders may differ in the last
+    // retained items — the CONTRACT is the rank-error bound, which must
+    // hold for every merge order.
+    val vals = ev.select("value").collect().map(_.getDouble(0)).sorted
+    def trueRank(q: Double): Double =
+      vals.count(_ <= q).toDouble / vals.length
+    assert(math.abs(trueRank(viaRollup) - 0.5) <= 0.02,
+      s"union p50=$viaRollup trueRank=${trueRank(viaRollup)}")
+    assert(math.abs(trueRank(viaDriver) - 0.5) <= 0.02,
+      s"driver-merge p50=$viaDriver trueRank=${trueRank(viaDriver)}")
+  }
+
+  test("Theta intersection estimates match exact overlaps within bound") {
+    val ev = Tables.load(spark, sf, "events")
+    val rows = operators.Extended.thetaOverlap(ev).collect()
+    assert(rows.length == 10) // C(5,2) segment pairs
+    rows.foreach { r =>
+      val approx = r.getDouble(2)
+      val exact = r.getLong(3).toDouble
+      // lgK=12: sketches are exact below 4096 distinct; allow 5% slack
+      // for when a larger fixture pushes them into estimation mode
+      assert(math.abs(approx - exact) <= math.max(1.0, 0.05 * exact),
+        s"${r.getString(0)}∩${r.getString(1)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("Theta a-not-b + intersection partition each segment's users") {
+    import graft.functions.ThetaSketch
+    val ev = Tables.load(spark, sf, "events")
+    val sk = ev.groupBy(col("event_type"))
+      .agg(ThetaSketch.thetaSketch(col("user_id")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val (a, b) = (sk("click"), sk("purchase"))
+    val total = ThetaSketch.estimate(a)
+    val split = ThetaSketch.intersectEstimate(a, b) +
+      ThetaSketch.aNotBEstimate(a, b)
+    assert(math.abs(total - split) <= math.max(1.0, 0.05 * total),
+      s"|A|=$total but |A∩B|+|A\\B|=$split")
+  }
 }

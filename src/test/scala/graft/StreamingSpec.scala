@@ -369,6 +369,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((2L, 1L)))
   }
 
+  test("left-outer stream-stream join emits unmatched views after watermark") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      Ev(2, ts("2024-01-01 10:30:00"), 1L, "view", 1.0, "{}"), // converts
+      Ev(3, ts("2024-01-01 10:30:00"), 2L, "view", 1.0, "{}")) // never converts
+    val q = streaming.StreamingPipeline.viewsLeftJoinPurchases(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer_test").start()
+    q.processAllAvailable()
+    // the unmatched view can only emit once BOTH watermarks clear the 1h
+    // join window (global watermark = min over the two sides, and each
+    // side's watermark node sits after its event_type filter) — so push
+    // event time forward on each side
+    mem.addData(
+      Ev(9, ts("2024-01-01 13:00:00"), 9L, "view", 1.0, "{}"),
+      Ev(10, ts("2024-01-01 13:00:00"), 9L, "purchase", 1.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(
+      Ev(11, ts("2024-01-01 15:00:00"), 8L, "view", 1.0, "{}"),
+      Ev(12, ts("2024-01-01 15:00:00"), 8L, "purchase", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_outer_test").collect()
+      .map(r => (r.getAs[Long]("view_id"),
+        Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong)))
+      .toSet
+    assert(rows.contains((2L, Some(1L))), s"matched view missing: $rows")
+    assert(rows.contains((3L, None)), s"unmatched view not emitted: $rows")
+  }
+
   test("file-stream over events parquet processes all rows (AvailableNow)") {
     val out = streaming.StreamingPipeline.runWindowedBatch(spark, TestSpark.sf)
     val total = out.agg(sum("n")).collect()(0).getLong(0)
