@@ -43,9 +43,15 @@ object Bench {
         .start()
       w.awaitTermination()
     }
+    // Optional comma-separated name filter for single-query profiling
+    // inside the warmed bench session (SPARK_GRAFT_ONLY=q_a,q_b).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // A failed query records a NEGATIVE elapsed time (and lands in the
     // `errors` list) so a crash is never mistaken for a measurement.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case _: Throwable => false }

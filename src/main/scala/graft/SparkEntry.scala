@@ -97,6 +97,16 @@ object SparkEntry {
         .orderBy(col("zval"), col("o_orderkey"))
         .limit(1000)
     },
+    "q_hilbert" -> t("orders") { o =>
+      import org.apache.spark.sql.functions.{col, expr}
+      // Hilbert index of the same (custkey, epoch-day) pair as q_zorder
+      // — the locality-tighter layout key (functions/HilbertValue).
+      o.select(col("o_orderkey"),
+          graft.functions.HilbertValue.hilbert(col("o_custkey"),
+            expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")).as("hval"))
+        .orderBy(col("hval"), col("o_orderkey"))
+        .limit(1000)
+    },
     "q_zorder_range" -> t("orders") { o =>
       import org.apache.spark.sql.functions.{col, expr}
       // The read pattern the z-order layout serves: a 2-D box query
@@ -176,6 +186,16 @@ object SparkEntry {
     "q_hll_mergeable" -> t("events")(operators.Extended.approxUsersBySketch),
     "q_kll_mergeable" -> t("events")(operators.Extended.kllValueQuantiles),
     "q_theta_overlap" -> t("events")(operators.Extended.thetaOverlap),
+    "q_cms_freq" -> t("events")(operators.Extended.cmsFrequencies(_)),
+    "q_substring_dedup" -> t("documents")(D.substringDedup(_)),
+    "q_sorted_neighborhood" -> t("documents")(D.sortedNeighborhoodPairs(_)),
+    "q_fuzzy_join" -> t("documents")(D.fuzzyJoinPairs(_)),
+    "q_boilerplate" -> t("documents")(T.boilerplateScan(_)),
+    "q_equidepth_hist" -> t("lineitem")(R.equiDepthHistogram(_)),
+    "q_shipping_priority" -> ((s, dir) => R.shippingPriority(
+      Tables.load(s, dir, "customer"), Tables.load(s, dir, "orders"),
+      Tables.load(s, dir, "lineitem"))),
+    "q_mad_outliers" -> t("events")(R.madOutliers(_)),
     "q_dedup_clusters" -> t("documents")(operators.Pipeline.dedupClusters(_)),
     "q_heavy_hitters" -> t("documents")(T.heavyHitters(_)),
     "q_tfidf" -> t("documents")(T.topTfidfTerms(_)),
@@ -1020,6 +1040,14 @@ object SparkEntry {
             ${graft.functions.ZValue.zvalueSql("o_custkey",
               "date_diff('day', DATE '1970-01-01', o_orderdate::DATE)")} AS zval
           FROM orders ORDER BY zval, o_orderkey LIMIT 1000""",
+    "q_hilbert" ->
+      s"""WITH RECURSIVE pts AS (
+            SELECT o_orderkey AS key, o_custkey AS x,
+              date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS y
+            FROM orders),
+          ${graft.functions.HilbertValue.hilbertCteSql("pts")}
+          SELECT key AS o_orderkey, hval FROM _hilbert
+          ORDER BY hval, o_orderkey LIMIT 1000""",
     "q_zorder_range" -> {
       import graft.functions.ZValue
       s"""SELECT o_orderkey, o_custkey,
@@ -1649,6 +1677,39 @@ object SparkEntry {
     "q_minhash_neutral" -> D.NeutralMinHash.oracleSql(),
     "q_dedup_incremental" -> D.NeutralMinHash.incrementalOracleSql(),
     "q_simhash_neutral" -> D.simhashNeutralOracleSql(),
+    "q_substring_dedup" -> D.substringDedupOracleSql(),
+    "q_sorted_neighborhood" -> D.sortedNeighborhoodOracleSql(),
+    "q_fuzzy_join" -> D.fuzzyJoinOracleSql(),
+    "q_boilerplate" -> T.boilerplateOracleSql(),
+    "q_equidepth_hist" -> R.equiDepthOracleSql(),
+    "q_cms_freq" -> operators.Extended.cmsOracleSql(),
+    "q_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+            $revenueExpr AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1997-03-15'
+            AND l_shipdate > TIMESTAMP '1997-03-15'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+    "q_mad_outliers" ->
+      """WITH med AS (
+           SELECT event_type, median(value) AS med FROM events
+           GROUP BY event_type),
+         dev AS (
+           SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, any_value(med) AS med, median(adev) AS mad
+           FROM dev GROUP BY event_type)
+         SELECT d.event_type, m.med, m.mad,
+           CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
+           count(*) AS n_total
+         FROM dev d JOIN mad m USING (event_type)
+         GROUP BY d.event_type, m.med, m.mad ORDER BY d.event_type""",
     "q_pagerank" -> operators.Graph.pagerankOracleSql(),
     "q_triangles" -> operators.Graph.trianglesOracleSql(),
     "q_synth_stream" ->

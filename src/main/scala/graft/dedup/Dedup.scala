@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis.tokens
 
@@ -495,4 +496,206 @@ object Dedup {
              AND a.doc_id < b.doc_id)
        SELECT doc_a, doc_b, hamming FROM cands
        WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b"""
+
+  /** Exact substring dedup (the "dedup at the substring level" pass of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): slide a `w`-char window with stride `s` over every
+    * document, hash each window, and flag any document that shares a
+    * window hash with an earlier (lower doc_id) document. Output per
+    * flagged doc: the earliest document it overlaps (`dup_of`) and how
+    * many of its windows are shared (`n_shared`).
+    *
+    * Scale: the index holds total_chars/stride hashes (stride halves it
+    * vs dense sliding; overlap ≥ w+s chars is still always caught since
+    * the two docs' window grids align on the copied region only when the
+    * copy is grid-aligned — stride=w/2 guarantees any shared run of
+    * ≥ 2w chars contains an aligned window). Hot boilerplate windows are
+    * df-capped exactly like the Jaccard posting lists; everything is
+    * hash-groupBy (md5 — engine-neutral so the query is fully oracled;
+    * at production scale swap in xxhash64 for 8-byte shuffle keys). */
+  def substringDedup(documents: DataFrame, w: Int = 40, stride: Int = 20,
+      maxDf: Int = 1000): DataFrame = {
+    val wins = documents
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - (w - 1), lit(stride)),
+          p => md5(col("text").substr(p, lit(w)))))).as("h"))
+    val firsts = wins
+      .groupBy(col("h"))
+      // wins is distinct per (doc, h), so count(*) == document frequency
+      .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+    wins
+      .join(firsts, "h")
+      .filter(col("doc_id") > col("first_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("first_id")).as("dup_of"), count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[substringDedup]]. */
+  def substringDedupOracleSql(w: Int = 40, stride: Int = 20,
+      maxDf: Int = 1000): String =
+    s"""WITH pos AS (
+         SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - ${w - 1}, $stride)) AS p
+         FROM documents WHERE length(text) >= $w),
+       win AS (SELECT DISTINCT doc_id, md5(substr(text, p, $w)) AS h
+         FROM pos),
+       firsts AS (
+         SELECT h, min(doc_id) AS first_id, count(*) AS df FROM win
+         GROUP BY h HAVING count(*) BETWEEN 2 AND $maxDf)
+       SELECT w.doc_id, min(f.first_id) AS dup_of, count(*) AS n_shared
+       FROM win w JOIN firsts f USING (h)
+       WHERE w.doc_id > f.first_id
+       GROUP BY w.doc_id ORDER BY w.doc_id"""
+
+  /** Sorted-neighborhood near-dup candidates (the classic record-linkage
+    * alternative to LSH): block on a normalized text prefix, sort within
+    * each block, and compare each doc only to its `k−1` successors in
+    * the sort order — candidate count is ≤ (k−1)·N regardless of corpus
+    * size. Pairs are scored with the same word-3-gram Jaccard as
+    * [[jaccardPairs]] and kept at `threshold`.
+    *
+    * Scale: the window is PARTITIONED by the blocking key (never a
+    * global-sort single-partition window) — each block sorts
+    * independently, which is exactly how sorted-neighborhood shards on a
+    * cluster; cross-block near-dups are traded away by design (the
+    * standard blocking trade-off; run multiple passes with different
+    * keys to recover them). Jaccard scoring touches only candidate
+    * pairs, never all pairs. */
+  /** Blocked k-successor candidate pairs shared by the
+    * sorted-neighborhood and fuzzy-join operators: block on an
+    * 8-char normalized prefix, sort within each block (window
+    * PARTITIONED by block — never a global sort), pair each doc with
+    * its k−1 successors. ≤ (k−1)·N candidates regardless of corpus
+    * size. */
+  private def neighborCandidates(documents: DataFrame, k: Int): DataFrame = {
+    val norm = lower(regexp_replace(
+      substring(col("text"), 1, 24), "[^A-Za-z0-9]", ""))
+    val keyed = documents.select(
+      col("doc_id"), norm.as("bkey"), substring(norm, 1, 8).as("blk"))
+    val w = Window.partitionBy(col("blk"))
+      .orderBy(col("bkey"), col("doc_id"))
+    keyed
+      .withColumn("nbrs",
+        array((1 until k).map(i => lead(col("doc_id"), i).over(w)): _*))
+      .select(col("doc_id").as("doc_a"), explode(col("nbrs")).as("doc_b"))
+      .filter(col("doc_b").isNotNull)
+  }
+
+  def sortedNeighborhoodPairs(documents: DataFrame, k: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val pairs = neighborCandidates(documents, k)
+    val sh = documents
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val sizes = documents
+      .select(col("doc_id"), size(shingles(col("text"))).as("n_sh"))
+    pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("za.n_sh") + col("zb.n_sh") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB oracle for [[sortedNeighborhoodPairs]]. */
+  def sortedNeighborhoodOracleSql(k: Int = 4,
+      threshold: Double = 0.3): String = {
+    val leads = (1 until k)
+      .map(i => s"lead(doc_id, $i) OVER win").mkString(", ")
+    s"""WITH keyed AS (
+         SELECT doc_id,
+           lower(regexp_replace(substr(text, 1, 24), '[^A-Za-z0-9]', '',
+             'g')) AS bkey
+         FROM documents),
+       blocked AS (SELECT doc_id, bkey, substr(bkey, 1, 8) AS blk
+         FROM keyed),
+       pairs AS (
+         SELECT doc_id AS doc_a, unnest([$leads]) AS doc_b
+         FROM blocked
+         WINDOW win AS (PARTITION BY blk ORDER BY bkey, doc_id)),
+       cand AS (SELECT doc_a, doc_b FROM pairs WHERE doc_b IS NOT NULL),
+       tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(len(w) - 2),
+               i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+         FROM tok),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       common AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         FROM cand c
+         JOIN sh a ON a.doc_id = c.doc_a
+         JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         GROUP BY c.doc_a, c.doc_b)
+       SELECT doc_a, doc_b, n_common,
+         CAST(n_common AS DOUBLE) /
+           CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
+       FROM common
+       JOIN sizes za ON za.doc_id = doc_a
+       JOIN sizes zb ON zb.doc_id = doc_b
+       WHERE CAST(n_common AS DOUBLE) /
+         CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= $threshold
+       ORDER BY doc_a, doc_b"""
+  }
+
+  /** Fuzzy join (edit-distance record linkage): the same blocked
+    * k-successor candidates as [[sortedNeighborhoodPairs]], scored by
+    * Levenshtein distance over a 64-char prefix instead of shingle
+    * Jaccard — the classic fuzzy-match shape for names/titles/URLs
+    * where token sets are too coarse.
+    *
+    * Scale: candidates are bounded at (k−1)·N before any distance is
+    * computed, and the O(p²) Levenshtein runs on fixed-length prefixes
+    * (p=64), so scoring cost is linear in N with a constant matrix
+    * size — never all-pairs, never unbounded-length DP. */
+  def fuzzyJoinPairs(documents: DataFrame, k: Int = 3,
+      maxDist: Int = 20): DataFrame = {
+    val pre = documents.select(
+      col("doc_id"), substring(col("text"), 1, 64).as("pre"))
+    neighborCandidates(documents, k)
+      .join(pre.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(pre.as("pb"), col("doc_b") === col("pb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa.pre"), col("pb.pre")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB oracle for [[fuzzyJoinPairs]]. */
+  def fuzzyJoinOracleSql(k: Int = 3, maxDist: Int = 20): String = {
+    val leads = (1 until k)
+      .map(i => s"lead(doc_id, $i) OVER win").mkString(", ")
+    s"""WITH keyed AS (
+         SELECT doc_id,
+           lower(regexp_replace(substr(text, 1, 24), '[^A-Za-z0-9]', '',
+             'g')) AS bkey
+         FROM documents),
+       blocked AS (SELECT doc_id, bkey, substr(bkey, 1, 8) AS blk
+         FROM keyed),
+       pairs AS (
+         SELECT doc_id AS doc_a, unnest([$leads]) AS doc_b
+         FROM blocked
+         WINDOW win AS (PARTITION BY blk ORDER BY bkey, doc_id)),
+       cand AS (SELECT doc_a, doc_b FROM pairs WHERE doc_b IS NOT NULL),
+       pre AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+       SELECT doc_a, doc_b,
+         CAST(levenshtein(pa.p, pb.p) AS INTEGER) AS edit_dist
+       FROM cand
+       JOIN pre pa ON pa.doc_id = doc_a
+       JOIN pre pb ON pb.doc_id = doc_b
+       WHERE levenshtein(pa.p, pb.p) <= $maxDist
+       ORDER BY doc_a, doc_b"""
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Cols._
@@ -387,4 +387,83 @@ object Extended {
         col("approx_only_a"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan): a depth×width counter
+    * grid where each key increments one bucket per hash row and a point
+    * estimate reads the MIN across rows — always ≥ the true count, with
+    * overcount bounded by collisions. Built here over per-user event
+    * traffic (`user_id % 1000`, 150 keys into width-64 buckets so
+    * collisions actually occur) and read back alongside the exact count,
+    * so the ε-guarantee (`cms_est ≥ exact_n`) is visible per row.
+    *
+    * Hashes are md5-derived (engine-neutral), so the entire circuit —
+    * sketch build, probe, estimate — is replayed exactly by the DuckDB
+    * oracle: a fully-oracled approximate structure.
+    *
+    * Scale: the grid is depth·width rows regardless of input size; the
+    * build is one map-side-combinable groupBy (the increment stream
+    * combines to ≤ depth·width partial rows per task before shuffling),
+    * and the probe side broadcasts the finished grid. Counters are
+    * additive, so per-source partial grids merge by cell-wise sum —
+    * same mergeability contract as the HLL/KLL/Theta rollups
+    * (ExtendedSpec pins merged == direct). */
+  private def cmsBucket(width: Int)(d: Column, key: Column): Column =
+    pmod(conv(substring(md5(concat_ws(":", d, key)), 1, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** The depth×width counter grid for a key column — additive, so grids
+    * from disjoint slices merge by cell-wise sum (pinned in SketchSpec). */
+  def cmsSketch(keyed: DataFrame, depth: Int, width: Int): DataFrame =
+    keyed
+      .select(col("key"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"), cmsBucket(width)(col("d"), col("key")).as("b"))
+      .groupBy(col("d"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
+  def cmsFrequencies(events: DataFrame, depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    def bucket(d: Column, key: Column): Column = cmsBucket(width)(d, key)
+    val keyed = events.select(
+      (col("user_id") % 1000).cast("string").as("key"))
+    val sketch = cmsSketch(keyed, depth, width)
+    val exact = keyed.groupBy(col("key"))
+      .agg(count(lit(1)).as("exact_n"))
+    exact
+      .select(col("key"), col("exact_n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("key"), col("exact_n"), col("d"),
+        bucket(col("d"), col("key")).as("b"))
+      .join(broadcast(sketch), Seq("d", "b"))
+      .groupBy(col("key"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("key"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overcount"))
+      .orderBy(col("key"))
+  }
+
+  /** DuckDB oracle for [[cmsFrequencies]]. */
+  def cmsOracleSql(depth: Int = 4, width: Int = 64): String =
+    s"""WITH keyed AS (
+         SELECT CAST(user_id % 1000 AS VARCHAR) AS key FROM events),
+       incr AS (
+         SELECT key, d,
+           ('0x' || substr(md5(d::VARCHAR || ':' || key), 1, 8))::BIGINT
+             % $width AS b
+         FROM keyed CROSS JOIN (SELECT unnest(range($depth)) AS d)),
+       sketch AS (
+         SELECT d, b, count(*) AS c FROM incr GROUP BY d, b),
+       exact AS (
+         SELECT key, count(*) AS exact_n FROM keyed GROUP BY key),
+       probe AS (
+         SELECT key, exact_n, d,
+           ('0x' || substr(md5(d::VARCHAR || ':' || key), 1, 8))::BIGINT
+             % $width AS b
+         FROM exact CROSS JOIN (SELECT unnest(range($depth)) AS d)),
+       est AS (
+         SELECT key, exact_n, min(c) AS cms_est
+         FROM probe JOIN sketch USING (d, b)
+         GROUP BY key, exact_n)
+       SELECT key, exact_n, cms_est, cms_est - exact_n AS overcount
+       FROM est ORDER BY key"""
 }

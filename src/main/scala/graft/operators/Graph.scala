@@ -93,18 +93,42 @@ object Graph {
     * (node-iterator++), whose wedge work is bounded by Σ outdeg² with
     * outdeg ≤ O(√m) under degree ordering.
     *
-    * Scale: the co-supply projection is per-part quadratic but TPC-H
-    * bounds suppliers-per-part (≈4), the same bounded-posting argument
-    * as the Jaccard inverted index; everything downstream is equi-join
-    * + aggregate on supplier keys. Integer/rational output only. */
-  def triangles(lineitem: DataFrame, partCap: Long = 2000): DataFrame = {
+    * Scale: the co-supply projection is per-part quadratic, so postings
+    * must be bounded — the same bounded-posting argument as the Jaccard
+    * inverted index's `maxDf` cap. Real TPC-H bounds suppliers-per-part
+    * at 4 by construction; the synthetic fixture does not (measured 50
+    * suppliers on one part at sf0.1, which makes the 1000-supplier
+    * co-supply graph a near-clique: 410k of 499.5k possible edges, ~100M
+    * wedges — quadratic blowup with no analytic value). `perPartCap`
+    * keeps the `suppPerPart` smallest suppliers per part (deterministic,
+    * orderable, oracle-expressible), restoring edges = O(parts ·
+    * cap²). Everything downstream is equi-join + aggregate on supplier
+    * keys. Integer/rational output only. */
+  def triangles(lineitem: DataFrame, partCap: Long = 2000,
+      suppPerPart: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(col("s"))
     val ps = lineitem.filter(col("l_partkey") <= partCap)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= suppPerPart)
+      .drop("rn")
+    // The edge list is referenced by deg (twice), oriented, and the edge
+    // stats; `oriented` is referenced three more times (both wedge sides
+    // + the closing probe). Left unpersisted, Catalyst re-expands each
+    // reference into the full lineitem-scan + self-join subtree (the
+    // physical plan held 17 copies of the ps⋈ps join — 33 s at sf0.1).
+    // Persisting the two tiny reused relations (edge lists are O(parts ×
+    // suppliers-per-part²), KBs here, dimension-sized at 100 TB) is the
+    // standard Spark idiom for iterative/multi-reference graph plans —
+    // GraphX does exactly this; a 1000-executor run would persist with
+    // MEMORY_AND_DISK and checkpoint to cut lineage.
     val edges = ps.as("x").join(ps.as("y"),
         col("x.p") === col("y.p") && col("x.s") < col("y.s"))
       .select(col("x.s").as("u"), col("y.s").as("v"))
       .distinct()
+      .persist()
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -117,6 +141,7 @@ object Graph {
         when(uLower, col("u")).otherwise(col("v")).as("lo"),
         when(uLower, col("v")).otherwise(col("u")).as("hi"),
         when(uLower, col("dv")).otherwise(col("du")).as("dhi"))
+      .persist()
     val e1 = oriented.select(col("lo").as("l1"), col("hi").as("h1"),
       col("dhi").as("dh1"))
     val e2 = oriented.select(col("lo").as("l2"), col("hi").as("h2"),
@@ -138,10 +163,14 @@ object Graph {
           col("n_wedges").cast("double")).as("clustering"))
   }
 
-  /** DuckDB oracle: identical orientation and wedge-close joins. */
-  def trianglesOracleSql(partCap: Long = 2000): String =
-    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+  /** DuckDB oracle: identical posting cap, orientation, wedge-close. */
+  def trianglesOracleSql(partCap: Long = 2000,
+      suppPerPart: Int = 5): String =
+    s"""WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
            FROM lineitem WHERE l_partkey <= $partCap),
+        ps AS (SELECT p, s FROM (
+           SELECT p, s, row_number() OVER (PARTITION BY p ORDER BY s) rn
+           FROM ps0) WHERE rn <= $suppPerPart),
         e AS (SELECT DISTINCT x.s AS u, y.s AS v
            FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
         deg AS (SELECT n, count(*) AS d FROM (

@@ -92,6 +92,119 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** TPC-H Q3-shaped shipping priority: segment-filtered customer
+    * broadcast-joined into orders, shuffle join to lineitem, grouped
+    * revenue, top 10. The classic "filter early, broadcast the filtered
+    * dim, take-ordered the result" plan: the segment filter drops ~80%
+    * of customers BEFORE the broadcast, date filters land in the parquet
+    * scans (PushedFilters), and the final top-10 is
+    * TakeOrderedAndProject, never a global sort. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+      .join(orders.filter(
+        col("o_orderdate") < lit("1997-03-15").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+
+  /** Robust outlier detection per group: median + MAD (median absolute
+    * deviation), flagging values beyond `nMads` MADs — the
+    * skew-insensitive alternative to z-scores for data-quality gates.
+    * Exact medians (Spark `percentile` / DuckDB `median`, identical
+    * linear interpolation), so the whole query is oracle-checked.
+    *
+    * Scale: two grouped exact-percentile passes over (group) — each a
+    * single shuffle keyed by the group column — plus broadcast joins of
+    * the tiny per-group stats back onto the fact stream. Exact grouped
+    * medians at 100 TB would swap in the KLL sketch rollup
+    * (functions/QuantileSketch.scala) with identical plumbing; this is
+    * the exact form of that pipeline. */
+  def madOutliers(events: DataFrame, nMads: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = events.select(col("event_type"), col("value"))
+      .join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        expr("percentile(adev, 0.5)").as("mad"))
+    dev.select(col("event_type"), col("adev"))
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(
+        sum(when(col("adev") > lit(nMads) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Exact equi-depth (equal-frequency) histogram of a fact-table
+    * measure WITHOUT a global sort — the scan-statistics builder an
+    * optimizer or data-profiler runs over a 100 TB column.
+    *
+    * Plan shape: (1) distinct-value counts (one map-side-combinable
+    * shuffle keyed by value); (2) a 1-row min/max/count agg, broadcast;
+    * (3) coarse fixed-width bins over the distinct values — the
+    * per-bin counts and cumulative bases are a ≤257-row table,
+    * broadcast back; (4) each distinct value's strict rank = bin base +
+    * within-bin cumulative count, where the window is PARTITIONED by
+    * coarse bin (every bin sorts independently — the range-partitioned
+    * sort shape, never a single-partition global window); (5) depth
+    * bucket = rank·B div N (integer arithmetic, engine-exact), then
+    * per-bucket count/lo/hi. Ties stay in one bucket (rank counts
+    * strictly-smaller values), so the result is deterministic.
+    * The DuckDB oracle computes the same histogram through a plain
+    * global cumulative window — two independent routes, one answer. */
+  def equiDepthHistogram(lineitem: DataFrame, b: Int = 10): DataFrame = {
+    val vc = lineitem
+      .groupBy(col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val stats = vc.agg(min(col("v")).as("_lo"), max(col("v")).as("_hi"),
+      sum(col("c")).as("_n"))
+    val binned = vc.crossJoin(broadcast(stats))
+      .withColumn("_bin", when(col("_hi") === col("_lo"), lit(0L))
+        .otherwise(floor((col("v") - col("_lo")) * lit(256.0) /
+          (col("_hi") - col("_lo"))).cast("long")))
+    val bases = binned.groupBy(col("_bin")).agg(sum(col("c")).as("_bc"))
+      .withColumn("_base", coalesce(sum(col("_bc")).over(
+        Window.orderBy(col("_bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bin"), col("_base"))
+    binned
+      .join(broadcast(bases), "_bin")
+      .withColumn("_rk", col("_base") + coalesce(sum(col("c")).over(
+        Window.partitionBy(col("_bin")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bucket", expr(s"(_rk * $b) div _n"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_rows"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[equiDepthHistogram]] — the simple global-window
+    * form of the same arithmetic. */
+  def equiDepthOracleSql(b: Int = 10): String =
+    s"""WITH vc AS (
+         SELECT l_extendedprice AS v, count(*) AS c FROM lineitem
+         GROUP BY 1),
+       n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+       rk AS (
+         SELECT v, c, CAST(coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS rk
+         FROM vc)
+       SELECT CAST((rk * $b) // (SELECT n FROM n) AS BIGINT) AS bucket,
+         CAST(sum(c) AS BIGINT) AS n_rows, min(v) AS lo, max(v) AS hi
+       FROM rk GROUP BY 1 ORDER BY 1"""
+
   /** Left outer join keeping order-less customers (count = 0 for them). */
   def ordersPerCustomer(customer: DataFrame, orders: DataFrame): DataFrame =
     customer

@@ -477,4 +477,63 @@ object TextAnalysis {
           .as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
+
+  /** Cross-document boilerplate detection (the MassiveText/RefinedWeb
+    * "repeated passages across documents" quality gate): a word n-gram
+    * appearing in ≥ `minDf` distinct documents is boilerplate (nav
+    * bars, license headers, templated intros); every doc reports how
+    * much of it is boilerplate. Documents with high `boiler_ratio` get
+    * down-weighted or cleaned in a training pipeline.
+    *
+    * Scale: the gram index is the same distinct-shingle explode as
+    * [[graft.dedup.Dedup.jaccardPairs]] (one shuffle keyed by gram,
+    * map-side combinable count); the boilerplate set is the HIGH-df
+    * tail, orders of magnitude smaller than the index, and joins back
+    * by gram with AQE free to broadcast it. Nothing is quadratic. */
+  def boilerplateScan(documents: DataFrame, n: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    import graft.dedup.Dedup.shingles
+    val sh = documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
+    val boiler = sh.groupBy(col("g"))
+      .agg(count(lit(1)).as("df")) // sh is distinct per (doc, gram)
+      .filter(col("df") >= minDf)
+    val hits = sh.join(boiler, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_boiler"))
+    documents
+      .select(col("doc_id"),
+        size(shingles(col("text"), n)).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[boilerplateScan]]. */
+  def boilerplateOracleSql(n: Int = 8, minDf: Int = 2): String =
+    s"""WITH tok AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(len(w) - ${n - 1}),
+               i -> array_to_string(w[i+1:i+$n], ' ')) END) AS g
+         FROM tok),
+       boiler AS (
+         SELECT g, count(*) AS df FROM sh GROUP BY g
+         HAVING count(*) >= $minDf),
+       hits AS (
+         SELECT doc_id, count(*) AS n_boiler FROM sh JOIN boiler USING (g)
+         GROUP BY doc_id),
+       totals AS (
+         SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id)
+       SELECT t.doc_id, t.n_grams,
+         coalesce(h.n_boiler, 0) AS n_boiler,
+         CAST(coalesce(h.n_boiler, 0) AS DOUBLE) /
+           CAST(t.n_grams AS DOUBLE) AS boiler_ratio
+       FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
+       ORDER BY t.doc_id"""
 }

@@ -133,4 +133,45 @@ class DedupSpec extends AnyFunSuite {
       dedup.Dedup.shinglesComposed(col("text"), 3).as("ref")).collect()
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
+
+  test("substring dedup flags docs sharing a long run, skips disjoint") {
+    val shared = "X" * 25 + "SHARED-RUN-" * 8 + "Y" * 25 // >2w shared core
+    val a = "prefix-alpha " + shared + " suffix-alpha-tail-one"
+    val b = "prefix-beta--" + shared + " suffix-beta--tail-two"
+    val c = "Z" * 120 // long but unrelated
+    val df = docs(Seq(a, b, c))
+    val out = dedup.Dedup.substringDedup(df, w = 40, stride = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1 shares grid-aligned windows with doc 0 only if the copied
+    // region aligns; with equal-length prefixes it does. doc 2 never.
+    assert(out.map(_._1).toSet == Set(1L))
+    assert(out.head == ((1L, 0L)))
+  }
+
+  test("substring dedup ignores docs shorter than the window") {
+    val df = docs(Seq("tiny", "tiny"))
+    assert(dedup.Dedup.substringDedup(df, w = 40).count() == 0)
+  }
+
+  test("sorted neighborhood pairs near-identical prefix docs") {
+    val nearDup = base.replace("door", "gate") // same 24-char prefix
+    val far = "zzz totally different document with another word set " +
+      "that shares no prefix and no shingles with the others at all"
+    val df = docs(Seq(base, nearDup, far))
+    val out = dedup.Dedup.sortedNeighborhoodPairs(df, k = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
+
+  test("fuzzy join scores blocked candidates by prefix edit distance") {
+    // edit beyond the 24-char blocking prefix but inside the 64-char
+    // scoring prefix: same block, edit distance 1
+    val nearDup = base.replace("lazy", "hazy")
+    val far = "zzz unrelated text that blocks elsewhere completely " +
+      "and should never pair with the base document at all here"
+    val df = docs(Seq(base, nearDup, far))
+    val out = dedup.Dedup.fuzzyJoinPairs(df, k = 3, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((0L, 1L, 1)))
+  }
 }

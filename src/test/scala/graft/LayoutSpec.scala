@@ -124,4 +124,43 @@ class LayoutSpec extends AnyFunSuite {
     assert(median(xSorted.map(_._2)) >= 0.9,
       s"expected y-unbounded files in the single-dim layout: $xSorted")
   }
+
+  test("hilbert walks the origin block: bijective, every step adjacent") {
+    // The curve starts at (0,0) and fills the aligned 64x64 origin block
+    // before leaving it, so its 4096 cells must map bijectively onto
+    // d = 0..4095, and consecutive d must be grid neighbors — the
+    // defining locality property (Morton violates it at every quadrant
+    // jump).
+    val cells = for (x <- 0 until 64; y <- 0 until 64)
+      yield (x, y, graft.functions.HilbertValue.xy2d(x.toLong, y.toLong))
+    val ds = cells.map(_._3)
+    assert(ds.min == 0L && ds.max == 4095L && ds.distinct.size == 4096)
+    val byD = cells.sortBy(_._3)
+    byD.sliding(2).foreach { case Seq((x1, y1, d1), (x2, y2, d2)) =>
+      assert(d2 == d1 + 1)
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1,
+        s"jump between d=$d1 ($x1,$y1) and d=$d2 ($x2,$y2)")
+    }
+  }
+
+  test("hilbert expression matches the Scala walk and registers in SQL") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq((3L, 5L), (123L, 456L), (65535L, 65535L), (0L, 0L))
+      .toDF("x", "y")
+    df.createOrReplaceTempView("hpts")
+    val viaSql = spark.sql(
+      "SELECT x, y, hilbert(x, y) AS h FROM hpts ORDER BY x").collect()
+    viaSql.foreach { r =>
+      assert(r.getLong(2) ==
+        graft.functions.HilbertValue.xy2d(r.getLong(0), r.getLong(1)))
+    }
+    // stays in whole-stage codegen (no interpreted fallback) — use the
+    // parquet-backed table; a local Seq folds to LocalTableScan
+    val plan = Tables.load(spark, sf, "orders")
+      .select(graft.functions.HilbertValue.hilbert(
+        col("o_orderkey"), col("o_custkey")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(600))
+  }
 }

@@ -251,6 +251,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.getDouble(4) == 3.0 * 1.0 / 5.0)
   }
 
+  test("triangle posting cap keeps the k smallest suppliers per part") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType)))
+    // one part with 6 suppliers; cap=3 keeps {1,2,3} -> K3 exactly
+    val rows = (1L to 6L).map(s => R(1L, s))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = operators.Graph.triangles(df, suppPerPart = 3).collect()(0)
+    assert(out.getLong(0) == 3) // nodes: only the 3 smallest survive
+    assert(out.getLong(1) == 3) // K3 edges
+    assert(out.getLong(3) == 1) // one triangle
+  }
+
   test("char entropy bounded by log2(distinct chars); uniform text exact") {
     import org.apache.spark.sql.{Row => R}
     import org.apache.spark.sql.types._
@@ -317,5 +332,44 @@ class OperatorSpec extends AnyFunSuite {
     val deleted = lastOps.filter(col("event_type") === "error").count()
     val total = events.select("user_id").distinct().count()
     assert(out.count() == total - deleted)
+  }
+
+  test("boilerplate scan flags shared 8-grams, clean docs score zero") {
+    import spark.implicits._
+    val phrase = "this exact licence header sentence repeats across docs"
+    val df = Seq(
+      (0L, phrase + " plus unique alpha tail words here"),
+      (1L, phrase + " then other beta ending tokens instead"),
+      (2L, "completely original writing with no shared runs anywhere " +
+        "in the whole corpus of documents at all")).toDF("doc_id", "text")
+    val out = text.TextAnalysis.boilerplateScan(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the shared phrase is 8 words -> exactly 1 shared 8-gram per doc
+    assert(out(0L) == 1L && out(1L) == 1L && out(2L) == 0L)
+  }
+
+  test("equi-depth histogram: 100 uniform values, 10 buckets of 10") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("l_extendedprice")
+    val out = operators.Relational.equiDepthHistogram(df, b = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 10)
+    out.zipWithIndex.foreach { case ((bkt, n, lo, hi), i) =>
+      assert(bkt == i.toLong && n == 10L)
+      assert(lo == i * 10 + 1.0 && hi == (i + 1) * 10.0)
+    }
+  }
+
+  test("MAD outliers: hand-computed median/MAD, single spike flagged") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0)
+      .map(("a", _)).toDF("event_type", "value")
+    val r = operators.Relational.madOutliers(df).collect()
+    assert(r.length == 1)
+    // values 1..5,100: median 3.5; |x-med| = 2.5,1.5,0.5,0.5,1.5,96.5
+    // -> MAD 1.5; only 96.5 > 3*1.5
+    assert(r.head.getDouble(1) == 3.5 && r.head.getDouble(2) == 1.5)
+    assert(r.head.getLong(3) == 1L && r.head.getLong(4) == 6L)
   }
 }

@@ -142,4 +142,43 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(total - split) <= math.max(1.0, 0.05 * total),
       s"|A|=$total but |A∩B|+|A\\B|=$split")
   }
+
+  test("count-min estimates never undercount and collide only upward") {
+    val rows = operators.Extended
+      .cmsFrequencies(Tables.load(spark, sf, "events"))
+      .collect()
+    assert(rows.length > 10)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, // overcount = cms_est - exact_n
+        s"key=${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    // 5 keys into a depth-2 width-2 grid: only 4 (row0,row1) bucket
+    // combinations exist, so two keys MUST share both cells (pigeonhole)
+    // and their estimates must overcount — the collision direction the
+    // sketch guarantees.
+    import spark.implicits._
+    val tiny = (1L to 5L).toDF("user_id")
+    val est = operators.Extended.cmsFrequencies(tiny, depth = 2, width = 2)
+      .collect()
+    assert(est.forall(_.getLong(3) >= 0L))
+    assert(est.exists(_.getLong(3) > 0L),
+      "5 keys in a 2x2 grid cannot be collision-free")
+  }
+
+  test("count-min grids from disjoint slices merge by cell-wise sum") {
+    val keyed = Tables.load(spark, sf, "events")
+      .select((col("user_id") % 1000).cast("string").as("key"),
+        col("event_id"))
+    val all = keyed.select(col("key"))
+    val left = keyed.filter(col("event_id") % 2 === 0).select(col("key"))
+    val right = keyed.filter(col("event_id") % 2 =!= 0).select(col("key"))
+    def grid(df: org.apache.spark.sql.DataFrame) =
+      operators.Extended.cmsSketch(df, depth = 4, width = 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val direct = grid(all)
+    val merged = (grid(left).toSeq ++ grid(right).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(merged == direct)
+  }
 }
