@@ -247,6 +247,18 @@ object SparkEntry {
       operators.SqlSurface.run(s, dir, operators.SqlSurface.existsSubquery)),
     "q_sql_lateral" -> ((s, dir) =>
       operators.SqlSurface.run(s, dir, operators.SqlSurface.lateralJoin)),
+    "q_recursive_cte" -> ((s, dir) =>
+      operators.SqlSurface.run(s, dir, operators.SqlSurface.recursiveCte)),
+    // ---- TPC-H classic shapes ----
+    "q_promo_share" -> t2("lineitem", "part")(R.promoRevenueShare),
+    "q_large_orders" -> ((s, dir) => R.largeOrders(
+      Tables.load(s, dir, "customer"), Tables.load(s, dir, "orders"),
+      Tables.load(s, dir, "lineitem"))),
+    "q_returned_items" -> ((s, dir) => R.returnedItems(
+      Tables.load(s, dir, "customer"), Tables.load(s, dir, "orders"),
+      Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "nation"))),
+    "q_forecast_revenue" -> t("lineitem")(R.forecastRevenue),
+    "q_view_attribution" -> t("events")(E.viewAttribution),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_diversity" -> t("documents")(T.lexicalDiversity),
@@ -1220,6 +1232,63 @@ object SparkEntry {
     "q_sql_in_subquery" -> operators.SqlSurface.inSubquery,
     "q_sql_exists" -> operators.SqlSurface.existsSubquery,
     "q_sql_lateral" -> operators.SqlSurface.lateralJoin,
+    "q_recursive_cte" -> operators.SqlSurface.recursiveCte,
+    "q_promo_share" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+            CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+              AS DECIMAL(28,4))) AS DOUBLE) AS promo_revenue,
+            CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue,
+            100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+              AS DECIMAL(28,4))) AS DOUBLE)
+              / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(28,4))) AS DOUBLE) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY ship_month""",
+    "q_large_orders" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+            total_qty
+          FROM (SELECT l_orderkey, ${Cols.sqlDecSum("l_quantity", 2)}
+                  AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING total_qty > 200.0) big
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
+    "q_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name, c_acctbal, $revenueExpr
+            AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-04-01'
+          GROUP BY c_custkey, c_name, n_name, c_acctbal
+          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+              AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+            count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_view_attribution" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+             FROM events WHERE event_type = 'view'),
+          p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+              ts AS purchase_ts
+             FROM events WHERE event_type = 'purchase')
+          SELECT view_id, user_id, view_ts, purchase_id, purchase_ts
+          FROM v LEFT JOIN p ON user_id = p_user_id
+            AND purchase_ts <= view_ts
+            AND purchase_ts >= view_ts - INTERVAL 1 HOUR
+          ORDER BY view_id, purchase_id""",
     "q_anomaly_batch" ->
       """SELECT user_id, event_id, value, running_mean FROM (
            SELECT user_id, event_id, value,

@@ -294,6 +294,30 @@ object EventsPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Conversion attribution (the BATCH face of
+    * StreamingPipeline.viewsLeftJoinPurchases, which StreamingSpec pins
+    * to these semantics): every view, left-joined to each purchase by
+    * the same user in the preceding hour — purchase columns null when
+    * the view did not convert. The equi-key (user_id) drives the join;
+    * the time window is a residual filter, so this is one shuffle on
+    * user_id, never a time-range BNLJ. */
+  def viewAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") <= col("view_ts") &&
+          col("purchase_ts") >= col("view_ts") - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"))
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** Ordered conversion funnel (view → click → purchase): users advance a
     * step only with a LATER event of the next type — the sequential
     * constraint that separates a funnel from three independent counts.

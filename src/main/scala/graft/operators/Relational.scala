@@ -559,4 +559,87 @@ object Relational {
       .select(col("user_id"), col("event_type"))
       .dropDuplicates()
       .orderBy(col("user_id"), col("event_type"))
+
+  // --- TPC-H classic shapes (the canonical warehouse benchmark queries,
+  // adapted to the fixture's column subset). These pin the engine against
+  // the industry-standard plans: broadcast dim join (Q14), filtered
+  // pre-aggregation then fact join (Q18), dim-chain enrichment with top-k
+  // (Q10), and pure scan-side predicate aggregation (Q6).
+
+  /** TPC-H Q14 (promotion effect): per ship month, the share of revenue
+    * from PROMO-type parts. Part is a broadcast dim; the conditional
+    * revenue is an exact decimal sum so the percentage is a single
+    * deterministic double division. One lineitem scan, zero fact
+    * shuffles before the month aggregation. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        decSum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)), 4)
+          .as("promo_revenue"),
+        decSum(rev, 4).as("total_revenue"))
+      .select(col("ship_month"), col("promo_revenue"),
+        col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** TPC-H Q18 (large-volume orders): orders whose total line quantity
+    * exceeds `minQty`, with their customer. The HAVING pre-aggregation
+    * runs BEFORE any join — the fact table collapses to qualifying
+    * orderkeys first, so the orders/customer joins see only the
+    * (selectivity-bounded) survivors; top-k plans as
+    * TakeOrderedAndProject. */
+  def largeOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, minQty: Double = 200.0): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(decSum(col("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q10 (returned items): revenue lost to returns ('R' flag) per
+    * customer over a quarter, nation-enriched, top 20. lineitem is
+    * filtered on the scan (flag + date pushdown), then one shuffle to
+    * the customer grain; customer and nation broadcast. */
+  def returnedItems(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders.filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q6 (forecasting revenue change): one filtered scan, one
+    * global exact-decimal aggregate — the pushdown showcase (every
+    * predicate reaches the parquet reader; no join, no shuffle beyond
+    * the final 1-row combine). */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        decSum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
 }

