@@ -259,6 +259,9 @@ object SparkEntry {
       Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "nation"))),
     "q_forecast_revenue" -> t("lineitem")(R.forecastRevenue),
     "q_view_attribution" -> t("events")(E.viewAttribution),
+    "q_source_quota" -> t("documents")(operators.Pipeline.sourceQuota(_)),
+    "q_quality_sweep" -> t("documents")(operators.Pipeline.qualitySweep),
+    "q_profile" -> t("orders")(operators.Extended.profileOrders),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_diversity" -> t("documents")(T.lexicalDiversity),
@@ -1289,6 +1292,33 @@ object SparkEntry {
             AND purchase_ts <= view_ts
             AND purchase_ts >= view_ts - INTERVAL 1 HOUR
           ORDER BY view_id, purchase_id""",
+    "q_source_quota" ->
+      """SELECT source, doc_id, rk FROM (
+           SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS rk
+           FROM documents)
+         WHERE rk <= 15 ORDER BY source, rk""",
+    "q_quality_sweep" ->
+      """WITH b AS (
+           SELECT CAST(floor(
+               (CAST(len(list_distinct(string_split(text, ' ')))
+                   AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10.0)
+             AS BIGINT) AS bin,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         g AS (SELECT bin, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS toks
+           FROM b GROUP BY bin)
+         SELECT CAST(bin AS DOUBLE) / 10.0 AS min_ttr,
+           CAST(sum(n_docs) OVER (ORDER BY bin DESC) AS BIGINT)
+             AS docs_retained,
+           CAST(sum(toks) OVER (ORDER BY bin DESC) AS BIGINT)
+             AS tokens_retained
+         FROM g ORDER BY min_ttr""",
+    "q_profile" -> operators.Extended.profileOrdersOracleSql(),
     "q_anomaly_batch" ->
       """SELECT user_id, event_id, value, running_mean FROM (
            SELECT user_id, event_id, value,

@@ -466,4 +466,51 @@ object Extended {
          GROUP BY key, exact_n)
        SELECT key, exact_n, cms_est, cms_est - exact_n AS overcount
        FROM est ORDER BY key"""
+
+  /** Column-level data profiler (the first thing an engineer runs on an
+    * unfamiliar 100 TB table): per column — row count, null count,
+    * exact distinct count, numeric min/max (null for non-numeric
+    * columns, so the long-format schema is uniform). All statistics
+    * compute in ONE pass / one logical aggregation over the table
+    * (count_distinct per column expands to a multi-pass hash agg
+    * internally but still a single scan), then unpivot to long form via
+    * `stack`. At 100 TB the exact distincts are the only heavy part —
+    * the swap-in is approx_count_distinct or the mergeable HLL rollup
+    * (approxUsersBySketch) with identical plumbing. */
+  def profileOrders(orders: DataFrame): DataFrame = {
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    val aggs = orders.schema.fieldNames.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__rows"),
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        (if (numeric(c)) min(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__min"),
+        (if (numeric(c)) max(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__max"))
+    }
+    val cols = orders.schema.fieldNames
+    val stackExpr = cols.map(c =>
+      s"'$c', `${c}__rows`, `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    orders.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.length}, $stackExpr) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_num, max_num)")
+      .orderBy(col("column_name"))
+  }
+
+  /** DuckDB oracle for [[profileOrders]] — per-column UNION ALL. */
+  def profileOrdersOracleSql(): String = {
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .map { c =>
+        val mn = if (numeric(c)) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (numeric(c)) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_nulls,
+            count(DISTINCT $c) AS n_distinct, $mn AS min_num, $mx AS max_num
+           FROM orders"""
+      }
+      .mkString("", " UNION ALL ", " ORDER BY column_name")
+  }
 }

@@ -298,4 +298,50 @@ object Pipeline {
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
       .orderBy(col("status"))
   }
+
+  /** Per-source document quota (domain capping — C4/RefinedWeb-style
+    * "no domain may dominate the corpus"): keep at most `cap` documents
+    * per source, chosen by md5 rank so the survivors are an unbiased,
+    * run-stable sample (doc_id order would bias toward old documents).
+    * One window shuffle keyed by source; at 100 TB a skew-heavy source
+    * distribution would pre-filter with an approximate per-source count
+    * and only window the sources over quota — same semantics. */
+  def sourceQuota(documents: DataFrame, cap: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents
+      .select(col("source"), col("doc_id"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= cap)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Quality-threshold sweep: how much of the corpus survives each
+    * type-token-ratio cutoff — the curve a data engineer reads before
+    * picking a filter threshold. Computed as a ≤11-row bin summary +
+    * top-down cumulative window, NOT a thresholds×corpus cross join:
+    * one aggregation pass over the corpus regardless of how many
+    * thresholds are swept. */
+  def qualitySweep(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis.tokens
+    val toks = tokens(col("text"))
+    val nTokens = size(toks).cast("long")
+    val ttr = size(array_distinct(toks)).cast("double") /
+      nTokens.cast("double")
+    val binned = documents
+      .select(floor(ttr * 10).cast("long").as("bin"),
+        nTokens.as("n_tokens"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .select(
+        (col("bin").cast("double") / 10.0).as("min_ttr"),
+        sum(col("n_docs")).over(w).as("docs_retained"),
+        sum(col("toks")).over(w).as("tokens_retained"))
+      .orderBy(col("min_ttr"))
+  }
 }

@@ -266,6 +266,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.getLong(3) == 1) // one triangle
   }
 
+  test("source quota keeps exactly cap docs per source, md5-stable") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("doc_id", LongType)))
+    val rows = (1L to 10L).map(i => R("a", i)) :+ R("b", 11L)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = operators.Pipeline.sourceQuota(df, cap = 3).collect()
+    assert(out.count(_.getString(0) == "a") == 3)
+    assert(out.count(_.getString(0) == "b") == 1)
+    // determinism: same input -> same survivors
+    val again = operators.Pipeline.sourceQuota(df, cap = 3).collect()
+    assert(out.map(_.getLong(1)).toSeq == again.map(_.getLong(1)).toSeq)
+  }
+
+  test("quality sweep cumulative counts are monotone and total-correct") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // ttr 1.0 (bin 10), 0.5 (bin 5), ~0.33 (bin 3)
+    val rows = Seq(R(1L, "a b c"), R(2L, "a a b b"), R(3L, "a a a"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = operators.Pipeline.qualitySweep(df).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0.3, 3L, 10L), (0.5, 2L, 7L), (1.0, 1L, 3L)))
+  }
+
+  test("column profiler: nulls, distincts, numeric min/max per column") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType)))
+    val rows = Seq(R(1L, 5L, "O"), R(2L, null, "F"), R(3L, 5L, "O"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = operators.Extended.profileOrders(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ck = out("o_custkey")
+    assert(ck.getLong(1) == 3 && ck.getLong(2) == 1 && ck.getLong(3) == 1)
+    assert(ck.getDouble(4) == 5.0 && ck.getDouble(5) == 5.0)
+    val st = out("o_orderstatus")
+    assert(st.getLong(2) == 0 && st.getLong(3) == 2 && st.isNullAt(4))
+  }
+
   test("char entropy bounded by log2(distinct chars); uniform text exact") {
     import org.apache.spark.sql.{Row => R}
     import org.apache.spark.sql.types._
