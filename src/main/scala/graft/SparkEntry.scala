@@ -304,6 +304,8 @@ object SparkEntry {
     "q_media_stats" -> t("documents")(M.payloadStats),
     "q_media_features" -> ((s, dir) =>
       M.featurePipeline(s, Tables.load(s, dir, "documents"))),
+    "q_media_frames" -> ((s, dir) =>
+      M.framePipeline(s, Tables.load(s, dir, "documents"))),
     // ---- structured streaming (SURVEY.md §2.8) ----
     "q_stream_windowed" -> ((s, dir) => S.runWindowedBatch(s, dir)),
     "q_synth_stream" -> ((s, _) => S.runSyntheticStream(s))

@@ -79,6 +79,61 @@ object Multimodal {
     }
   }
 
+  case class FrameFeatures(mediaId: Long, frameIdx: Int, meanMilli: Long,
+      pooledW: Int, pooledH: Int, pooledMeanMilli: Long)
+
+  /** 2×2 average-pool "resize" of an 8×8 frame to 4×4 — the integer
+    * stand-in for a real resampler (bilinear/lanczos plug in here with
+    * the same shape contract: W×H ints in, (W/2)×(H/2) ints out). */
+  def pool2x2(frame: Array[Int], w: Int = 8, h: Int = 8): Array[Int] =
+    Array.tabulate((h / 2) * (w / 2)) { p =>
+      val (r, c) = (p / (w / 2) * 2, p % (w / 2) * 2)
+      (frame(r * w + c) + frame(r * w + c + 1) +
+        frame((r + 1) * w + c) + frame((r + 1) * w + c + 1)) / 4
+    }
+
+  /** Uniform frame sampling: `take` of `total` frames by integer index
+    * arithmetic (frame i·total/take — the ffmpeg `select` idiom),
+    * deterministic and order-stable. */
+  def sampleFrameIdx(total: Int, take: Int): Seq[Int] =
+    (0 until take).map(i => i * total / take)
+
+  /** Frame-level pipeline: decode → frame-sample → resize → per-frame
+    * features, all inside one narrow mapPartitions (payload bytes never
+    * leave the scan stage; only small per-frame feature rows flow on).
+    * Integer milli-means, so results are bit-stable across engines and
+    * partitionings. */
+  def frameFeatures(spark: SparkSession, media: Dataset[MediaRecord],
+      totalFrames: Int = 8, sampleN: Int = 3): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { rec =>
+        val decoded = StubCodec.decode(rec.payload, totalFrames)
+        sampleFrameIdx(totalFrames, sampleN).map { fi =>
+          val frame = decoded(fi)
+          val pooled = pool2x2(frame)
+          FrameFeatures(rec.mediaId, fi,
+            math.round(frame.map(_.toLong).sum * 1000.0 / frame.length),
+            4, 4,
+            math.round(pooled.map(_.toLong).sum * 1000.0 / pooled.length))
+        }
+      }
+    }
+  }
+
+  /** Driver-facing frame pipeline: per-media roll-up of sampled-frame
+    * features (rows-only — the stub codec is engine-native by design;
+    * the pooling invariants are pinned in OperatorSpec). */
+  def framePipeline(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val ff = frameFeatures(spark, mediaTable(spark, documents))
+    ff.toDF()
+      .groupBy(col("mediaId"))
+      .agg(count(lit(1)).as("n_frames_sampled"),
+        sum(col("meanMilli")).as("sum_mean_milli"),
+        sum(col("pooledMeanMilli")).as("sum_pooled_milli"))
+      .orderBy(col("mediaId"))
+  }
+
   /** SQL-expressible byte-level metadata stats (oracle-checkable): payload
     * sizes per media type — the pure-relational face of the media table. */
   def payloadStats(documents: DataFrame): DataFrame =

@@ -104,6 +104,30 @@ class OperatorSpec extends AnyFunSuite {
       f.meanByte > 0 && f.byteEntropyMilli > 0))
   }
 
+  test("frame pipeline: sampling picks uniform indices; pooling " +
+      "preserves the frame mean") {
+    import multimodal.Multimodal._
+    assert(sampleFrameIdx(8, 3) == Seq(0, 2, 5))
+    assert(sampleFrameIdx(8, 8) == (0 until 8))
+    // constant frame: 2x2 average pooling is exact -> mean preserved
+    val const = Array.fill(64)(200)
+    assert(pool2x2(const).toSeq == Seq.fill(16)(200))
+    // gradient frame: pooled mean stays within integer-truncation error
+    val grad = Array.tabulate(64)(i => i * 4)
+    val pooled = pool2x2(grad)
+    assert(pooled.length == 16)
+    val mOrig = grad.sum.toDouble / 64
+    val mPool = pooled.sum.toDouble / 16
+    assert(math.abs(mOrig - mPool) <= 1.0, s"$mOrig vs $mPool")
+    // end-to-end: every doc yields exactly sampleN frame rows
+    val docs = Tables.load(spark, sf, "documents")
+    val ff = multimodal.Multimodal.frameFeatures(
+      spark, multimodal.Multimodal.mediaTable(spark, docs))
+    val byId = ff.collect().groupBy(_.mediaId)
+    assert(byId.values.forall(_.length == 3))
+    assert(byId.values.forall(_.map(_.frameIdx).toSeq.sorted == Seq(0, 2, 5)))
+  }
+
   test("typed Aggregator computes weighted mean over a Dataset") {
     import graft.functions.TypedAggregators._
     val sq = spark
