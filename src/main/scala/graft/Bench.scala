@@ -15,6 +15,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
+      // keep state-store maintenance (snapshot/cleanup, default every
+      // 60s) from landing inside the measured window — the bench's
+      // streaming queries drain in seconds and their state dies with
+      // the session, so mid-run maintenance is pure timing noise
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -262,6 +262,7 @@ object SparkEntry {
     "q_source_quota" -> t("documents")(operators.Pipeline.sourceQuota(_)),
     "q_quality_sweep" -> t("documents")(operators.Pipeline.qualitySweep),
     "q_profile" -> t("orders")(operators.Extended.profileOrders),
+    "q_table_checksum" -> t("orders")(operators.Extended.tableChecksum),
     // ---- text analysis (north star) ----
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_diversity" -> t("documents")(T.lexicalDiversity),
@@ -1321,6 +1322,7 @@ object SparkEntry {
              AS tokens_retained
          FROM g ORDER BY min_ttr""",
     "q_profile" -> operators.Extended.profileOrdersOracleSql(),
+    "q_table_checksum" -> operators.Extended.tableChecksumOracleSql(),
     "q_anomaly_batch" ->
       """SELECT user_id, event_id, value, running_mean FROM (
            SELECT user_id, event_id, value,

@@ -467,6 +467,41 @@ object Extended {
        SELECT key, exact_n, cms_est, cms_est - exact_n AS overcount
        FROM est ORDER BY key"""
 
+  /** Order-independent table checksum (anti-entropy): per group, the sum
+    * of a per-row content hash — equal groups ⇔ equal checksums with
+    * overwhelming probability, computable WITHOUT moving or sorting any
+    * data (commutative sum → map-side combine; compare two 100 TB
+    * replicas by exchanging one tiny checksum table). Each row is
+    * canonicalized to a '|'-joined string (money as integer cents,
+    * timestamps as their standard string form — identical in both
+    * engines), md5'd, truncated to 48 bits, reduced mod 1e9+7 so any
+    * group cardinality stays far from BIGINT overflow under ANSI. */
+  def tableChecksum(orders: DataFrame): DataFrame = {
+    val canon = concat_ws("|",
+      col("o_orderkey").cast("string"),
+      col("o_custkey").cast("string"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").cast("string"),
+      col("o_orderdate").cast("string"))
+    val rowHash =
+      conv(substring(md5(canon), 1, 12), 16, 10).cast("long") % 1000000007L
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("checksum"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** DuckDB oracle for [[tableChecksum]] — same canonicalization. */
+  def tableChecksumOracleSql(): String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+         CAST(sum(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             || '|' || CAST(o_orderdate AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000007) AS BIGINT) AS checksum
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   /** Column-level data profiler (the first thing an engineer runs on an
     * unfamiliar 100 TB table): per column — row count, null count,
     * exact distinct count, numeric min/max (null for non-numeric
