@@ -159,6 +159,7 @@ object SparkEntry {
     "q_trailing_1h" -> t("events")(E.trailingHourSum),
     "q_scd2" -> t("events")(E.scd2Build),
     "q_cdc_apply" -> t("events")(E.cdcApply),
+    "q_ewma" -> t("events")(E.ewma),
     "q_winsorized" -> t("events")(E.winsorizedStats),
     "q_incr_agg" -> t("events")(E.incrementalAggMerge(_)),
     "q_table_diff" -> t("events")(operators.Pipeline.tableDiffSummary),
@@ -197,6 +198,8 @@ object SparkEntry {
       Tables.load(s, dir, "lineitem"))),
     "q_mad_outliers" -> t("events")(R.madOutliers(_)),
     "q_dedup_clusters" -> t("documents")(operators.Pipeline.dedupClusters(_)),
+    "q_cluster_canonical" ->
+      t("documents")(operators.Pipeline.clusterCanonical(_)),
     "q_heavy_hitters" -> t("documents")(T.heavyHitters(_)),
     "q_tfidf" -> t("documents")(T.topTfidfTerms(_)),
     "q_chunked" -> t("documents")(T.chunkDocuments(_)),
@@ -258,6 +261,11 @@ object SparkEntry {
       Tables.load(s, dir, "customer"), Tables.load(s, dir, "orders"),
       Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "nation"))),
     "q_forecast_revenue" -> t("lineitem")(R.forecastRevenue),
+    "q_nation_trade" -> ((s, dir) => R.nationTradeVolume(s, dir)),
+    "q_cust_distribution" -> t2("customer", "orders")(R.custOrderDistribution),
+    "q_top_supplier" -> ((s, dir) => R.topSupplier(s, dir)),
+    "q_small_qty_revenue" -> t2("lineitem", "part")(R.smallQtyRevenue),
+    "q_disjunctive_revenue" -> t2("lineitem", "part")(R.disjunctiveRevenue),
     "q_view_attribution" -> t("events")(E.viewAttribution),
     "q_source_quota" -> t("documents")(operators.Pipeline.sourceQuota(_)),
     "q_quality_sweep" -> t("documents")(operators.Pipeline.qualitySweep),
@@ -775,6 +783,7 @@ object SparkEntry {
            FROM events)
          SELECT user_id, op AS last_op, ts AS last_ts, value AS last_value
          FROM c WHERE rk = 1 AND op <> 'D' ORDER BY user_id""",
+    "q_ewma" -> E.ewmaOracleSql(),
     // nearest-rank winsorize: bounds are ACTUAL data values (rank
     // ceil(p*n)), so they are bit-exact across engines; the clipped mean
     // sums exact decimals (same cast as Spark's decimal(28,6)).
@@ -1284,6 +1293,68 @@ object SparkEntry {
            AND l_shipdate < TIMESTAMP '1998-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+    "q_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            CAST(year(l_shipdate) AS INTEGER) AS l_year,
+            CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+            count(*) AS n_lines
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_cust_distribution" ->
+      """WITH c AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS n_custs FROM c GROUP BY c_count
+         ORDER BY n_custs DESC, c_count DESC""",
+    "q_top_supplier" ->
+      """WITH r AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM r JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+         ORDER BY s_suppkey""",
+    "q_small_qty_revenue" ->
+      """WITH bl AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#13'),
+         a AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+               / CAST(count(l_quantity) AS DOUBLE) * 0.2 AS qty_threshold
+           FROM bl GROUP BY l_partkey)
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2)))
+             AS DOUBLE) / 7.0 AS avg_yearly,
+           count(*) AS n_lines
+         FROM bl JOIN a USING (l_partkey)
+         WHERE l_quantity < qty_threshold""",
+    "q_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+            count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
     "q_view_attribution" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
              FROM events WHERE event_type = 'view'),
@@ -1893,6 +1964,51 @@ object SparkEntry {
            least(src, min(dst)) AS cluster_id,
            least(src, min(dst)) = src AS is_canonical
          FROM reach GROUP BY src ORDER BY doc_id""",
+    // Same pair/closure CTE as q_dedup_clusters, then survivor pick:
+    // largest doc per cluster (tie → lowest id) + all singletons.
+    "q_cluster_canonical" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         cnt AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jp AS (
+           SELECT doc_a, doc_b FROM cnt
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE CAST(n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM jp
+           UNION SELECT doc_b, doc_a FROM jp),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         lab AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+         cl AS (
+           SELECT l.doc_id, l.cluster_id, d.n_chars,
+             row_number() OVER (PARTITION BY l.cluster_id
+               ORDER BY d.n_chars DESC, l.doc_id) AS rn,
+             count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+           FROM lab l JOIN documents d USING (doc_id))
+         SELECT doc_id, cluster_id, cluster_size, n_chars
+         FROM cl WHERE rn = 1
+         UNION ALL
+         SELECT doc_id, doc_id AS cluster_id,
+           CAST(1 AS BIGINT) AS cluster_size, n_chars
+         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+         ORDER BY doc_id""",
     // tf·N/df (not tf·ln(N/df)): identical ranking, one deterministic
     // IEEE division instead of a libm ln that can differ in the last ulp.
     "q_tfidf" ->

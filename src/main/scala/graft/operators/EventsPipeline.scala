@@ -678,4 +678,57 @@ object EventsPipeline {
         col("ts").as("last_ts"), col("value").as("last_value"))
       .orderBy(col("user_id"))
   }
+
+  /** Exponentially-weighted moving average (α = 1/2) of each user's
+    * purchase values — the time-decayed feature every behavioral model
+    * wants. Computed EXACTLY: values become integer cents, the trailing
+    * 8 samples are weighted 2⁷…2⁰ (older halves each step), and the
+    * single division to double happens once per row — deterministic
+    * across engines and partitionings. The 8-sample horizon is where
+    * α=1/2 weights fall below 1% — a bounded window, so this is one
+    * per-user sort, O(1) state per row, no recursion. */
+  def ewma(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val base = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val terms = (0 to 7).map { k =>
+      val wt = 1L << (7 - k)
+      val v = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+      (when(v.isNotNull, v * wt).otherwise(lit(0L)),
+        when(v.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    base
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .select(col("event_id"), col("user_id"), col("ts"), col("cents"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("ewma_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB oracle for [[ewma]] — identical lag/weight arithmetic. */
+  def ewmaOracleSql(): String = {
+    val lagTerm = (k: Int) =>
+      if (k == 0) "cents" else s"lag(cents, $k) OVER w"
+    val num = (0 to 7).map(k =>
+      s"coalesce(${lagTerm(k)}, 0) * ${1L << (7 - k)}").mkString(" + ")
+    val den = (0 to 7).map(k =>
+      s"CASE WHEN ${lagTerm(k)} IS NULL THEN 0 ELSE ${1L << (7 - k)} END")
+      .mkString(" + ")
+    s"""WITH p AS (
+         SELECT event_id, user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'),
+       l AS (
+         SELECT event_id, user_id, ts, cents,
+           $num AS num, $den AS den
+         FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT event_id, user_id, ts, cents,
+         CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma_cents
+       FROM l ORDER BY event_id"""
+  }
 }

@@ -344,4 +344,36 @@ object Pipeline {
         sum(col("toks")).over(w).as("tokens_retained"))
       .orderBy(col("min_ttr"))
   }
+
+  /** Dedup survivor selection — the step that turns cluster labels into
+    * the corpus you actually keep: one representative per near-duplicate
+    * cluster (largest document, ties to the lowest id) plus every
+    * unclustered document untouched. Output is the post-dedup corpus
+    * manifest: survivor id, its cluster, how many documents that
+    * survivor stands for, and its size.
+    *
+    * Scale: representative choice is a per-cluster window (shuffles only
+    * the clustered minority, one row per clustered doc); singletons
+    * arrive via a left-anti join on doc_id — no full-corpus sort, no
+    * driver collect. */
+  def clusterCanonical(documents: DataFrame, threshold: Double = 0.5)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = dedupClusters(documents, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val docs = documents.select(col("doc_id"), col("n_chars"))
+    val byQuality = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val reps = labels.join(docs, Seq("doc_id"))
+      .withColumn("rn", row_number().over(byQuality))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_chars"))
+    val singles = docs.join(labels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("cluster_size"), col("n_chars"))
+    reps.unionByName(singles).orderBy(col("doc_id"))
+  }
 }

@@ -642,4 +642,122 @@ object Relational {
         decSum(col("l_extendedprice") * col("l_discount"), 4)
           .as("revenue"),
         count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q7 (volume shipping): cross-border trade volume per
+    * (supplier nation, customer nation, ship year). Both nation
+    * lookups ride broadcast dim chains (supplier⋈nation and
+    * customer⋈nation collapse to small broadcast relations), so the
+    * only fact-scale shuffle is lineitem⋈orders on the order key —
+    * at 100 TB the two dim sides stay executor-local. */
+  def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(spark, dir, "lineitem")
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val supplier = t(spark, dir, "supplier")
+    val nation = t(spark, dir, "nation")
+    val suppNation = supplier.join(nation,
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = customer.join(nation,
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q13 (customer distribution): how many customers placed
+    * exactly k orders — the two-level aggregation (left outer join so
+    * zero-order customers count, per-customer count, then a histogram
+    * of the counts). The second aggregation's input is one row per
+    * customer, so the heavy shuffle happens once at customer grain. */
+  def custOrderDistribution(customer: DataFrame, orders: DataFrame)
+      : DataFrame =
+    customer
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("c_count").desc)
+
+  /** TPC-H Q15 (top supplier): supplier(s) with the maximum quarterly
+    * revenue. The max is a one-row aggregate broadcast back against the
+    * per-supplier revenue relation (the scalar-subquery plan) — no
+    * global sort, no single-partition window; revenue equality is safe
+    * because both sides are the same exact-decimal sum. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = t(spark, dir, "supplier")
+    val revenue = t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
+    revenue
+      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    * lost if orders below 20% of a part's mean quantity were not taken.
+    * The brand filter collapses part to a broadcast list; the per-part
+    * mean is computed only over that brand's lineitems and broadcast
+    * back (two passes over a 1/brand-count slice of the fact table, no
+    * fact-side shuffle at all). */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val brandParts = part.filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"))
+    val brandLines = lineitem
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val avgQty = brandLines
+      .groupBy(col("l_partkey"))
+      .agg((decAvg(col("l_quantity"), 2) * lit(0.2)).as("qty_threshold"))
+    brandLines
+      .join(broadcast(avgQty), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(
+        (decSum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q19 (discounted revenue): revenue matched by a disjunction
+    * of (brand, size-range, quantity-range) clauses — the OR-of-ANDs
+    * predicate that exercises join-condition pushdown. Part broadcasts;
+    * the disjunction is evaluated inside the broadcast hash join so no
+    * non-matching row survives the probe. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val clause =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    lineitem
+      .join(broadcast(part),
+        col("l_partkey") === col("p_partkey") && clause)
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
 }

@@ -441,4 +441,64 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.head.getDouble(1) == 3.5 && r.head.getDouble(2) == 1.5)
     assert(r.head.getLong(3) == 1L && r.head.getLong(4) == 6L)
   }
+
+  test("ewma: first sample passes through, second is the 128/64 blend") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "purchase", 100.0),
+      (2L, "2024-01-01 00:01:00", 7L, "purchase", 200.0),
+      (3L, "2024-01-01 00:02:00", 7L, "click", 999.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = operators.EventsPipeline.ewma(ev).collect()
+    assert(out.length == 2) // click excluded
+    assert(out(0).getDouble(4) == 10000.0) // lone sample = itself
+    // newest 20000 cents at weight 128, prior 10000 at 64, den 192
+    assert(out(1).getDouble(4) == (20000.0 * 128 + 10000.0 * 64) / 192.0)
+  }
+
+  test("cluster canonical: survivors partition the corpus exactly") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = operators.Pipeline.clusterCanonical(docs).cache()
+    val total = docs.count()
+    // every document is represented by exactly one survivor
+    assert(out.agg(sum(col("cluster_size"))).head.getLong(0) == total)
+    assert(out.select(col("doc_id")).distinct().count() == out.count())
+    // each survivor is its cluster's largest member (ties -> lowest id)
+    val labels = operators.Pipeline.dedupClusters(docs)
+      .select(col("doc_id").as("m_id"), col("cluster_id"))
+    val best = labels
+      .join(docs.select(col("doc_id").as("m_id"), col("n_chars")), "m_id")
+      .groupBy(col("cluster_id")).agg(max(col("n_chars")).as("max_chars"))
+    val bad = out.join(best, Seq("cluster_id"))
+      .filter(col("n_chars") =!= col("max_chars")).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
+  test("top supplier: every returned row carries the quarter's max revenue") {
+    val out = operators.Relational.topSupplier(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getDouble(2)).distinct.length == 1)
+  }
+
+  test("customer distribution: histogram masses add back to the totals") {
+    val customer = Tables.load(spark, sf, "customer")
+    val orders = Tables.load(spark, sf, "orders")
+    val out = operators.Relational
+      .custOrderDistribution(customer, orders).cache()
+    assert(out.agg(sum(col("n_custs"))).head.getLong(0) == customer.count())
+    assert(out.agg(sum(col("c_count") * col("n_custs"))).head.getLong(0)
+      == orders.count()) // every fixture order references a customer
+    out.unpersist()
+  }
+
+  test("disjunctive revenue joins part via broadcast, no cartesian") {
+    val plan = operators.Relational
+      .disjunctiveRevenue(Tables.load(spark, sf, "lineitem"),
+        Tables.load(spark, sf, "part"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
 }
