@@ -160,6 +160,8 @@ object SparkEntry {
     "q_scd2" -> t("events")(E.scd2Build),
     "q_cdc_apply" -> t("events")(E.cdcApply),
     "q_ewma" -> t("events")(E.ewma),
+    "q_transitions" -> t("events")(E.transitions),
+    "q_skyline" -> t("part")(operators.Extended.skylineParts),
     "q_winsorized" -> t("events")(E.winsorizedStats),
     "q_incr_agg" -> t("events")(E.incrementalAggMerge(_)),
     "q_table_diff" -> t("events")(operators.Pipeline.tableDiffSummary),
@@ -287,6 +289,7 @@ object SparkEntry {
     "q_dedup_exact" -> t("documents")(D.exactDedup),
     "q_dedup_digest" -> t("documents")(D.exactDedupByDigest),
     "q_jaccard_pairs" -> t("documents")(D.jaccardPairs(_)),
+    "q_jaccard_prefix" -> t("documents")(D.jaccardPrefixPairs(_)),
     "q_minhash_lsh" -> t("documents")(D.minhashLshPairs(_)),
     "q_minhash_neutral" -> t("documents")(D.minhashLshPairsNeutral(_)),
     "q_simhash_pairs" -> t("documents")(D.simhashPairs(_)),
@@ -784,6 +787,21 @@ object SparkEntry {
          SELECT user_id, op AS last_op, ts AS last_ts, value AS last_value
          FROM c WHERE rk = 1 AND op <> 'D' ORDER BY user_id""",
     "q_ewma" -> E.ewmaOracleSql(),
+    "q_skyline" -> operators.Extended.skylinePartsOracleSql(),
+    "q_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (
+           SELECT prev_type, event_type, count(*) AS n_trans
+           FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, event_type, n_trans,
+           CAST(n_trans AS DOUBLE)
+             / CAST(sum(n_trans) OVER (PARTITION BY prev_type)
+               AS DOUBLE) AS p_trans
+         FROM c ORDER BY prev_type, event_type""",
     // nearest-rank winsorize: bounds are ACTUAL data values (rank
     // ceil(p*n)), so they are bit-exact across engines; the clipped mean
     // sums exact decimals (same cast as Spark's decimal(28,6)).
@@ -1930,6 +1948,33 @@ object SparkEntry {
          JOIN sizes sb ON doc_b = sb.doc_id
          WHERE CAST(n_common AS DOUBLE)
               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    // Same exact all-pairs oracle at the prefix variant's threshold —
+    // prefix filtering is lossless, so the sub-quadratic plan must
+    // reproduce the quadratic self-join bit-for-bit.
+    "q_jaccard_prefix" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_common,
+            CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
          ORDER BY doc_a, doc_b""",
     // Connected components = min reachable id via recursive CTE over the
     // same jaccard pair graph the Spark side propagates labels on.

@@ -119,6 +119,62 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Exact set-similarity join via PREFIX FILTERING (the PPJoin family):
+    * rank each document's shingles by global rarity (df, then hash) and
+    * index only the first |d| − ⌈t·|d|⌉ + 1 of them. Soundness: J(A,B) ≥ t
+    * forces |A∩B| ≥ ⌈t·|A|⌉, and any pair overlapping that much must
+    * collide inside both prefixes (pigeonhole on the globally-ordered
+    * suffix) — so unlike [[jaccardPairs]]' maxDf posting cap this
+    * candidate generator is provably LOSSLESS while indexing only the
+    * rare tail of each document. Candidates are then verified with an
+    * exact intersection count restricted to the candidate set.
+    *
+    * Scale: the posting lists that explode into pairs hold only prefix
+    * tokens — the frequent shingles that dominate Σdf² never enter the
+    * index; verification joins touch candidate pairs × their shingles,
+    * not the corpus square. */
+  def jaccardPrefixPairs(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.4): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val sizes = documents
+      .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val rarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("h"))
+    val prefix = sh
+      .join(df, Seq("h"))
+      .withColumn("rk", row_number().over(rarity))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rk") <=
+        col("n_sh") - ceil(col("n_sh") * threshold) + lit(1))
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.groupBy(col("h"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("doc_a"),
+        explode(slice(col("ids"), col("pos") + 2, size(col("ids"))))
+          .as("doc_b"))
+      .distinct()
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash signature: k independent hash functions realized as salted
     * xxhash64 (`xxhash64(salt_i, s)`) with min over shingles — no 64-bit
     * arithmetic, so it is safe under ANSI mode (Spark 4 default) and each

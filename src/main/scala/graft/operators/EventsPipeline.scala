@@ -710,6 +710,29 @@ object EventsPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * stream: count and probability of every (previous → next)
+    * event-type bigram — the session-flow summary behind "what do
+    * users do after X". One per-user sort feeds the lag, the corpus
+    * collapses to the tiny (prev, next) grain, and the probability is
+    * a single division of two exact counts (the normalizing window
+    * runs over ≤|types|² rows, not the corpus). */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(seq))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_trans",
+        col("n_trans").cast("double") /
+          sum(col("n_trans")).over(byPrev).cast("double"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** DuckDB oracle for [[ewma]] — identical lag/weight arithmetic. */
   def ewmaOracleSql(): String = {
     val lagTerm = (k: Int) =>

@@ -467,6 +467,53 @@ object Extended {
        SELECT key, exact_n, cms_est, cms_est - exact_n AS overcount
        FROM est ORDER BY key"""
 
+  /** 2-D skyline (Pareto frontier): the parts no other part beats on
+    * BOTH price (lower-or-equal) and size (higher-or-equal, strictly
+    * better in at least one). The classic multi-criteria shortlist
+    * operator — and a shape naive engines compute as an O(n²)
+    * self-join. Scale design: the corpus never meets a global sort or
+    * a pairwise join — candidates collapse to one row per distinct
+    * price (map-side-combinable groupBy, ≤ price-grid cardinality
+    * rows), the frontier test is a cumulative window over that tiny
+    * aggregate, and membership is recovered with a broadcast join.
+    * Prices are compared as integer cents (the fixture grid is exact,
+    * and round(x*100) is order-preserving on it). */
+  def skylineParts(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val priced = part.withColumn("price_cents",
+      round(col("p_retailprice") * 100).cast("long"))
+    val cand = priced.groupBy(col("price_cents"))
+      .agg(max(col("p_size")).as("best_size"))
+    // strictly-cheaper frame: RANGE upper bound -1 on the cent grid
+    val cheaper = Window.orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontier = cand
+      .withColumn("best_cheaper", max(col("best_size")).over(cheaper))
+      .filter(col("best_cheaper").isNull ||
+        col("best_cheaper") < col("best_size"))
+      .select(col("price_cents").as("f_cents"),
+        col("best_size").as("f_size"))
+    priced
+      .join(broadcast(frontier),
+        col("price_cents") === col("f_cents") &&
+        col("p_size") === col("f_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** DuckDB oracle for [[skylineParts]] — the quadratic NOT EXISTS
+    * dominance definition the windowed plan must reproduce. */
+  def skylinePartsOracleSql(): String =
+    """SELECT p.p_partkey, p.p_retailprice, p.p_size
+       FROM part p
+       WHERE NOT EXISTS (
+         SELECT 1 FROM part q
+         WHERE q.p_retailprice <= p.p_retailprice
+           AND q.p_size >= p.p_size
+           AND (q.p_retailprice < p.p_retailprice
+             OR q.p_size > p.p_size))
+       ORDER BY p.p_partkey"""
+
   /** Order-independent table checksum (anti-entropy): per group, the sum
     * of a per-row content hash — equal groups ⇔ equal checksums with
     * overwhelming probability, computable WITHOUT moving or sorting any

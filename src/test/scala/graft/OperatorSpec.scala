@@ -13,7 +13,8 @@ class OperatorSpec extends AnyFunSuite {
   test("every query runs and is non-degenerate on sf0.001") {
     // queries allowed to legitimately return 0 rows at this scale:
     val mayBeEmpty = Set("q_anti_join", "q_except", "q_minhash_lsh",
-      "q_simhash_pairs", "q_cosine_neardup", "q_jaccard_pairs")
+      "q_simhash_pairs", "q_cosine_neardup", "q_jaccard_pairs",
+      "q_jaccard_prefix")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0 && (mayBeEmpty(name) || n > 0), s"$name returned $n rows")
@@ -491,6 +492,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.agg(sum(col("c_count") * col("n_custs"))).head.getLong(0)
       == orders.count()) // every fixture order references a customer
     out.unpersist()
+  }
+
+  test("skyline: hand-built frontier, duplicates survive, dominated drop") {
+    import spark.implicits._
+    // (1,10) frontier; (2,10) dominated (same size, pricier);
+    // (2,20) frontier; (3,20) dominated; (3,5) dominated by (1,10);
+    // (4,30) frontier; (5,30) dominated dup-size; (1,10) twice -> both kept
+    val parts = Seq(
+      (1L, 1.00, 10), (2L, 1.00, 10), (3L, 2.00, 10), (4L, 2.00, 20),
+      (5L, 3.00, 20), (6L, 3.00, 5), (7L, 4.00, 30), (8L, 5.00, 30))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    val out = operators.Extended.skylineParts(parts)
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 2L, 4L, 7L))
+  }
+
+  test("skyline plan: no cartesian, corpus joined via broadcast") {
+    val plan = operators.Extended
+      .skylineParts(Tables.load(spark, sf, "part"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("transitions: per-prev probabilities sum to 1, counts to n-users") {
+    val ev = Tables.load(spark, sf, "events")
+    val out = operators.EventsPipeline.transitions(ev).cache()
+    val sums = out.groupBy(col("prev_type"))
+      .agg(sum(col("p_trans")).as("p"), sum(col("n_trans")).as("n"))
+      .collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(sums.map(_.getLong(2)).sum == ev.count() - nUsers)
+    out.unpersist()
+  }
+
+  test("prefix-filter jaccard join is lossless vs the inverted index") {
+    val docs = Tables.load(spark, sf, "documents")
+    val viaPrefix = dedup.Dedup
+      .jaccardPrefixPairs(docs, threshold = 0.3).collect()
+    val viaIndex = dedup.Dedup
+      .jaccardPairs(docs, threshold = 0.3, maxDf = Int.MaxValue).collect()
+    assert(viaPrefix.toSeq == viaIndex.toSeq)
   }
 
   test("disjunctive revenue joins part via broadcast, no cartesian") {
