@@ -135,18 +135,27 @@ object Dedup {
     * not the corpus square. */
   def jaccardPrefixPairs(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.4): DataFrame = {
+    // sh is referenced three times (df count, prefix ranking, exact
+    // verification); it is a narrow (long, long) relation post-hash, so
+    // one materialization beats three shingle+hash recomputes — unlike
+    // the string-heavy exploded relations where persist measured slower.
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .persist()
     val sizes = documents
       .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
-    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val rarity = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("h"))
-    val prefix = sh
-      .join(df, Seq("h"))
+    // one shuffle by h attaches df (postings carry their own length),
+    // one shuffle by doc ranks rare-first; |d| rides the same doc
+    // partition as a window count, so no size join is needed
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val rarity = byDoc.orderBy(col("df"), col("h"))
+    val prefix = sh.groupBy(col("h"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(col("h"), size(col("ids")).as("df"),
+        explode(col("ids")).as("doc_id"))
       .withColumn("rk", row_number().over(rarity))
-      .join(sizes, Seq("doc_id"))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
       .filter(col("rk") <=
         col("n_sh") - ceil(col("n_sh") * threshold) + lit(1))
       .select(col("doc_id"), col("h"))
