@@ -292,6 +292,7 @@ object SparkEntry {
     "q_jaccard_prefix" -> t("documents")(D.jaccardPrefixPairs(_)),
     "q_minhash_lsh" -> t("documents")(D.minhashLshPairs(_)),
     "q_minhash_neutral" -> t("documents")(D.minhashLshPairsNeutral(_)),
+    "q_minhash_est" -> t("documents")(D.minhashEstimate(_)),
     "q_simhash_pairs" -> t("documents")(D.simhashPairs(_)),
     "q_simhash_neutral" -> t("documents")(D.simhashPairsNeutral(_)),
     // ---- similarity search (north star) ----
@@ -1867,6 +1868,7 @@ object SparkEntry {
     // Full MinHash+LSH under the oracle via engine-neutral hashing
     // (dedup/Dedup.scala NeutralMinHash — constants shared with the plan).
     "q_minhash_neutral" -> D.NeutralMinHash.oracleSql(),
+    "q_minhash_est" -> D.minhashEstimateOracleSql(),
     "q_dedup_incremental" -> D.NeutralMinHash.incrementalOracleSql(),
     "q_simhash_neutral" -> D.simhashNeutralOracleSql(),
     "q_substring_dedup" -> D.substringDedupOracleSql(),

@@ -368,6 +368,82 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** MinHash estimator accuracy: for every LSH candidate pair, the
+    * signature-agreement estimate vs the EXACT Jaccard, and the error —
+    * the acceptance measurement for a (k, bands) configuration, computed
+    * in-engine (the minhash analogue of q_ann_recall / q_pq_recall).
+    * The exact side touches only candidate pairs, never the corpus
+    * square; the inner verification join is lossless because a shared
+    * band forces r equal signature minima, and the LCG hash families
+    * are invertible mod P — equal minima imply a shared shingle. */
+  def minhashEstimate(documents: DataFrame, k: Int = 16, bands: Int = 4,
+      n: Int = 3): DataFrame = {
+    val banded = neutralBands(documents, k, bands, n)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sh = documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val sizes = documents
+      .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
+    val nMatch = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (p, q) => p === q), v => v))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cand
+      .join(common, Seq("doc_a", "doc_b"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("est_jaccard", nMatch.cast("double") / lit(k.toDouble))
+      .withColumn("exact_jaccard", col("n_common").cast("double") /
+        (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        col("exact_jaccard"),
+        (col("est_jaccard") - col("exact_jaccard")).as("err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB oracle for [[minhashEstimate]] — same constants, banding,
+    * and exact-Jaccard arithmetic. */
+  def minhashEstimateOracleSql(k: Int = 16, bands: Int = 4): String = {
+    val est = s"len(list_filter(range(1, $k + 1), i -> sa[i] = sb[i]))" +
+      s" / ${k}.0"
+    val exact = "CAST(n_common AS DOUBLE)" +
+      " / CAST(sa2.n_sh + sb2.n_sh - n_common AS DOUBLE)"
+    s"""WITH ${NeutralMinHash.bandsCteSql(k, bands)},
+       cands AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.sig AS sa, y.sig AS sb
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       common AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         FROM cands c
+         JOIN sh p ON p.doc_id = c.doc_a
+         JOIN sh q ON q.doc_id = c.doc_b AND q.shingle = p.shingle
+         GROUP BY 1, 2)
+       SELECT c.doc_a, c.doc_b,
+         $est AS est_jaccard,
+         $exact AS exact_jaccard,
+         $est - $exact AS err
+       FROM cands c
+       JOIN common USING (doc_a, doc_b)
+       JOIN sizes sa2 ON c.doc_a = sa2.doc_id
+       JOIN sizes sb2 ON c.doc_b = sb2.doc_id
+       ORDER BY doc_a, doc_b"""
+  }
+
   /** [[minhashLshPairs]] with engine-neutral hashing (see
     * [[NeutralMinHash]]) — fully DuckDB-oracled. */
   def minhashLshPairsNeutral(documents: DataFrame, k: Int = 16,

@@ -537,6 +537,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaPrefix.toSeq == viaIndex.toSeq)
   }
 
+  test("minhash estimate: bounded, and thresholding it reproduces the LSH query") {
+    val docs = Tables.load(spark, sf, "documents")
+    val est = dedup.Dedup.minhashEstimate(docs).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) == r.getDouble(2) - r.getDouble(3))
+    }
+    val lsh = dedup.Dedup.minhashLshPairsNeutral(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val thresholded = est.filter(_.getDouble(2) >= 0.5)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(thresholded == lsh)
+  }
+
   test("disjunctive revenue joins part via broadcast, no cartesian") {
     val plan = operators.Relational
       .disjunctiveRevenue(Tables.load(spark, sf, "lineitem"),
