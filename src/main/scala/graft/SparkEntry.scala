@@ -225,6 +225,9 @@ object SparkEntry {
     "q_na_clean" -> t("customer")(operators.Extended.naClean),
     "q_typed_agg" -> ((s, dir) =>
       operators.Extended.typedOrderStats(s, Tables.load(s, dir, "orders"))),
+    "q_cogroup" -> ((s, dir) =>
+      operators.Extended.cogroupUserActivity(
+        s, Tables.load(s, dir, "events"))),
     "q_decl_agg" -> t("orders")(o => o
       .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
       .agg(functions.DeclarativeAggregates
@@ -268,6 +271,11 @@ object SparkEntry {
     "q_top_supplier" -> ((s, dir) => R.topSupplier(s, dir)),
     "q_small_qty_revenue" -> t2("lineitem", "part")(R.smallQtyRevenue),
     "q_disjunctive_revenue" -> t2("lineitem", "part")(R.disjunctiveRevenue),
+    "q_priority_check" -> t2("orders", "lineitem")(R.orderPriorityCheck),
+    "q_local_supplier" -> ((s, dir) => R.localSupplierVolume(s, dir)),
+    "q_market_share" -> ((s, dir) => R.marketShare(s, dir)),
+    "q_waiting_suppliers" -> ((s, dir) => R.waitingSuppliers(s, dir)),
+    "q_dormant_customers" -> t2("customer", "orders")(R.dormantCustomers),
     "q_view_attribution" -> t("events")(E.viewAttribution),
     "q_source_quota" -> t("documents")(operators.Pipeline.sourceQuota(_)),
     "q_quality_sweep" -> t("documents")(operators.Pipeline.qualitySweep),
@@ -277,6 +285,7 @@ object SparkEntry {
     "q_token_stats" -> t("documents")(T.tokenStats),
     "q_diversity" -> t("documents")(T.lexicalDiversity),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
+    "q_vocab_growth" -> t("documents")(T.vocabGrowth(_)),
     "q_quality" -> t("documents")(T.qualityScores),
     "q_repetition" -> t("documents")(T.repetitionRatio(_)),
     "q_lang_id" -> t("documents")(T.languageId),
@@ -1374,6 +1383,80 @@ object SparkEntry {
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30)""",
+    "q_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_local_supplier" ->
+      """SELECT n_name,
+            CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+            CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_7'
+                THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+              AS DECIMAL(28,4))) AS DOUBLE)
+            / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(28,4))) AS DOUBLE) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "q_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         JOIN supplier ON s_suppkey = l1.l_suppkey
+         WHERE o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate >
+                               o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name ORDER BY numwait DESC, s_name""",
+    "q_dormant_customers" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+            CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+              AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (
+             SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+               / CAST(count(c_acctbal) AS DOUBLE)
+             FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >
+                               (SELECT max(o_orderdate) FROM orders)
+                                 - INTERVAL 90 DAY)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_view_attribution" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
              FROM events WHERE event_type = 'view'),
@@ -1550,6 +1633,31 @@ object SparkEntry {
             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
               / 100.0 AS total_price
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_cogroup" ->
+      """WITH v AS (
+           SELECT user_id, count(*) AS n_views FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         vl AS (
+           SELECT user_id, value AS last_view_value FROM (
+             SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events WHERE event_type = 'view') WHERE rn = 1),
+         p AS (
+           SELECT user_id, count(*) AS n_purchases FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id),
+         pl AS (
+           SELECT user_id, value AS last_purchase_value FROM (
+             SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+         SELECT u.user_id, coalesce(n_views, 0) AS n_views,
+           coalesce(n_purchases, 0) AS n_purchases,
+           last_view_value, last_purchase_value
+         FROM (SELECT DISTINCT user_id FROM events
+               WHERE event_type IN ('view', 'purchase')) u
+         LEFT JOIN v USING (user_id) LEFT JOIN vl USING (user_id)
+         LEFT JOIN p USING (user_id) LEFT JOIN pl USING (user_id)
+         ORDER BY user_id""",
     "q_nullsafe_join" ->
       """WITH keyed AS (
            SELECT o_orderkey,
@@ -1695,6 +1803,7 @@ object SparkEntry {
             1.0 - CAST(ss AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
               AS simpson
           FROM d ORDER BY doc_id""",
+    "q_vocab_growth" -> T.vocabGrowthOracleSql(),
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
             CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -595,4 +595,45 @@ object Extended {
       }
       .mkString("", " UNION ALL ", " ORDER BY column_name")
   }
+
+  /** Typed cogroup (`KeyValueGroupedDataset.cogroup` — the last Dataset
+    * grouping surface not yet exercised): for each user, ONE pass over
+    * that user's view events and purchase events together yields both
+    * counts and the ts-latest value of each side — no join, no window
+    * function. Both sides hash-partition on the same key so the cogroup
+    * is a single co-partitioned shuffle; per-key state is O(1) (running
+    * count + current latest), so a hot user streams through without
+    * materializing its group. The typed re-expression of the reference
+    * dashboard's per-user view/purchase panel (app.py:363-390). */
+  def cogroupUserActivity(spark: SparkSession, events: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    def side(kind: String) = events
+      .filter(col("event_type") === kind)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+    side("view").cogroup(side("purchase")) { (user, views, purchases) =>
+      var nV = 0L
+      var nP = 0L
+      var bestV: (Long, Long, Double) = null // (ts_us, event_id, value)
+      var bestP: (Long, Long, Double) = null
+      views.foreach { case (_, ts, id, v) =>
+        nV += 1
+        if (bestV == null || ts > bestV._1 ||
+            (ts == bestV._1 && id > bestV._2)) bestV = (ts, id, v)
+      }
+      purchases.foreach { case (_, ts, id, v) =>
+        nP += 1
+        if (bestP == null || ts > bestP._1 ||
+            (ts == bestP._1 && id > bestP._2)) bestP = (ts, id, v)
+      }
+      Iterator((user, nV, nP, Option(bestV).map(_._3),
+        Option(bestP).map(_._3)))
+    }
+      .toDF("user_id", "n_views", "n_purchases", "last_view_value",
+        "last_purchase_value")
+      .orderBy(col("user_id"))
+  }
 }

@@ -760,4 +760,155 @@ object Relational {
           .as("revenue"),
         count(lit(1)).as("n_lines"))
   }
+
+  /** TPC-H Q4 (order priority checking, adapted: the fixture has no
+    * commit/receipt dates, so the correlated predicate is "a line
+    * shipped after the order date"): orders in a quarter with at least
+    * one such line, counted by priority. The EXISTS decorrelates to a
+    * LEFT SEMI join on the order key with the lateness predicate as a
+    * join condition — one shuffle, no duplicate-then-distinct. */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q5 (local supplier volume): revenue from lineitems whose
+    * supplier and ordering customer share a nation, for one region and
+    * year — the join CYCLE (customer↔supplier nation equality) that
+    * distinguishes it from a pure snowflake. Customer and supplier both
+    * collapse to broadcast key→nation maps and the cycle predicate is
+    * evaluated inside the second broadcast probe, so the fact table is
+    * never shuffled for it. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(spark, dir, "lineitem")
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val supplier = t(spark, dir, "supplier")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    lineitem
+      .join(orders.filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(regionNations),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q8 (national market share): one nation's share of PROMO-part
+    * revenue delivered into one region, per order year. Every dimension
+    * side (part slice, region-member customers, supplier→nation map)
+    * broadcasts; the share is two exact-decimal sums in the same
+    * grouped pass — one fact-side shuffle at the year grain. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(spark, dir, "lineitem")
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val supplier = t(spark, dir, "supplier")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    val part = t(spark, dir, "part")
+    val promoParts = part.filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val regionCust = customer
+      .join(broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    lineitem
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(orders.filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((decSum(when(col("supp_nation") === "NATION_7", vol)
+          .otherwise(lit(0.0)), 4) / decSum(vol, 4)).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q21-shaped waiting suppliers (adapted: no commit/receipt
+    * dates in the fixture, so "late" is shipped >60 days after the
+    * order date): for finished orders with ≥2 suppliers where exactly
+    * ONE supplier shipped late, count that supplier's late lines. The
+    * doubly-correlated EXISTS / NOT EXISTS decorrelates to ONE grouped
+    * pass per order key (supplier count, late-supplier count, the
+    * unique late supplier and its late-line count) — the plan that
+    * scales; the oracle keeps the literal subquery form. */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(spark, dir, "lineitem")
+    val orders = t(spark, dir, "orders")
+    val supplier = t(spark, dir, "supplier")
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(late, col("l_suppkey"))).as("late_supps"),
+        min(when(late, col("l_suppkey"))).as("late_supp"),
+        sum(when(late, lit(1L)).otherwise(lit(0L))).as("late_lines"))
+      .filter(col("n_supps") >= 2 && col("late_supps") === 1)
+      .join(broadcast(supplier), col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q22 (global sales opportunity, adapted to market segments):
+    * customers with an above-average positive balance and NO orders in
+    * the 90 days before the newest order (dormancy is data-anchored so
+    * the result is reproducible), grouped by segment. Both scalar
+    * subqueries (average balance, dormancy cutoff) become 1-row
+    * broadcast nested-loop filters; the NOT EXISTS becomes a left-anti
+    * join against the recent order keys — no correlated execution
+    * anywhere. */
+  def dormantCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val cutoff = orders.agg(
+      (max(col("o_orderdate")) - expr("INTERVAL 90 DAYS")).as("cutoff"))
+    val recent = orders
+      .join(broadcast(cutoff), col("o_orderdate") > col("cutoff"))
+      .select(col("o_custkey"))
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg(decAvg(col("c_acctbal"), 2).as("avg_bal"))
+    customer
+      .join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        decSum(col("c_acctbal"), 2).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

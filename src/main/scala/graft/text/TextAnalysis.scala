@@ -536,4 +536,54 @@ object TextAnalysis {
            CAST(t.n_grams AS DOUBLE) AS boiler_ratio
        FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
        ORDER BY t.doc_id"""
+
+  /** Heaps-law vocabulary growth: cumulative distinct token types vs
+    * cumulative tokens along the corpus in doc_id order, reported at
+    * bucket grain. "New types in bucket b" needs no running set: a type
+    * is new exactly in the bucket of its FIRST occurrence, so one
+    * grouped min(doc_id) per type + one count per bucket gives the
+    * curve; the cumulative window then runs over n_docs/bucketSize rows
+    * only (at 100 TB the per-type min and per-bucket counts are plain
+    * shuffles; nothing sequential ever touches corpus-scale rows). */
+  def vocabGrowth(documents: DataFrame, bucketSize: Int = 100): DataFrame = {
+    val newPerBucket = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    documents
+      .select(expr(s"doc_id div $bucketSize").as("bucket"),
+        size(tokens(col("text"))).as("n"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_tokens"))
+      .join(newPerBucket, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[vocabGrowth]]. */
+  def vocabGrowthOracleSql(bucketSize: Int = 100): String =
+    s"""WITH firsts AS (
+         SELECT tok, min(doc_id) AS first_doc FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents) GROUP BY tok),
+       nb AS (
+         SELECT first_doc // $bucketSize AS bucket,
+           count(*) AS new_types
+         FROM firsts GROUP BY 1),
+       tb AS (
+         SELECT doc_id // $bucketSize AS bucket,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1)
+       SELECT tb.bucket, n_tokens,
+         coalesce(new_types, 0) AS new_types,
+         CAST(sum(n_tokens) OVER (ORDER BY tb.bucket) AS BIGINT)
+           AS cum_tokens,
+         CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY tb.bucket)
+           AS BIGINT) AS cum_types
+       FROM tb LEFT JOIN nb USING (bucket) ORDER BY tb.bucket"""
 }

@@ -553,6 +553,103 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("vocab growth: monotone curves ending at the corpus totals") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = text.TextAnalysis.vocabGrowth(docs).collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(3) > a.getLong(3))  // cum_tokens strictly grows
+        assert(b.getLong(4) >= a.getLong(4)) // cum_types monotone
+      case _ =>
+    }
+    val last = rows.last
+    val totalTokens = docs
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    val totalTypes = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    assert(last.getLong(3) == totalTokens)
+    assert(last.getLong(4) == totalTypes)
+  }
+
+  test("typed cogroup counts agree with the relational formulation") {
+    val events = Tables.load(spark, sf, "events")
+    val co = operators.Extended.cogroupUserActivity(spark, events).collect()
+    assert(co.nonEmpty)
+    co.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) > 0)
+      assert(r.isNullAt(3) == (r.getLong(1) == 0L))
+      assert(r.isNullAt(4) == (r.getLong(2) == 0L))
+    }
+    val expected = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("n_views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(co.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == expected)
+  }
+
+  test("priority check plans as a left-semi join (EXISTS decorrelated)") {
+    val plan = operators.Relational
+      .orderPriorityCheck(Tables.load(spark, sf, "orders"),
+        Tables.load(spark, sf, "lineitem"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("market share is a valid ratio per year") {
+    val rows = operators.Relational.marketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getDouble(1)
+      assert(share >= 0.0 && share <= 1.0, s"share $share out of range")
+    }
+  }
+
+  test("waiting suppliers matches the literal correlated-subquery form") {
+    // The DataFrame plan decorrelates the double EXISTS into one grouped
+    // pass; Spark SQL's literal form (decorrelated by Catalyst) must
+    // agree row-for-row.
+    Tables.load(spark, sf, "lineitem").createOrReplaceTempView("w_l")
+    Tables.load(spark, sf, "orders").createOrReplaceTempView("w_o")
+    Tables.load(spark, sf, "supplier").createOrReplaceTempView("w_s")
+    val literal = spark.sql(
+      """SELECT s_name, count(*) AS numwait
+         FROM w_l l1 JOIN w_o ON o_orderkey = l1.l_orderkey
+         JOIN w_s ON s_suppkey = l1.l_suppkey
+         WHERE o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+           AND EXISTS (SELECT 1 FROM w_l l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM w_l l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate >
+                               o_orderdate + INTERVAL 60 DAYS)
+         GROUP BY s_name ORDER BY numwait DESC, s_name""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val grouped = operators.Relational.waitingSuppliers(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(grouped == literal)
+  }
+
+  test("dormant customers are above average balance and order-free") {
+    val out = operators.Relational
+      .dormantCustomers(Tables.load(spark, sf, "customer"),
+        Tables.load(spark, sf, "orders"))
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getString(0)).distinct.length == out.length)
+  }
+
   test("disjunctive revenue joins part via broadcast, no cartesian") {
     val plan = operators.Relational
       .disjunctiveRevenue(Tables.load(spark, sf, "lineitem"),
