@@ -173,6 +173,8 @@ object SparkEntry {
     "q_dedup_decisions" -> t("documents")(operators.Pipeline.dedupDecisions(_)),
     "q_dedup_incremental" -> t("documents")(D.incrementalDedup(_)),
     "q_pagerank" -> t("lineitem")(operators.Graph.pagerank(_)),
+    "q_bfs_hops" -> t("lineitem")(operators.Graph.bfsHops(_)),
+    "q_time_weighted_avg" -> t("events")(E.timeWeightedAvg),
     "q_triangles" -> t("lineitem")(operators.Graph.triangles(_)),
     "q_synth_source" -> ((s, _) => {
       import org.apache.spark.sql.functions._
@@ -2014,6 +2016,8 @@ object SparkEntry {
          FROM dev d JOIN mad m USING (event_type)
          GROUP BY d.event_type, m.med, m.mad ORDER BY d.event_type""",
     "q_pagerank" -> operators.Graph.pagerankOracleSql(),
+    "q_bfs_hops" -> operators.Graph.bfsHopsOracleSql(),
+    "q_time_weighted_avg" -> E.timeWeightedAvgOracleSql(),
     "q_triangles" -> operators.Graph.trianglesOracleSql(),
     "q_synth_stream" ->
       """SELECT date_trunc('hour',

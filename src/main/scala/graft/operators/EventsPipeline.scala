@@ -754,4 +754,53 @@ object EventsPipeline {
          CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma_cents
        FROM l ORDER BY event_id"""
   }
+
+  /** Exact time-weighted average per user (the irregular-time-series
+    * integral: each sample holds until the next one, so TWA =
+    * Σ value·Δt / Σ Δt over consecutive pairs). One window pass
+    * (lead within the user partition — already the user-partitioned
+    * shuffle) then a grouped sum. All-integer arithmetic (value in
+    * cents — the same determinism trick as [[ewma]]: a double·Δt
+    * product cast to decimal diverges between engines on ties, integer
+    * cents·µs cannot): Σ cents·Δt_us is bounded by max_cents ·
+    * user_span_us ≈ 1e5·3e13 ≈ 3e18 < 2^63 even for a decade-long
+    * user. Users with a single event have no interval and drop out. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dur", col("nxt") - col("us"))
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(col("cents") * col("dur")).cast("double") /
+          (sum(col("dur")).cast("double") * lit(100.0))).as("twa"),
+        sum(col("dur")).as("span_us"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB oracle for [[timeWeightedAvg]] — same cents·µs integers. */
+  def timeWeightedAvgOracleSql(): String =
+    s"""WITH s AS (
+         SELECT user_id, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           epoch_us(ts) AS us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS nxt
+         FROM events),
+       i AS (
+         SELECT user_id, cents, nxt - us AS dur
+         FROM s WHERE nxt IS NOT NULL)
+       SELECT user_id,
+         CAST(CAST(sum(cents * dur) AS BIGINT) AS DOUBLE)
+           / (CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE) * 100.0) AS twa,
+         CAST(sum(dur) AS BIGINT) AS span_us,
+         count(*) AS n_intervals
+       FROM i GROUP BY user_id ORDER BY user_id"""
 }

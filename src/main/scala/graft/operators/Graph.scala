@@ -198,4 +198,75 @@ object Graph {
             CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS DOUBLE)
             AS clustering
         FROM t"""
+
+  /** Multi-source BFS: minimum hop distance from the seed parts over
+    * the same bipartite part↔supplier graph as [[pagerank]], a FIXED
+    * number of rounds so the whole computation is one declarative plan.
+    * Per round: propagate (frontier ⋈ edges, +1) then fold into the
+    * running distances with a min-agg — the iterative-relational
+    * shortest-path shape. min() is idempotent, so re-relaxing settled
+    * nodes is harmless (no frontier bookkeeping needed) and the
+    * per-round cost is one shuffle join + one agg, same as a PageRank
+    * round. A 100-TB deployment would checkpoint distances per round
+    * and stop when a round changes nothing. */
+  def bfsHops(lineitem: DataFrame, partCap: Long = 2000,
+      seedCap: Long = 3, iters: Int = 3): DataFrame = {
+    val e0 = lineitem.filter(col("l_partkey") <= partCap)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = e0.select(
+        concat(lit("p"), col("p").cast("string")).as("src"),
+        concat(lit("s"), col("s").cast("string")).as("dst"))
+      .unionAll(e0.select(
+        concat(lit("s"), col("s").cast("string")).as("src"),
+        concat(lit("p"), col("p").cast("string")).as("dst")))
+    val seeds = e0.filter(col("p") <= seedCap)
+      .select(concat(lit("p"), col("p").cast("string")).as("seed"))
+      .distinct()
+    var dist = edges.select(col("src").as("node")).distinct()
+      .join(seeds, col("node") === col("seed"), "left_outer")
+      .select(col("node"),
+        when(col("seed").isNotNull, lit(0L)).as("d"))
+    for (_ <- 1 to iters) {
+      val prop = edges
+        .join(dist.filter(col("d").isNotNull), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("d") + lit(1L)).as("d"))
+      dist = dist.unionAll(prop)
+        .groupBy(col("node"))
+        .agg(min(col("d")).as("d"))
+    }
+    dist.filter(col("d").isNotNull)
+      .orderBy(col("d"), col("node"))
+  }
+
+  /** DuckDB oracle for [[bfsHops]] — rounds unrolled as chained CTEs. */
+  def bfsHopsOracleSql(partCap: Long = 2000, seedCap: Long = 3,
+      iters: Int = 3): String = {
+    val round = (prev: String, cur: String) =>
+      s"""$cur AS (
+           SELECT node, min(d) AS d FROM (
+             SELECT node, d FROM $prev
+             UNION ALL
+             SELECT e.dst AS node, p.d + 1 AS d
+             FROM edges e JOIN $prev p ON e.src = p.node
+             WHERE p.d IS NOT NULL)
+           GROUP BY node)"""
+    val rounds = (1 to iters)
+      .map(i => round(s"d${i - 1}", s"d$i")).mkString(",\n")
+    s"""WITH e0 AS (
+         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+         WHERE l_partkey <= $partCap),
+       edges AS (
+         SELECT 'p' || p AS src, 's' || s AS dst FROM e0
+         UNION ALL SELECT 's' || s, 'p' || p FROM e0),
+       d0 AS (
+         SELECT src AS node,
+           CASE WHEN src IN (
+             SELECT 'p' || p FROM e0 WHERE p <= $seedCap)
+             THEN 0::BIGINT END AS d
+         FROM (SELECT DISTINCT src FROM edges)),
+       $rounds
+       SELECT node, d FROM d$iters WHERE d IS NOT NULL
+       ORDER BY d, node"""
+  }
 }

@@ -553,6 +553,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("bfs hops: seeds at 0, neighbors within one hop of a seed") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val rows = operators.Graph.bfsHops(li).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.nonEmpty)
+    val seedParts = li.filter(col("l_partkey") <= 3)
+      .select(col("l_partkey")).distinct()
+      .collect().map(r => "p" + r.getLong(0)).toSet
+    seedParts.foreach(s => assert(rows(s) == 0L))
+    assert(rows.values.forall(d => d >= 0 && d <= 3))
+    // every reached non-seed node has a neighbor exactly one hop closer
+    val edges = li.filter(col("l_partkey") <= 2000)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct().collect()
+      .flatMap(r => Seq(("p" + r.getLong(0), "s" + r.getLong(1)),
+        ("s" + r.getLong(1), "p" + r.getLong(0))))
+      .groupBy(_._2).map { case (dst, es) => (dst, es.map(_._1)) }
+    rows.filter(_._2 > 0).foreach { case (node, d) =>
+      assert(edges(node).exists(nb => rows.get(nb).contains(d - 1)), node)
+    }
+  }
+
+  test("time-weighted average: constant series gives that constant") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    val df = Seq(
+      (1L, at(0), 1L, "x", 5.0, ""), (2L, at(10), 1L, "x", 5.0, ""),
+      (3L, at(100), 1L, "x", 5.0, ""),
+      (4L, at(0), 2L, "x", 2.0, ""), (5L, at(30), 2L, "x", 4.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.EventsPipeline.timeWeightedAvg(df).collect()
+    val byUser = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byUser(1L) == 5.0)
+    assert(byUser(2L) == 2.0) // last sample carries no weight
+    val spans = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(spans(1L) == 100000000L && spans(2L) == 30000000L)
+  }
+
   test("vocab growth: monotone curves ending at the corpus totals") {
     val docs = Tables.load(spark, sf, "documents")
     val rows = text.TextAnalysis.vocabGrowth(docs).collect()
