@@ -175,6 +175,9 @@ object SparkEntry {
     "q_pagerank" -> t("lineitem")(operators.Graph.pagerank(_)),
     "q_bfs_hops" -> t("lineitem")(operators.Graph.bfsHops(_)),
     "q_time_weighted_avg" -> t("events")(E.timeWeightedAvg),
+    "q_sliding_distinct" -> t("events")(E.slidingDistinct),
+    "q_ref_integrity" -> ((s, dir) =>
+      operators.Extended.refIntegrity(s, dir)),
     "q_triangles" -> t("lineitem")(operators.Graph.triangles(_)),
     "q_synth_source" -> ((s, _) => {
       import org.apache.spark.sql.functions._
@@ -2018,6 +2021,8 @@ object SparkEntry {
     "q_pagerank" -> operators.Graph.pagerankOracleSql(),
     "q_bfs_hops" -> operators.Graph.bfsHopsOracleSql(),
     "q_time_weighted_avg" -> E.timeWeightedAvgOracleSql(),
+    "q_sliding_distinct" -> E.slidingDistinctOracleSql(),
+    "q_ref_integrity" -> operators.Extended.refIntegrityOracleSql(),
     "q_triangles" -> operators.Graph.trianglesOracleSql(),
     "q_synth_stream" ->
       """SELECT date_trunc('hour',

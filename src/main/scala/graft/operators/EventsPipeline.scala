@@ -803,4 +803,39 @@ object EventsPipeline {
          CAST(sum(dur) AS BIGINT) AS span_us,
          count(*) AS n_intervals
        FROM i GROUP BY user_id ORDER BY user_id"""
+
+  /** Sliding-window distinct users — the batch form of the streaming
+    * sliding aggregation (`functions.window`, epoch-aligned exactly
+    * like Structured Streaming's, so a backfill and the live stream
+    * bucket identically): 1-hour windows every 30 minutes. Each event
+    * lands in width/slide = 2 windows (Spark expands then shuffles
+    * once on the window struct); countDistinct partials combine
+    * map-side. */
+  def slidingDistinct(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("n_events"), col("n_users"))
+      .orderBy(col("w_start"))
+
+  /** DuckDB oracle for [[slidingDistinct]]: every event belongs to
+    * exactly 2 epoch-aligned windows (k = 0, 1 slide steps back from
+    * its floor), reproduced with integer µs arithmetic. */
+  def slidingDistinctOracleSql(): String = {
+    val slide = 1800000000L // 30 min in µs
+    s"""WITH e AS (
+         SELECT epoch_us(ts) - epoch_us(ts) % $slide AS f, user_id
+         FROM events),
+       w AS (
+         SELECT f - k * $slide AS start_us, user_id
+         FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+       SELECT make_timestamp(start_us) AS w_start,
+         make_timestamp(start_us + ${2 * slide}) AS w_end,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users
+       FROM w GROUP BY start_us ORDER BY w_start"""
+  }
 }

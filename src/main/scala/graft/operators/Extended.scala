@@ -596,6 +596,59 @@ object Extended {
       .mkString("", " UNION ALL ", " ORDER BY column_name")
   }
 
+  /** Referential-integrity audit: orphan count per foreign-key edge of
+    * the fixture schema, one left-anti join per edge folded into a
+    * 7-row report — the data-quality gate a warehouse runs after every
+    * ingest. Dim-parent edges (nation, region, customer, supplier,
+    * part) anti-join against a broadcast parent; only the
+    * lineitem→orders edge shuffles at fact scale. */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def tbl(n: String) = graft.Tables.load(spark, dir, n)
+    def orphans(child: DataFrame, key: String, parent: DataFrame,
+        pkey: String, label: String): DataFrame =
+      child.select(col(key))
+        .filter(col(key).isNotNull)
+        .join(parent.select(col(pkey)), col(key) === col(pkey),
+          "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(label).as("fk_edge"), col("n_orphans"))
+    val li = tbl("lineitem"); val o = tbl("orders"); val c = tbl("customer")
+    val s = tbl("supplier"); val p = tbl("part"); val n = tbl("nation")
+    val r = tbl("region")
+    orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders")
+      .unionAll(orphans(li, "l_partkey", p, "p_partkey",
+        "lineitem.l_partkey->part"))
+      .unionAll(orphans(li, "l_suppkey", s, "s_suppkey",
+        "lineitem.l_suppkey->supplier"))
+      .unionAll(orphans(o, "o_custkey", c, "c_custkey",
+        "orders.o_custkey->customer"))
+      .unionAll(orphans(c, "c_nationkey", n, "n_nationkey",
+        "customer.c_nationkey->nation"))
+      .unionAll(orphans(s, "s_nationkey", n, "n_nationkey",
+        "supplier.s_nationkey->nation"))
+      .unionAll(orphans(n, "n_regionkey", r, "r_regionkey",
+        "nation.n_regionkey->region"))
+      .orderBy(col("fk_edge"))
+  }
+
+  /** DuckDB oracle for [[refIntegrity]]. */
+  def refIntegrityOracleSql(): String = {
+    val edges = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"))
+    edges.map { case (ct, ck, pt, pk) =>
+      s"""SELECT '$ct.$ck->$pt' AS fk_edge,
+           (SELECT count(*) FROM $ct
+            WHERE $ck IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM $pt WHERE $pk = $ct.$ck)) AS n_orphans"""
+    }.mkString("", " UNION ALL ", " ORDER BY fk_edge")
+  }
+
   /** Typed cogroup (`KeyValueGroupedDataset.cogroup` — the last Dataset
     * grouping surface not yet exercised): for each user, ONE pass over
     * that user's view events and purchase events together yields both

@@ -220,23 +220,20 @@ object Graph {
       .unionAll(e0.select(
         concat(lit("s"), col("s").cast("string")).as("src"),
         concat(lit("p"), col("p").cast("string")).as("dst")))
-    val seeds = e0.filter(col("p") <= seedCap)
-      .select(concat(lit("p"), col("p").cast("string")).as("seed"))
+    // Only settled (reached) nodes flow through the rounds: unreached
+    // nodes would just carry null distances through every aggregation.
+    var dist = e0.filter(col("p") <= seedCap)
+      .select(concat(lit("p"), col("p").cast("string")).as("node"))
       .distinct()
-    var dist = edges.select(col("src").as("node")).distinct()
-      .join(seeds, col("node") === col("seed"), "left_outer")
-      .select(col("node"),
-        when(col("seed").isNotNull, lit(0L)).as("d"))
+      .select(col("node"), lit(0L).as("d"))
     for (_ <- 1 to iters) {
-      val prop = edges
-        .join(dist.filter(col("d").isNotNull), col("src") === col("node"))
+      val prop = edges.join(dist, col("src") === col("node"))
         .select(col("dst").as("node"), (col("d") + lit(1L)).as("d"))
       dist = dist.unionAll(prop)
         .groupBy(col("node"))
         .agg(min(col("d")).as("d"))
     }
-    dist.filter(col("d").isNotNull)
-      .orderBy(col("d"), col("node"))
+    dist.orderBy(col("d"), col("node"))
   }
 
   /** DuckDB oracle for [[bfsHops]] — rounds unrolled as chained CTEs. */
@@ -248,8 +245,7 @@ object Graph {
              SELECT node, d FROM $prev
              UNION ALL
              SELECT e.dst AS node, p.d + 1 AS d
-             FROM edges e JOIN $prev p ON e.src = p.node
-             WHERE p.d IS NOT NULL)
+             FROM edges e JOIN $prev p ON e.src = p.node)
            GROUP BY node)"""
     val rounds = (1 to iters)
       .map(i => round(s"d${i - 1}", s"d$i")).mkString(",\n")
@@ -260,13 +256,9 @@ object Graph {
          SELECT 'p' || p AS src, 's' || s AS dst FROM e0
          UNION ALL SELECT 's' || s, 'p' || p FROM e0),
        d0 AS (
-         SELECT src AS node,
-           CASE WHEN src IN (
-             SELECT 'p' || p FROM e0 WHERE p <= $seedCap)
-             THEN 0::BIGINT END AS d
-         FROM (SELECT DISTINCT src FROM edges)),
+         SELECT DISTINCT 'p' || p AS node, 0::BIGINT AS d
+         FROM e0 WHERE p <= $seedCap),
        $rounds
-       SELECT node, d FROM d$iters WHERE d IS NOT NULL
-       ORDER BY d, node"""
+       SELECT node, d FROM d$iters ORDER BY d, node"""
   }
 }

@@ -553,6 +553,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("sliding windows double-count each event and nest the tumbling agg") {
+    val events = Tables.load(spark, sf, "events")
+    val out = operators.EventsPipeline.slidingDistinct(events).collect()
+    assert(out.nonEmpty)
+    val totalEvents = events.count()
+    assert(out.map(_.getLong(2)).sum == 2 * totalEvents)
+    out.foreach { r =>
+      assert(r.getTimestamp(1).getTime - r.getTimestamp(0).getTime
+        == 3600 * 1000L)
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+  }
+
+  test("referential integrity: clean fixture reports zero orphans") {
+    val out = operators.Extended.refIntegrity(spark, sf).collect()
+    assert(out.length == 7)
+    out.foreach(r => assert(r.getLong(1) == 0L, r.getString(0)))
+  }
+
   test("bfs hops: seeds at 0, neighbors within one hop of a seed") {
     val li = Tables.load(spark, sf, "lineitem")
     val rows = operators.Graph.bfsHops(li).collect()
