@@ -281,6 +281,8 @@ object SparkEntry {
     "q_market_share" -> ((s, dir) => R.marketShare(s, dir)),
     "q_waiting_suppliers" -> ((s, dir) => R.waitingSuppliers(s, dir)),
     "q_dormant_customers" -> t2("customer", "orders")(R.dormantCustomers),
+    "q_rfm_segments" -> t("orders")(R.rfmSegments),
+    "q_copurchase" -> t("lineitem")(R.copurchasePairs(_)),
     "q_view_attribution" -> t("events")(E.viewAttribution),
     "q_source_quota" -> t("documents")(operators.Pipeline.sourceQuota(_)),
     "q_quality_sweep" -> t("documents")(operators.Pipeline.qualitySweep),
@@ -2023,6 +2025,17 @@ object SparkEntry {
     "q_time_weighted_avg" -> E.timeWeightedAvgOracleSql(),
     "q_sliding_distinct" -> E.slidingDistinctOracleSql(),
     "q_ref_integrity" -> operators.Extended.refIntegrityOracleSql(),
+    "q_rfm_segments" -> R.rfmSegmentsOracleSql(),
+    "q_copurchase" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+         ORDER BY n_orders DESC, part_a, part_b LIMIT 50""",
     "q_triangles" -> operators.Graph.trianglesOracleSql(),
     "q_synth_stream" ->
       """SELECT date_trunc('hour',

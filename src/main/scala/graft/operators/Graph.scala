@@ -211,29 +211,37 @@ object Graph {
     * and stop when a round changes nothing. */
   def bfsHops(lineitem: DataFrame, partCap: Long = 2000,
       seedCap: Long = 3, iters: Int = 3): DataFrame = {
+    // Rounds iterate over PACKED LONG ids (2p for parts, 2s+1 for
+    // suppliers): joins/aggs on an 8-byte key, the label string is
+    // reconstructed only in the final tiny projection. At 100 TB a
+    // numeric node id is the difference between hashing longs and
+    // hashing strings in every round's shuffle.
     val e0 = lineitem.filter(col("l_partkey") <= partCap)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
-    val edges = e0.select(
-        concat(lit("p"), col("p").cast("string")).as("src"),
-        concat(lit("s"), col("s").cast("string")).as("dst"))
-      .unionAll(e0.select(
-        concat(lit("s"), col("s").cast("string")).as("src"),
-        concat(lit("p"), col("p").cast("string")).as("dst")))
+    val edges = e0.select((col("p") * 2).as("src"),
+        (col("s") * 2 + 1).as("dst"))
+      .unionAll(e0.select((col("s") * 2 + 1).as("src"),
+        (col("p") * 2).as("dst")))
     // Only settled (reached) nodes flow through the rounds: unreached
     // nodes would just carry null distances through every aggregation.
     var dist = e0.filter(col("p") <= seedCap)
-      .select(concat(lit("p"), col("p").cast("string")).as("node"))
+      .select((col("p") * 2).as("nid"))
       .distinct()
-      .select(col("node"), lit(0L).as("d"))
+      .select(col("nid"), lit(0L).as("d"))
     for (_ <- 1 to iters) {
-      val prop = edges.join(dist, col("src") === col("node"))
-        .select(col("dst").as("node"), (col("d") + lit(1L)).as("d"))
+      val prop = edges.join(dist, col("src") === col("nid"))
+        .select(col("dst").as("nid"), (col("d") + lit(1L)).as("d"))
       dist = dist.unionAll(prop)
-        .groupBy(col("node"))
+        .groupBy(col("nid"))
         .agg(min(col("d")).as("d"))
     }
-    dist.orderBy(col("d"), col("node"))
+    dist
+      .select(concat(
+          when(col("nid") % 2 === 0, lit("p")).otherwise(lit("s")),
+          expr("nid div 2").cast("string")).as("node"),
+        col("d"))
+      .orderBy(col("d"), col("node"))
   }
 
   /** DuckDB oracle for [[bfsHops]] — rounds unrolled as chained CTEs. */

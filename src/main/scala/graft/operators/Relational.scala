@@ -887,6 +887,108 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary quartiles — the
+    * standard customer-value grid): per-customer R/F/M from one grouped
+    * pass over orders, quartile labels by comparing against the three
+    * exact interpolated percentiles of each metric. Thresholds are a
+    * 1-row broadcast, so there is NO global-sort ntile window: each
+    * customer's label is `1 + Σ(metric > p_k)`, embarrassingly
+    * parallel, and ties need no ordering tiebreak because equal metric
+    * ⇒ equal label. Recency is anchored to max(o_orderdate) so the
+    * result is reproducible. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val anchor = orders.agg(max(col("o_orderdate")).as("anchor"))
+    val rfm = orders
+      .crossJoin(broadcast(anchor))
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(first(col("anchor")), max(col("o_orderdate")))
+          .cast("long").as("r_days"),
+        count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice"), 2).as("monetary"))
+    val pct = rfm.agg(
+      percentile(col("r_days"), lit(0.25)).as("r25"),
+      percentile(col("r_days"), lit(0.5)).as("r50"),
+      percentile(col("r_days"), lit(0.75)).as("r75"),
+      percentile(col("n_orders"), lit(0.25)).as("f25"),
+      percentile(col("n_orders"), lit(0.5)).as("f50"),
+      percentile(col("n_orders"), lit(0.75)).as("f75"),
+      percentile(col("monetary"), lit(0.25)).as("m25"),
+      percentile(col("monetary"), lit(0.5)).as("m50"),
+      percentile(col("monetary"), lit(0.75)).as("m75"))
+    def quartile(c: Column, p25: Column, p50: Column, p75: Column) =
+      lit(1) + (c > p25).cast("int") + (c > p50).cast("int") +
+        (c > p75).cast("int")
+    rfm.crossJoin(broadcast(pct))
+      .select(col("o_custkey"), col("r_days"), col("n_orders"),
+        col("monetary"),
+        quartile(col("r_days"), col("r25"), col("r50"), col("r75"))
+          .as("r_q"),
+        quartile(col("n_orders"), col("f25"), col("f50"), col("f75"))
+          .as("f_q"),
+        quartile(col("monetary"), col("m25"), col("m50"), col("m75"))
+          .as("m_q"))
+      .withColumn("segment", concat(col("r_q").cast("string"),
+        col("f_q").cast("string"), col("m_q").cast("string")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** DuckDB oracle for [[rfmSegments]] — identical percentile
+    * interpolation (quantile_cont) and threshold arithmetic. */
+  def rfmSegmentsOracleSql(): String = {
+    def q(c: String, p: String) =
+      s"(1 + CAST($c > ${p}25 AS INTEGER) + CAST($c > ${p}50 AS INTEGER)" +
+        s" + CAST($c > ${p}75 AS INTEGER))"
+    s"""WITH rfm AS (
+         SELECT o_custkey,
+           CAST(date_diff('day', max(o_orderdate),
+             (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS r_days,
+           count(*) AS n_orders,
+           ${sqlDecSum("o_totalprice", 2)} AS monetary
+         FROM orders GROUP BY o_custkey),
+       pct AS (
+         SELECT
+           quantile_cont(r_days, 0.25) AS r25,
+           quantile_cont(r_days, 0.5) AS r50,
+           quantile_cont(r_days, 0.75) AS r75,
+           quantile_cont(n_orders, 0.25) AS f25,
+           quantile_cont(n_orders, 0.5) AS f50,
+           quantile_cont(n_orders, 0.75) AS f75,
+           quantile_cont(monetary, 0.25) AS m25,
+           quantile_cont(monetary, 0.5) AS m50,
+           quantile_cont(monetary, 0.75) AS m75
+         FROM rfm)
+       SELECT o_custkey, r_days, n_orders, monetary,
+         ${q("r_days", "r")} AS r_q,
+         ${q("n_orders", "f")} AS f_q,
+         ${q("monetary", "m")} AS m_q,
+         CAST(${q("r_days", "r")} AS VARCHAR) ||
+         CAST(${q("n_orders", "f")} AS VARCHAR) ||
+         CAST(${q("monetary", "m")} AS VARCHAR) AS segment
+       FROM rfm, pct ORDER BY o_custkey"""
+  }
+
+  /** Market-basket co-purchase pairs: parts most often appearing in the
+    * same order. The pair expansion is a per-order self-join — bounded
+    * by lines-per-order (≤7 in TPC-H ⇒ ≤21 pairs per order), the same
+    * bounded-group argument as the triangle wedge expansion, so it
+    * scales linearly in orders, not quadratically in parts. Final
+    * top-k is TakeOrderedAndProject (no global sort). */
+  def copurchasePairs(lineitem: DataFrame, topK: Int = 50): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
   /** TPC-H Q22 (global sales opportunity, adapted to market segments):
     * customers with an above-average positive balance and NO orders in
     * the 90 days before the newest order (dormancy is data-anchored so

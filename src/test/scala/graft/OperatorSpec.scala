@@ -553,6 +553,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("rfm quartile labels split customers into near-equal bands") {
+    val out = operators.Relational
+      .rfmSegments(Tables.load(spark, sf, "orders")).collect()
+    assert(out.nonEmpty)
+    val n = out.length.toDouble
+    Seq(4, 5, 6).foreach { i =>
+      val labels = out.map(_.getInt(i))
+      assert(labels.forall(q => q >= 1 && q <= 4))
+      // p25/p50/p75 thresholds with `>` put at most ~25% strictly above
+      // the top threshold and at least 25% at-or-below the bottom one
+      assert(labels.count(_ == 4) <= n * 0.30 + 1)
+      assert(labels.count(_ == 1) >= n * 0.20 - 1)
+    }
+    out.foreach(r => assert(r.getString(7) ==
+      s"${r.getInt(4)}${r.getInt(5)}${r.getInt(6)}"))
+  }
+
+  test("copurchase pairs are ordered, deduped per order, and bounded") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val out = operators.Relational.copurchasePairs(li).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    out.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    val counts = out.map(_.getLong(2))
+    assert(counts.sameElements(counts.sorted.reverse))
+  }
+
   test("sliding windows double-count each event and nest the tumbling agg") {
     val events = Tables.load(spark, sf, "events")
     val out = operators.EventsPipeline.slidingDistinct(events).collect()
