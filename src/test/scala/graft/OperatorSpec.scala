@@ -553,6 +553,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("new TPC-H shapes broadcast their dims and top-k without sorting") {
+    val local = operators.Relational.localSupplierVolume(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(local.contains("BroadcastHashJoin"), local)
+    assert(!local.contains("CartesianProduct"), local)
+    val share = operators.Relational.marketShare(spark, sf)
+      .queryExecution.executedPlan.toString
+    // all four dim sides ride broadcasts: part slice, region customers,
+    // supplier nations — only lineitem⋈orders shuffles
+    assert(share.split("BroadcastHashJoin").length >= 4, share)
+    assert(share.split("SortMergeJoin|ShuffledHashJoin").length <= 2, share)
+    val basket = operators.Relational
+      .copurchasePairs(Tables.load(spark, sf, "lineitem"))
+      .queryExecution.executedPlan.toString
+    assert(basket.contains("TakeOrderedAndProject"), basket)
+  }
+
   test("rfm quartile labels split customers into near-equal bands") {
     val out = operators.Relational
       .rfmSegments(Tables.load(spark, sf, "orders")).collect()
