@@ -285,6 +285,8 @@ object SparkEntry {
     "q_copurchase" -> t("lineitem")(R.copurchasePairs(_)),
     "q_view_attribution" -> t("events")(E.viewAttribution),
     "q_source_quota" -> t("documents")(operators.Pipeline.sourceQuota(_)),
+    "q_epoch_shuffle" ->
+      t("documents")(operators.Pipeline.deterministicShuffle(_)),
     "q_quality_sweep" -> t("documents")(operators.Pipeline.qualitySweep),
     "q_profile" -> t("orders")(operators.Extended.profileOrders),
     "q_table_checksum" -> t("orders")(operators.Extended.tableChecksum),
@@ -2026,6 +2028,8 @@ object SparkEntry {
     "q_sliding_distinct" -> E.slidingDistinctOracleSql(),
     "q_ref_integrity" -> operators.Extended.refIntegrityOracleSql(),
     "q_rfm_segments" -> R.rfmSegmentsOracleSql(),
+    "q_epoch_shuffle" ->
+      operators.Pipeline.deterministicShuffleOracleSql(),
     "q_copurchase" ->
       """WITH items AS (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

@@ -376,4 +376,37 @@ object Pipeline {
         lit(1L).as("cluster_size"), col("n_chars"))
     reps.unionByName(singles).orderBy(col("doc_id"))
   }
+
+  /** Deterministic global corpus shuffle — the training-order
+    * randomization step every epoch pipeline needs: shard = first hex
+    * digit of a salted md5 (16-way), position = row_number within the
+    * shard ordered by the full hash. Reproducible across runs and
+    * engines with NO global sort: each shard's window evaluates in
+    * parallel, and a reader streaming shards in (shard, pos) order
+    * sees one fixed pseudo-random permutation. Changing the salt
+    * reshuffles every epoch. */
+  def deterministicShuffle(documents: DataFrame,
+      salt: String = "shuffle:"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(salt), col("doc_id").cast("string")))
+    documents
+      .select(col("doc_id"), key.as("skey"))
+      .withColumn("shard", substring(col("skey"), 1, 1))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** DuckDB oracle for [[deterministicShuffle]]. */
+  def deterministicShuffleOracleSql(salt: String = "shuffle:"): String = {
+    val key = s"md5('$salt' || CAST(doc_id AS VARCHAR))"
+    s"""SELECT doc_id, shard, pos FROM (
+         SELECT doc_id, substr($key, 1, 1) AS shard,
+           CAST(row_number() OVER (PARTITION BY substr($key, 1, 1)
+             ORDER BY $key, doc_id) AS BIGINT) AS pos
+         FROM documents)
+       ORDER BY shard, pos"""
+  }
 }

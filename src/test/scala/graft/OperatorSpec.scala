@@ -553,6 +553,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("epoch shuffle is a salt-keyed permutation with dense positions") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = operators.Pipeline.deterministicShuffle(docs).collect()
+    assert(a.map(_.getLong(0)).toSet.size == a.length)
+    assert(a.length == docs.count())
+    a.groupBy(_.getString(1)).values.foreach { shard =>
+      assert(shard.map(_.getLong(2)).sorted.toSeq ==
+        (1L to shard.length.toLong).toSeq)
+    }
+    val b = operators.Pipeline.deterministicShuffle(docs, "epoch2:")
+      .collect()
+    assert(a.map(r => (r.getString(1), r.getLong(2), r.getLong(0))).toSeq
+      != b.map(r => (r.getString(1), r.getLong(2), r.getLong(0))).toSeq)
+  }
+
   test("new TPC-H shapes broadcast their dims and top-k without sorting") {
     val local = operators.Relational.localSupplierVolume(spark, sf)
       .queryExecution.executedPlan.toString
