@@ -78,6 +78,10 @@ object SparkEntry {
     "q_join_priority" -> t2("lineitem", "orders")(R.revenueByPriority),
     "q_join_segment" -> t2("orders", "customer")(R.revenueBySegment),
     "q_regional_revenue" -> ((s, dir) => R.regionalRevenue(s, dir)),
+    "q_ratio_to_report" -> ((s, dir) => R.revenueShareByNation(s, dir)),
+    "q_benford" -> t("orders")(operators.Extended.benfordDigits),
+    "q_bitmap_distinct" ->
+      t("events")(operators.Extended.bitmapDistinctUsers),
     "q_outer_join" -> t2("customer", "orders")(R.ordersPerCustomer),
     "q_semi_join" -> t2("customer", "orders")(R.customersWithOrders),
     "q_anti_join" -> t2("customer", "orders")(R.customersWithoutOrders),
@@ -1059,6 +1063,25 @@ object SparkEntry {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_ratio_to_report" ->
+      s"""WITH base AS (
+           SELECT r_name, n_name, $revenueExpr AS revenue,
+             count(*) AS n_lines
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name)
+         SELECT r_name, n_name, revenue, n_lines,
+           CAST(sum(CAST(revenue AS DECIMAL(28,4)))
+             OVER (PARTITION BY r_name) AS DOUBLE) AS region_revenue,
+           revenue / CAST(sum(CAST(revenue AS DECIMAL(28,4)))
+             OVER (PARTITION BY r_name) AS DOUBLE) AS region_share
+         FROM base ORDER BY r_name, n_name""",
+    "q_benford" -> operators.Extended.benfordDigitsOracleSql(),
+    "q_bitmap_distinct" ->
+      operators.Extended.bitmapDistinctUsersOracleSql(),
     "q_outer_join" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
             coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE),

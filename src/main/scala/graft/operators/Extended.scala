@@ -596,6 +596,91 @@ object Extended {
       .mkString("", " UNION ALL ", " ORDER BY column_name")
   }
 
+  /** Benford first-digit expectations, log10(1 + 1/d) for d = 1..9 as
+    * literal constants: both engines PARSE the same decimal literal to
+    * the same double, where each computing log10 natively could differ
+    * in the last ulp. */
+  private val benfordExpected = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** Benford's-law first-digit audit over order totals — the classic
+    * fraud/synthetic-data smell test: observed share of each leading
+    * digit vs log10(1+1/d). One grouped count (9 groups) plus an
+    * all-rows window over those 9 rows; the scan aggregates
+    * map-side, so the single-partition window sees 9 rows at any
+    * scale. */
+  def benfordDigits(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digit = substring(
+      floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+    val expected = benfordExpected.zipWithIndex
+      .foldLeft(lit(null).cast("double")) { case (acc, (p, i)) =>
+        when(col("digit") === (i + 1).toString, lit(p)).otherwise(acc)
+      }
+    orders
+      .select(digit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("obs_share", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy()).cast("double"))
+      .withColumn("exp_share", expected)
+      .withColumn("deviation", col("obs_share") - col("exp_share"))
+      .orderBy(col("digit"))
+  }
+
+  /** DuckDB oracle for [[benfordDigits]] — same literal expectations. */
+  def benfordDigitsOracleSql(): String = {
+    // CAST('…' AS DOUBLE) forces string→double parsing: a bare literal
+    // is a DECIMAL in DuckDB, and DECIMAL→DOUBLE can land one ulp away
+    // from the correctly-rounded parse both JVMs and strtod agree on.
+    val cases = benfordExpected.zipWithIndex
+      .map { case (p, i) => s"WHEN '${i + 1}' THEN CAST('$p' AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH d AS (
+         SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+             AS VARCHAR), 1, 1) AS digit,
+           count(*) AS n
+         FROM orders GROUP BY 1)
+       SELECT digit, n,
+         CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS obs_share,
+         CASE digit $cases END AS exp_share,
+         CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+           - CASE digit $cases END AS deviation
+       FROM d ORDER BY digit"""
+  }
+
+  /** Exact distinct count via 32-bit bitmap words — the bitmap-index
+    * trick: users collapse to (key, user div 32) words with
+    * `bit_or(1 << user mod 32)`, then popcounts sum per key. Both
+    * aggregations combine map-side (bit_or and sum are commutative
+    * monoids), so the exact distinct never shuffles raw ids — at
+    * 100 TB this moves |users|/32 words instead of |events| ids,
+    * the same pattern a bitmap-indexed warehouse uses. */
+  def bitmapDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("user_id div 32").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+          .as("bit"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(bit)").as("bits"))
+      .groupBy(col("event_type"))
+      .agg(sum(bit_count(col("bits"))).as("n_users"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("event_type"))
+
+  /** DuckDB oracle for [[bitmapDistinctUsers]]. */
+  def bitmapDistinctUsersOracleSql(): String =
+    """WITH b AS (
+         SELECT event_type, user_id // 32 AS w,
+           bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+         FROM events GROUP BY 1, 2)
+       SELECT event_type,
+         CAST(sum(bit_count(bits)) AS BIGINT) AS n_users,
+         count(*) AS n_words
+       FROM b GROUP BY 1 ORDER BY 1"""
+
   /** Referential-integrity audit: orphan count per foreign-key edge of
     * the fixture schema, one left-anti join per edge folded into a
     * 7-row report — the data-quality gate a warehouse runs after every

@@ -887,6 +887,21 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** Ratio-to-report (percent-of-total window): each nation's share of
+    * its region's revenue. One pass over the snowflake aggregate
+    * ([[regionalRevenue]] grain), then a region-partitioned window sum
+    * — parallel per region, never global. The window re-sums the
+    * per-nation revenues as DECIMAL so the share's denominator is
+    * order-independent (a double window sum over a hash-partitioned
+    * frame is not). */
+  def revenueShareByNation(spark: SparkSession, dir: String): DataFrame =
+    regionalRevenue(spark, dir)
+      .withColumn("region_revenue",
+        sum(col("revenue").cast("decimal(28,4)"))
+          .over(Window.partitionBy(col("r_name"))).cast("double"))
+      .withColumn("region_share", col("revenue") / col("region_revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
   /** RFM segmentation (recency / frequency / monetary quartiles — the
     * standard customer-value grid): per-customer R/F/M from one grouped
     * pass over orders, quartile labels by comparing against the three

@@ -553,6 +553,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("ratio-to-report shares sum to 1 within each region") {
+    val out = operators.Relational.revenueShareByNation(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).values.foreach { region =>
+      val total = region.map(_.getDouble(5)).sum
+      assert(math.abs(total - 1.0) < 1e-9, total)
+    }
+  }
+
+  test("benford digits cover 1-9 with shares summing to 1") {
+    val out = operators.Extended
+      .benfordDigits(Tables.load(spark, sf, "orders")).collect()
+    assert(out.map(_.getString(0)).toSet.subsetOf(
+      (1 to 9).map(_.toString).toSet))
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    out.foreach(r =>
+      assert(r.getDouble(4) == r.getDouble(2) - r.getDouble(3)))
+  }
+
+  test("bitmap distinct equals countDistinct exactly") {
+    val events = Tables.load(spark, sf, "events")
+    val bitmap = operators.Extended.bitmapDistinctUsers(events)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bitmap == exact)
+  }
+
   test("epoch shuffle is a salt-keyed permutation with dense positions") {
     val docs = Tables.load(spark, sf, "documents")
     val a = operators.Pipeline.deterministicShuffle(docs).collect()
