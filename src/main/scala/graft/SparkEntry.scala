@@ -180,6 +180,7 @@ object SparkEntry {
     "q_bfs_hops" -> t("lineitem")(operators.Graph.bfsHops(_)),
     "q_time_weighted_avg" -> t("events")(E.timeWeightedAvg),
     "q_sliding_distinct" -> t("events")(E.slidingDistinct),
+    "q_streaks" -> t("events")(E.activityStreaks),
     "q_ref_integrity" -> ((s, dir) =>
       operators.Extended.refIntegrity(s, dir)),
     "q_triangles" -> t("lineitem")(operators.Graph.triangles(_)),
@@ -2049,6 +2050,7 @@ object SparkEntry {
     "q_bfs_hops" -> operators.Graph.bfsHopsOracleSql(),
     "q_time_weighted_avg" -> E.timeWeightedAvgOracleSql(),
     "q_sliding_distinct" -> E.slidingDistinctOracleSql(),
+    "q_streaks" -> E.activityStreaksOracleSql(),
     "q_ref_integrity" -> operators.Extended.refIntegrityOracleSql(),
     "q_rfm_segments" -> R.rfmSegmentsOracleSql(),
     "q_epoch_shuffle" ->

@@ -804,6 +804,44 @@ object EventsPipeline {
          count(*) AS n_intervals
        FROM i GROUP BY user_id ORDER BY user_id"""
 
+  /** Activity streaks (gaps-and-islands): longest run of consecutive
+    * active DAYS per user. The islands trick — day minus the user's
+    * day-rank is constant within a consecutive run — turns streak
+    * detection into one partitioned window plus two grouped counts;
+    * the window is per-user (parallel), never global. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("anchor",
+        date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB oracle for [[activityStreaks]]. */
+  def activityStreaksOracleSql(): String =
+    """WITH days AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       g AS (
+         SELECT user_id, day,
+           day - CAST(row_number() OVER (PARTITION BY user_id
+             ORDER BY day) AS INTEGER) AS anchor
+         FROM days),
+       s AS (
+         SELECT user_id, anchor, count(*) AS len FROM g GROUP BY 1, 2)
+       SELECT user_id, max(len) AS longest_streak,
+         count(*) AS n_streaks,
+         CAST(sum(len) AS BIGINT) AS active_days
+       FROM s GROUP BY user_id ORDER BY user_id"""
+
   /** Sliding-window distinct users — the batch form of the streaming
     * sliding aggregation (`functions.window`, epoch-aligned exactly
     * like Structured Streaming's, so a backfill and the live stream

@@ -553,6 +553,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("activity streaks: hand fixture with a gap splits into two islands") {
+    import spark.implicits._
+    def at(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val df = Seq(
+      (1L, at(1), 7L, "x", 0.0, ""), (2L, at(2), 7L, "x", 0.0, ""),
+      (3L, at(3), 7L, "x", 0.0, ""), (4L, at(2), 7L, "x", 0.0, ""),
+      (5L, at(7), 7L, "x", 0.0, ""), (6L, at(8), 7L, "x", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.EventsPipeline.activityStreaks(df).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 3L) // 1-3 Jan
+    assert(r.getLong(2) == 2L) // two islands
+    assert(r.getLong(3) == 5L) // five distinct active days
+  }
+
   test("ratio-to-report shares sum to 1 within each region") {
     val out = operators.Relational.revenueShareByNation(spark, sf)
       .collect()
