@@ -181,6 +181,8 @@ object SparkEntry {
     "q_time_weighted_avg" -> t("events")(E.timeWeightedAvg),
     "q_sliding_distinct" -> t("events")(E.slidingDistinct),
     "q_streaks" -> t("events")(E.activityStreaks),
+    "q_contingency" -> t("events")(E.contingencyChi2),
+    "q_autocorrelation" -> t("events")(E.dailyAutocorrelation(_)),
     "q_ref_integrity" -> ((s, dir) =>
       operators.Extended.refIntegrity(s, dir)),
     "q_triangles" -> t("lineitem")(operators.Graph.triangles(_)),
@@ -2051,6 +2053,8 @@ object SparkEntry {
     "q_time_weighted_avg" -> E.timeWeightedAvgOracleSql(),
     "q_sliding_distinct" -> E.slidingDistinctOracleSql(),
     "q_streaks" -> E.activityStreaksOracleSql(),
+    "q_contingency" -> E.contingencyChi2OracleSql(),
+    "q_autocorrelation" -> E.dailyAutocorrelationOracleSql(),
     "q_ref_integrity" -> operators.Extended.refIntegrityOracleSql(),
     "q_rfm_segments" -> R.rfmSegmentsOracleSql(),
     "q_epoch_shuffle" ->

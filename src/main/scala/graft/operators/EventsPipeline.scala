@@ -842,6 +842,101 @@ object EventsPipeline {
          CAST(sum(len) AS BIGINT) AS active_days
        FROM s GROUP BY user_id ORDER BY user_id"""
 
+  /** Contingency table with χ² contributions: event_type × day-of-week
+    * counts vs the independence expectation (row·col/grand). The three
+    * totals are integer window sums over the tiny grid (|types|·7
+    * rows), so they're order-independent; only the final
+    * expected/χ² arithmetic is floating point, written identically in
+    * both engines. */
+  def contingencyChi2(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = events
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val expected =
+      (sum(col("n")).over(Window.partitionBy(col("event_type")))
+        .cast("double") *
+        sum(col("n")).over(Window.partitionBy(col("dow"))).cast("double")
+        ) / sum(col("n")).over(Window.partitionBy()).cast("double")
+    grid
+      .withColumn("expected", expected)
+      .withColumn("chi2",
+        (col("n").cast("double") - col("expected")) *
+          (col("n").cast("double") - col("expected")) / col("expected"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** DuckDB oracle for [[contingencyChi2]] (dow: DuckDB counts
+    * Sunday=0, Spark Sunday=1 — shifted to match). */
+  def contingencyChi2OracleSql(): String = {
+    val exp = """((CAST(CAST(sum(n) OVER (PARTITION BY event_type)
+           AS BIGINT) AS DOUBLE)
+         * CAST(CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS DOUBLE))
+         / CAST(CAST(sum(n) OVER () AS BIGINT) AS DOUBLE))"""
+    s"""WITH grid AS (
+         SELECT event_type,
+           CAST(date_part('dow', ts) + 1 AS INTEGER) AS dow,
+           count(*) AS n
+         FROM events GROUP BY 1, 2)
+       SELECT event_type, dow, n, $exp AS expected,
+         (CAST(n AS DOUBLE) - $exp) * (CAST(n AS DOUBLE) - $exp)
+           / $exp AS chi2
+       FROM grid ORDER BY event_type, dow"""
+  }
+
+  /** Autocorrelation of the daily event-count series at lags 1..7 —
+    * the seasonality detector. Pearson r from EXACT integer moment
+    * sums (counts are integers, so Σx, Σxy, Σx² stay in BIGINT; only
+    * the final normalize touches doubles, and sqrt is IEEE
+    * correctly-rounded in both engines). The daily grain is
+    * inherently tiny (one row per day), so the 7-lag self-join costs
+    * nothing at any corpus scale. */
+  def dailyAutocorrelation(events: DataFrame, maxLag: Int = 7)
+      : DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = daily
+      .select(explode(sequence(lit(1), lit(maxLag))).as("lag"),
+        col("day"), col("n").as("x"))
+      .join(daily.select(col("day").as("prev_day"), col("n").as("y")),
+        date_sub(col("day"), col("lag")) === col("prev_day"))
+    pairs
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        ((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))).as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** DuckDB oracle for [[dailyAutocorrelation]]. */
+  def dailyAutocorrelationOracleSql(maxLag: Int = 7): String =
+    s"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1),
+       p AS (
+         SELECT k.lag, a.n AS x, b.n AS y
+         FROM daily a
+         CROSS JOIN (SELECT unnest(range(1, ${maxLag + 1})) AS lag) k
+         JOIN daily b ON b.day = a.day - CAST(k.lag AS INTEGER))
+       SELECT CAST(lag AS INTEGER) AS lag, count(*) AS n_pairs,
+         CAST(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT)
+             AS DOUBLE)
+           / sqrt(CAST(CAST(count(*) * sum(x*x) - sum(x) * sum(x)
+               AS BIGINT) AS DOUBLE)
+             * CAST(CAST(count(*) * sum(y*y) - sum(y) * sum(y)
+               AS BIGINT) AS DOUBLE)) AS acf
+       FROM p GROUP BY lag ORDER BY lag"""
+
   /** Sliding-window distinct users — the batch form of the streaming
     * sliding aggregation (`functions.window`, epoch-aligned exactly
     * like Structured Streaming's, so a backfill and the live stream

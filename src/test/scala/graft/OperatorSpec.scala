@@ -553,6 +553,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("contingency table: chi2 non-negative, expecteds sum to grand total") {
+    val out = operators.EventsPipeline
+      .contingencyChi2(Tables.load(spark, sf, "events")).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(4) >= 0.0))
+    val total = out.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(out.map(_.getDouble(3)).sum - total) < 1e-6)
+  }
+
+  test("autocorrelation values are valid correlations for each lag") {
+    val out = operators.EventsPipeline
+      .dailyAutocorrelation(Tables.load(spark, sf, "events")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 7)
+      val acf = r.getDouble(2)
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9, acf)
+    }
+  }
+
   test("activity streaks: hand fixture with a gap splits into two islands") {
     import spark.implicits._
     def at(day: Int) =
