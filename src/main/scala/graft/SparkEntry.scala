@@ -302,6 +302,8 @@ object SparkEntry {
     "q_diversity" -> t("documents")(T.lexicalDiversity),
     "q_corpus_stats" -> t("documents")(T.corpusStats),
     "q_vocab_growth" -> t("documents")(T.vocabGrowth(_)),
+    "q_ks_test" -> t("documents")(T.lengthKs(_)),
+    "q_gini" -> t("orders")(operators.Extended.giniRevenue),
     "q_quality" -> t("documents")(T.qualityScores),
     "q_repetition" -> t("documents")(T.repetitionRatio(_)),
     "q_lang_id" -> t("documents")(T.languageId),
@@ -1839,6 +1841,8 @@ object SparkEntry {
               AS simpson
           FROM d ORDER BY doc_id""",
     "q_vocab_growth" -> T.vocabGrowthOracleSql(),
+    "q_ks_test" -> T.lengthKsOracleSql(),
+    "q_gini" -> operators.Extended.giniRevenueOracleSql(),
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
             CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -681,6 +681,56 @@ object Extended {
          count(*) AS n_words
        FROM b GROUP BY 1 ORDER BY 1"""
 
+  /** Gini coefficient of customer revenue concentration — the
+    * inequality KPI. All-integer arithmetic end to end (revenue in
+    * cents, ranks from a deterministic (cents, custkey) order): with
+    * distinct ranks the Σ rank·cents formula is permutation-invariant
+    * within tied values, so the tie-broken rank gives the true Gini
+    * exactly; only the final division is floating point. The global
+    * rank window runs at customer grain — at extreme scale the
+    * strict-rank bucket machinery (Skew.strictRankViaBuckets)
+    * replaces it, same arithmetic. Bounds: Σ rank·cents ≤ n²·maxCents
+    * ≈ 1e18 < 2^63 for 150k customers. */
+  def giniRevenue(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("cents"))
+    val ranked = cust.select(col("cents"),
+      row_number().over(Window.orderBy(col("cents"), col("o_custkey")))
+        .cast("long").as("rk"))
+    ranked
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("rk") * col("cents")).as("t"))
+      .select(col("n_customers"), col("total_cents"),
+        ((lit(2L) * col("t") -
+          (col("n_customers") + lit(1L)) * col("total_cents"))
+          .cast("double") /
+          (col("n_customers") * col("total_cents")).cast("double"))
+          .as("gini"))
+  }
+
+  /** DuckDB oracle for [[giniRevenue]]. */
+  def giniRevenueOracleSql(): String =
+    """WITH c AS (
+         SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders GROUP BY 1),
+       r AS (
+         SELECT cents, CAST(row_number() OVER (ORDER BY cents, o_custkey)
+           AS BIGINT) AS rk
+         FROM c)
+       SELECT count(*) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(CAST(2 * sum(rk * cents)
+             - (count(*) + 1) * sum(cents) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(count(*) * sum(cents) AS BIGINT) AS DOUBLE)
+           AS gini
+       FROM r"""
+
   /** Referential-integrity audit: orphan count per foreign-key edge of
     * the fixture schema, one left-anti join per edge folded into a
     * 7-row report — the data-quality gate a warehouse runs after every

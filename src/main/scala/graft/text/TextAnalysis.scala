@@ -537,6 +537,72 @@ object TextAnalysis {
        FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
        ORDER BY t.doc_id"""
 
+  /** Two-sample Kolmogorov-Smirnov statistic between two sources'
+    * document-length distributions — the drift detector between corpus
+    * slices. EXACT: the CDF difference is compared via cross-
+    * multiplication (|cumA·nB − cumB·nA|, all BIGINT), so the max and
+    * its location are integer decisions; only the final KS value
+    * divides. Windows run at the distinct-length grain (bounded by the
+    * length domain, not corpus size). */
+  def lengthKs(documents: DataFrame, srcA: String = "src1",
+      srcB: String = "src2"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = documents
+      .filter(col("source").isin(srcA, srcB))
+      .groupBy(col("n_chars"))
+      .agg(
+        sum(when(col("source") === srcA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("nb"))
+    val cum = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = byLen
+      .withColumn("cum_a", sum(col("na")).over(cum))
+      .withColumn("cum_b", sum(col("nb")).over(cum))
+      .withColumn("ta", sum(col("na")).over(Window.partitionBy()))
+      .withColumn("tb", sum(col("nb")).over(Window.partitionBy()))
+      .withColumn("d",
+        abs(col("cum_a") * col("tb") - col("cum_b") * col("ta")))
+    val top = g.agg(max(col("d")).as("ks_num"), max(col("ta")).as("n_a"),
+      max(col("tb")).as("n_b"))
+    val at = g.join(broadcast(top), col("d") === col("ks_num"))
+      .agg(min(col("n_chars")).as("ks_at"))
+    top.crossJoin(at)
+      .select(col("n_a"), col("n_b"), col("ks_at"),
+        (col("ks_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
+  /** DuckDB oracle for [[lengthKs]]. */
+  def lengthKsOracleSql(srcA: String = "src1",
+      srcB: String = "src2"): String =
+    s"""WITH byLen AS (
+         SELECT n_chars,
+           CAST(sum(CASE WHEN source = '$srcA' THEN 1 ELSE 0 END)
+             AS BIGINT) AS na,
+           CAST(sum(CASE WHEN source = '$srcB' THEN 1 ELSE 0 END)
+             AS BIGINT) AS nb
+         FROM documents WHERE source IN ('$srcA', '$srcB')
+         GROUP BY n_chars),
+       g AS (
+         SELECT n_chars,
+           CAST(sum(na) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+           CAST(sum(nb) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+           CAST(sum(na) OVER () AS BIGINT) AS ta,
+           CAST(sum(nb) OVER () AS BIGINT) AS tb
+         FROM byLen),
+       gd AS (
+         SELECT n_chars, abs(cum_a * tb - cum_b * ta) AS d, ta, tb
+         FROM g),
+       top AS (
+         SELECT max(d) AS ks_num, max(ta) AS n_a, max(tb) AS n_b
+         FROM gd)
+       SELECT n_a, n_b,
+         (SELECT min(n_chars) FROM gd, top WHERE d = ks_num) AS ks_at,
+         CAST(ks_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks
+       FROM top"""
+
   /** Heaps-law vocabulary growth: cumulative distinct token types vs
     * cumulative tokens along the corpus in doc_id order, reported at
     * bucket grain. "New types in bucket b" needs no running set: a type

@@ -553,6 +553,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("gini: uniform fixture in [0,1), equal-revenue customers give 0") {
+    val real = operators.Extended
+      .giniRevenue(Tables.load(spark, sf, "orders")).collect()(0)
+    assert(real.getDouble(2) >= 0.0 && real.getDouble(2) < 1.0)
+    import spark.implicits._
+    val equal = Seq(
+      (1L, 1L, "O", 100.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (2L, 2L, "O", 100.0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "1-URGENT"),
+      (3L, 3L, "O", 100.0, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    assert(operators.Extended.giniRevenue(equal)
+      .collect()(0).getDouble(2) == 0.0)
+  }
+
+  test("ks statistic: identical samples give 0, bounds hold on fixture") {
+    val docs = Tables.load(spark, sf, "documents")
+    val self = text.TextAnalysis.lengthKs(docs, "src1", "src1").collect()(0)
+    assert(self.getDouble(3) == 0.0)
+    val r = text.TextAnalysis.lengthKs(docs).collect()(0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+
   test("contingency table: chi2 non-negative, expecteds sum to grand total") {
     val out = operators.EventsPipeline
       .contingencyChi2(Tables.load(spark, sf, "events")).collect()
