@@ -304,6 +304,8 @@ object SparkEntry {
     "q_vocab_growth" -> t("documents")(T.vocabGrowth(_)),
     "q_ks_test" -> t("documents")(T.lengthKs(_)),
     "q_gini" -> t("orders")(operators.Extended.giniRevenue),
+    "q_weighted_median" ->
+      t("lineitem")(operators.Extended.weightedMedianQty),
     "q_quality" -> t("documents")(T.qualityScores),
     "q_repetition" -> t("documents")(T.repetitionRatio(_)),
     "q_lang_id" -> t("documents")(T.languageId),
@@ -1843,6 +1845,8 @@ object SparkEntry {
     "q_vocab_growth" -> T.vocabGrowthOracleSql(),
     "q_ks_test" -> T.lengthKsOracleSql(),
     "q_gini" -> operators.Extended.giniRevenueOracleSql(),
+    "q_weighted_median" ->
+      operators.Extended.weightedMedianQtyOracleSql(),
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
             CAST(sum(n_chars) AS BIGINT) AS total_chars,

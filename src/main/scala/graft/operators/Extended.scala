@@ -681,6 +681,49 @@ object Extended {
          count(*) AS n_words
        FROM b GROUP BY 1 ORDER BY 1"""
 
+  /** Weighted median (quantity weighted by revenue cents) per return
+    * flag: the smallest value whose cumulative weight reaches half the
+    * total. All decisions are BIGINT comparisons (weights in cents);
+    * the RANGE frame makes every tie-group row carry the full
+    * through-this-value cumulative, so the crossing point is
+    * deterministic without any intra-tie ordering. One partitioned
+    * window + one grouped min — both parallel per flag. */
+  def weightedMedianQty(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = lineitem.select(col("l_returnflag"), col("l_quantity"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cum = byFlag.orderBy(col("l_quantity"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_w", sum(col("cents")).over(cum))
+      .withColumn("total_w", sum(col("cents")).over(byFlag))
+      .filter(lit(2L) * col("cum_w") >= col("total_w"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("w_median_qty"),
+        max(col("total_w")).as("total_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB oracle for [[weightedMedianQty]]. */
+  def weightedMedianQtyOracleSql(): String =
+    """WITH base AS (
+         SELECT l_returnflag, l_quantity,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         FROM lineitem),
+       g AS (
+         SELECT l_returnflag, l_quantity,
+           CAST(sum(cents) OVER (PARTITION BY l_returnflag
+             ORDER BY l_quantity RANGE BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS cum_w,
+           CAST(sum(cents) OVER (PARTITION BY l_returnflag) AS BIGINT)
+             AS total_w
+         FROM base)
+       SELECT l_returnflag, min(l_quantity) AS w_median_qty,
+         max(total_w) AS total_cents
+       FROM g WHERE 2 * cum_w >= total_w
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** Gini coefficient of customer revenue concentration — the
     * inequality KPI. All-integer arithmetic end to end (revenue in
     * cents, ranks from a deterministic (cents, custkey) order): with

@@ -553,6 +553,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("weighted median splits the weight mass at least half on each side") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val out = operators.Extended.weightedMedianQty(li).collect()
+    assert(out.nonEmpty)
+    val weights = li
+      .select(col("l_returnflag"), col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+    out.foreach { r =>
+      val flag = r.getString(0); val med = r.getDouble(1)
+      val rows = weights(flag)
+        .map(x => (x.getDouble(1), x.getLong(2)))
+      val total = rows.map(_._2).sum
+      assert(2 * rows.filter(_._1 <= med).map(_._2).sum >= total)
+      assert(2 * rows.filter(_._1 >= med).map(_._2).sum >= total)
+      assert(r.getLong(2) == total)
+    }
+  }
+
   test("gini: uniform fixture in [0,1), equal-revenue customers give 0") {
     val real = operators.Extended
       .giniRevenue(Tables.load(spark, sf, "orders")).collect()(0)
