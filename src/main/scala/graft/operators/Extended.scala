@@ -690,8 +690,14 @@ object Extended {
     * window + one grouped min — both parallel per flag. */
   def weightedMedianQty(lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = lineitem.select(col("l_returnflag"), col("l_quantity"),
-      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    // Collapse to (flag, qty) grain FIRST: the map-side-combining sum
+    // reduces the window's input from |lineitem| rows in |flags|
+    // partitions (a 3-partition window is a scale bottleneck) to
+    // ≤ |flags|·|distinct qty| rows.
+    val base = lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("cents"))
     val byFlag = Window.partitionBy(col("l_returnflag"))
     val cum = byFlag.orderBy(col("l_quantity"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
