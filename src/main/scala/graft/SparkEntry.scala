@@ -294,6 +294,10 @@ object SparkEntry {
     "q_source_quota" -> t("documents")(operators.Pipeline.sourceQuota(_)),
     "q_epoch_shuffle" ->
       t("documents")(operators.Pipeline.deterministicShuffle(_)),
+    "q_dedup_rate" ->
+      t("documents")(operators.Pipeline.dedupRateBySource),
+    "q_topk_share" ->
+      t("orders")(operators.Extended.topKRevenueShare(_)),
     "q_quality_sweep" -> t("documents")(operators.Pipeline.qualitySweep),
     "q_profile" -> t("orders")(operators.Extended.profileOrders),
     "q_table_checksum" -> t("orders")(operators.Extended.tableChecksum),
@@ -2067,6 +2071,8 @@ object SparkEntry {
     "q_rfm_segments" -> R.rfmSegmentsOracleSql(),
     "q_epoch_shuffle" ->
       operators.Pipeline.deterministicShuffleOracleSql(),
+    "q_dedup_rate" -> operators.Pipeline.dedupRateBySourceOracleSql(),
+    "q_topk_share" -> operators.Extended.topKRevenueShareOracleSql(),
     "q_copurchase" ->
       """WITH items AS (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

@@ -681,6 +681,44 @@ object Extended {
          count(*) AS n_words
        FROM b GROUP BY 1 ORDER BY 1"""
 
+  /** Top-k revenue concentration: what share of all revenue the top 10
+    * customers carry. Exact integer cents end to end; the top-k side is
+    * TakeOrderedAndProject over the customer-grain aggregate (no global
+    * sort) and the total is a 1-row aggregate of the same relation —
+    * Catalyst reuses the grouped exchange for both branches. */
+  def topKRevenueShare(orders: DataFrame, k: Int = 10): DataFrame = {
+    val cust = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("cents"))
+    val top = cust
+      .orderBy(col("cents").desc, col("o_custkey"))
+      .limit(k)
+      .agg(sum(col("cents")).as("topk_cents"))
+    val total = cust.agg(sum(col("cents")).as("total_cents"))
+    top.crossJoin(total)
+      .select(col("topk_cents"), col("total_cents"),
+        (col("topk_cents").cast("double") /
+          col("total_cents").cast("double")).as("topk_share"))
+  }
+
+  /** DuckDB oracle for [[topKRevenueShare]]. */
+  def topKRevenueShareOracleSql(k: Int = 10): String =
+    s"""WITH c AS (
+         SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders GROUP BY 1),
+       top AS (
+         SELECT CAST(sum(cents) AS BIGINT) AS topk_cents FROM (
+           SELECT cents FROM c
+           ORDER BY cents DESC, o_custkey LIMIT $k)),
+       tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM c)
+       SELECT topk_cents, total_cents,
+         CAST(topk_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+           AS topk_share
+       FROM top, tot"""
+
   /** Weighted median (quantity weighted by revenue cents) per return
     * flag: the smallest value whose cumulative weight reaches half the
     * total. All decisions are BIGINT comparisons (weights in cents);

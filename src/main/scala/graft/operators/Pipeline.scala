@@ -377,6 +377,28 @@ object Pipeline {
     reps.unionByName(singles).orderBy(col("doc_id"))
   }
 
+  /** Per-source exact-duplicate dashboard: docs, distinct texts (by
+    * md5 digest — the 16-byte key shuffles, not the text), dup count
+    * and rate per source. The first number a dedup pipeline reports. */
+  def dedupRateBySource(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .withColumn("n_dups", col("n_docs") - col("n_distinct"))
+      .withColumn("dup_rate",
+        col("n_dups").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+
+  /** DuckDB oracle for [[dedupRateBySource]]. */
+  def dedupRateBySourceOracleSql(): String =
+    """SELECT source, count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_distinct,
+         count(*) - count(DISTINCT md5(text)) AS n_dups,
+         CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_rate
+       FROM documents GROUP BY source ORDER BY source"""
+
   /** Deterministic global corpus shuffle — the training-order
     * randomization step every epoch pipeline needs: shard = first hex
     * digit of a salted md5 (16-way), position = row_number within the

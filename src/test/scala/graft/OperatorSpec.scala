@@ -553,6 +553,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("top-k revenue share bounded by (0,1], dedup rate consistent") {
+    val share = operators.Extended
+      .topKRevenueShare(Tables.load(spark, sf, "orders")).collect()(0)
+    assert(share.getDouble(2) > 0.0 && share.getDouble(2) <= 1.0)
+    assert(share.getLong(0) <= share.getLong(1))
+    val rates = operators.Pipeline
+      .dedupRateBySource(Tables.load(spark, sf, "documents")).collect()
+    assert(rates.nonEmpty)
+    rates.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2))
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+    }
+  }
+
   test("weighted median splits the weight mass at least half on each side") {
     val li = Tables.load(spark, sf, "lineitem")
     val out = operators.Extended.weightedMedianQty(li).collect()
