@@ -296,6 +296,8 @@ object SparkEntry {
       t("documents")(operators.Pipeline.deterministicShuffle(_)),
     "q_dedup_rate" ->
       t("documents")(operators.Pipeline.dedupRateBySource),
+    "q_pipeline_e2e" ->
+      t("documents")(operators.Pipeline.pretrainPipeline(_)),
     "q_topk_share" ->
       t("orders")(operators.Extended.topKRevenueShare(_)),
     "q_quality_sweep" -> t("documents")(operators.Pipeline.qualitySweep),
@@ -2072,6 +2074,7 @@ object SparkEntry {
     "q_epoch_shuffle" ->
       operators.Pipeline.deterministicShuffleOracleSql(),
     "q_dedup_rate" -> operators.Pipeline.dedupRateBySourceOracleSql(),
+    "q_pipeline_e2e" -> operators.Pipeline.pretrainPipelineOracleSql(),
     "q_topk_share" -> operators.Extended.topKRevenueShareOracleSql(),
     "q_copurchase" ->
       """WITH items AS (

@@ -377,6 +377,56 @@ object Pipeline {
     reps.unionByName(singles).orderBy(col("doc_id"))
   }
 
+  /** The full pre-training data pipeline as ONE composed plan — the
+    * engine's capstone use-case: quality gate (length + token count)
+    * → language allowlist → exact dedup (keep the lowest doc_id per
+    * text digest) → deterministic 50% sample (md5 gate). Filters fold
+    * into the scan, the dedup is one digest-grain aggregate + semi
+    * join, the sample is a stateless hash predicate — no step
+    * materializes, so Catalyst optimizes the whole chain as a single
+    * query. */
+  def pretrainPipeline(documents: DataFrame,
+      langs: Seq[String] = Seq("en", "de")): DataFrame = {
+    val gated = documents
+      .filter(col("n_chars") >= 50 &&
+        size(split(col("text"), " ")) >= 10 &&
+        col("lang").isin(langs: _*))
+    val keep = gated
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    gated
+      .join(keep, Seq("doc_id"), "left_semi")
+      .filter(substring(
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))),
+        1, 1) < "8")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[pretrainPipeline]]. */
+  def pretrainPipelineOracleSql(
+      langs: Seq[String] = Seq("en", "de")): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    s"""WITH gated AS (
+         SELECT doc_id, lang, source, n_chars, text,
+           len(string_split(text, ' ')) AS n_tokens
+         FROM documents
+         WHERE n_chars >= 50 AND len(string_split(text, ' ')) >= 10
+           AND lang IN ($langList)),
+       keep AS (
+         SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+       SELECT doc_id, lang, source, n_chars,
+         CAST(n_tokens AS INTEGER) AS n_tokens
+       FROM gated
+       WHERE doc_id IN (SELECT doc_id FROM keep)
+         AND substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)
+           < '8'
+       ORDER BY doc_id"""
+  }
+
   /** Per-source exact-duplicate dashboard: docs, distinct texts (by
     * md5 digest — the 16-byte key shuffles, not the text), dup count
     * and rate per source. The first number a dedup pipeline reports. */

@@ -553,6 +553,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("e2e pipeline output honors every gate and is dup-free") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = operators.Pipeline.pretrainPipeline(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(Seq("en", "de").contains(r.getString(1)))
+      assert(r.getLong(3) >= 50 && r.getInt(4) >= 10)
+    }
+    val ids = out.map(_.getLong(0)).toSet
+    val texts = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("text")).collect().map(_.getString(0))
+    assert(texts.distinct.length == texts.length) // no exact dups survive
+  }
+
   test("top-k revenue share bounded by (0,1], dedup rate consistent") {
     val share = operators.Extended
       .topKRevenueShare(Tables.load(spark, sf, "orders")).collect()(0)
