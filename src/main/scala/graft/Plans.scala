@@ -55,7 +55,20 @@ object Plans {
       "aggregate; banded candidates join on the signature slice itself"),
     "q_zorder_range" -> ("2-D box query over the z-order layout key: a " +
       "sargable zval BETWEEN corner-codes range + exact box residual — " +
-      "all inside one codegen'd scan-filter span"))
+      "all inside one codegen'd scan-filter span"),
+    "q_local_supplier" -> ("TPC-H Q5's customer↔supplier nation CYCLE " +
+      "evaluated inside broadcast probes — the fact table shuffles once " +
+      "(orders key), never for the cycle predicate"),
+    "q_bitmap_distinct" -> ("exact distinct via 32-bit bitmap words: " +
+      "bit_or and popcount-sum are both map-side-combining monoids, so " +
+      "|users|/32 words shuffle instead of |events| ids"),
+    "q_bfs_hops" -> ("3 BFS rounds as one declarative plan over packed " +
+      "long node ids; only settled distances flow through each " +
+      "join+min-agg round"),
+    "q_pipeline_e2e" -> ("quality gate → lang filter → dedup → sample " +
+      "fused into one plan: filters reach the scan, dedup is one " +
+      "digest-grain aggregate + semi join, sample is a stateless " +
+      "hash predicate"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
