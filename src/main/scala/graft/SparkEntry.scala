@@ -300,6 +300,8 @@ object SparkEntry {
       t("documents")(operators.Pipeline.pretrainPipeline(_)),
     "q_topk_share" ->
       t("orders")(operators.Extended.topKRevenueShare(_)),
+    "q_monthly_growth" -> t("orders")(operators.Extended.monthlyGrowth),
+    "q_calendar_dim" -> t("orders")(operators.Extended.calendarDim),
     "q_quality_sweep" -> t("documents")(operators.Pipeline.qualitySweep),
     "q_profile" -> t("orders")(operators.Extended.profileOrders),
     "q_table_checksum" -> t("orders")(operators.Extended.tableChecksum),
@@ -2076,6 +2078,8 @@ object SparkEntry {
     "q_dedup_rate" -> operators.Pipeline.dedupRateBySourceOracleSql(),
     "q_pipeline_e2e" -> operators.Pipeline.pretrainPipelineOracleSql(),
     "q_topk_share" -> operators.Extended.topKRevenueShareOracleSql(),
+    "q_monthly_growth" -> operators.Extended.monthlyGrowthOracleSql(),
+    "q_calendar_dim" -> operators.Extended.calendarDimOracleSql(),
     "q_copurchase" ->
       """WITH items AS (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

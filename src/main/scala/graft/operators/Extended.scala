@@ -681,6 +681,83 @@ object Extended {
          count(*) AS n_words
        FROM b GROUP BY 1 ORDER BY 1"""
 
+  /** Month-over-month revenue growth — the BI pulse metric. Exact
+    * integer cents at month grain (the lag window runs over a
+    * handful of rows regardless of corpus size); only the final
+    * growth ratio is floating point. First month's growth is null in
+    * both engines. */
+  def monthlyGrowth(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("cents"))
+      .withColumn("prev_cents",
+        lag(col("cents"), 1).over(Window.orderBy(col("month"))))
+      .withColumn("growth",
+        (col("cents") - col("prev_cents")).cast("double") /
+          col("prev_cents").cast("double"))
+      .orderBy(col("month"))
+  }
+
+  /** DuckDB oracle for [[monthlyGrowth]]. */
+  def monthlyGrowthOracleSql(): String =
+    """WITH m AS (
+         SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders GROUP BY 1),
+       g AS (
+         SELECT month, cents,
+           lag(cents) OVER (ORDER BY month) AS prev_cents
+         FROM m)
+       SELECT month, cents, prev_cents,
+         CAST(cents - prev_cents AS DOUBLE)
+           / CAST(prev_cents AS DOUBLE) AS growth
+       FROM g ORDER BY month"""
+
+  /** Generated calendar dimension spanning the order-date domain — the
+    * dim-table every warehouse derives rather than stores:
+    * `sequence`+`explode` generation (no source scan beyond the 1-row
+    * min/max), standard date parts, ISO week. */
+  def calendarDim(orders: DataFrame): DataFrame = {
+    val span = orders.agg(
+      min(to_date(col("o_orderdate"))).as("d0"),
+      max(to_date(col("o_orderdate"))).as("d1"))
+    span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("day"),
+        year(col("day")).as("yr"),
+        quarter(col("day")).as("qtr"),
+        month(col("day")).as("mo"),
+        dayofmonth(col("day")).as("dom"),
+        dayofweek(col("day")).as("dow"),
+        weekofyear(col("day")).as("iso_week"),
+        dayofweek(col("day")).isin(1, 7).as("is_weekend"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB oracle for [[calendarDim]] (dow shifted: DuckDB Sunday=0,
+    * Spark Sunday=1). */
+  def calendarDimOracleSql(): String =
+    """WITH span AS (
+         SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+           CAST(max(o_orderdate) AS DATE) AS d1
+         FROM orders),
+       days AS (
+         SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+           AS DATE) AS day
+         FROM span)
+       SELECT day,
+         CAST(year(day) AS INTEGER) AS yr,
+         CAST(quarter(day) AS INTEGER) AS qtr,
+         CAST(month(day) AS INTEGER) AS mo,
+         CAST(day(day) AS INTEGER) AS dom,
+         CAST(date_part('dow', day) + 1 AS INTEGER) AS dow,
+         CAST(week(day) AS INTEGER) AS iso_week,
+         date_part('dow', day) IN (0, 6) AS is_weekend
+       FROM days ORDER BY day"""
+
   /** Top-k revenue concentration: what share of all revenue the top 10
     * customers carry. Exact integer cents end to end; the top-k side is
     * TakeOrderedAndProject over the customer-grain aggregate (no global

@@ -553,6 +553,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(thresholded == lsh)
   }
 
+  test("calendar dim is gapless and monthly growth chains cents exactly") {
+    val orders = Tables.load(spark, sf, "orders")
+    val cal = operators.Extended.calendarDim(orders).collect()
+    assert(cal.length >= 28)
+    cal.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getDate(0).toLocalDate.toEpochDay
+          - a.getDate(0).toLocalDate.toEpochDay == 1L)
+      case _ =>
+    }
+    val growth = operators.Extended.monthlyGrowth(orders).collect()
+    assert(growth.length >= 2)
+    assert(growth.head.isNullAt(2) && growth.head.isNullAt(3))
+    growth.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(2) == a.getLong(1))
+      case _ =>
+    }
+  }
+
   test("e2e pipeline output honors every gate and is dup-free") {
     val docs = Tables.load(spark, sf, "documents")
     val out = operators.Pipeline.pretrainPipeline(docs).collect()
