@@ -23,9 +23,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixed-work calibration probe (2M-row codegen'd sum). Run BEFORE,
+    // MIDWAY and AFTER the measured loop: on an idle box all three land
+    // within noise of each other, so a contended box shows up ON THE
+    // FACE of the bench artifact instead of silently inflating query
+    // times (r4's driver artifact reported 664 s for a workload that
+    // re-measures at ~118 s idle — the probe makes that distinguishable
+    // from a real regression).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(2000000).selectExpr("sum(id * 2)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    // Wall-vs-CPU skew: a starved box shows wall >> cpu/cores. Process
+    // CPU time via the JDK OS MXBean (public java.lang.management API).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     // Untimed warmup: JIT/codegen + parquet reader init, so the first
     // measured query doesn't absorb ~4s of one-time session cost.
-    spark.range(2000000).selectExpr("sum(id * 2)").collect()
+    // (The first calibrate() doubles as the range-sum part of it.)
+    calibrate()
     spark.read.parquet(s"$sfDir/region.parquet").join(
       spark.read.parquet(s"$sfDir/nation.parquet"),
       org.apache.spark.sql.functions.expr("r_regionkey = n_regionkey"))
@@ -52,26 +76,41 @@ object Bench {
     // inside the warmed bench session (SPARK_GRAFT_ONLY=q_a,q_b).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val loadBefore = loadavg()
+    val calBefore = calibrate()
     // A failed query records a NEGATIVE elapsed time (and lands in the
     // `errors` list) so a crash is never mistaken for a measurement.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val plan = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    var calMid = -1.0
+    val midpoint = plan.size / 2
+    var totalCpu = 0.0
+    val results = plan.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == midpoint && plan.size > 1) calMid = calibrate()
+      val c0 = cpuNanos()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      totalCpu += (cpuNanos() - c0) / 1e9
       (name, if (ok) dt else -dt, ok)
     }
+    val calAfter = calibrate()
+    val loadAfter = loadavg()
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // calibration: the same fixed 2M-row probe before/midway/after the
+    // loop — roughly-equal values certify an uncontended measurement;
+    // loadavg + cpu_sec (process CPU over the measured loop) make
+    // external contention visible as wall >> cpu evidence.
+    val health = s""""calibration":{"before":$calBefore,"mid":$calMid,"after":$calAfter},"loadavg":{"before":$loadBefore,"after":$loadAfter},"cpu_sec":$totalCpu"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$health,"sf":"$sfDir"}""")
     // Short self-contained FINAL line: tail-capture of the output always
     // retains the headline total even if the per-query map line is long.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(!_._3)},$health,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
