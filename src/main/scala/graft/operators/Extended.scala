@@ -850,20 +850,40 @@ object Extended {
     * cents, ranks from a deterministic (cents, custkey) order): with
     * distinct ranks the Σ rank·cents formula is permutation-invariant
     * within tied values, so the tie-broken rank gives the true Gini
-    * exactly; only the final division is floating point. The global
-    * rank window runs at customer grain — at extreme scale the
-    * strict-rank bucket machinery (Skew.strictRankViaBuckets)
-    * replaces it, same arithmetic. Bounds: Σ rank·cents ≤ n²·maxCents
-    * ≈ 1e18 < 2^63 for 150k customers. */
+    * exactly; only the final division is floating point.
+    *
+    * The global row_number is computed DISTRIBUTED (the same
+    * bucket-grid idea as [[Relational.strictRankViaBuckets]], applied
+    * to a self-rank where broadcasting every dim value would not
+    * scale): customers hash into fixed-width cent buckets; a
+    * cumulative count over the bounded bucket GRID gives each bucket's
+    * global rank base; a window PARTITIONED by bucket gives the
+    * within-bucket row_number; their sum is exactly
+    * `row_number() OVER (ORDER BY cents, custkey)`. No corpus-scale
+    * single-partition stage — the only unpartitioned window runs over
+    * the bucket grid (value-range/width rows). Bounds: Σ rank·cents ≤
+    * n²·maxCents ≈ 1e18 < 2^63 for 150k customers. */
   def giniRevenue(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bucketWidth = 100000L // $1,000 buckets on the cent grid
     val cust = orders
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long"))
         .as("cents"))
-    val ranked = cust.select(col("cents"),
-      row_number().over(Window.orderBy(col("cents"), col("o_custkey")))
-        .cast("long").as("rk"))
+    val bucketed = cust.withColumn("_bkt",
+      floor(col("cents") / bucketWidth).cast("long"))
+    val base = bucketed.groupBy(col("_bkt"))
+      .agg(count(lit(1)).as("_m"))
+      .withColumn("_base", coalesce(sum(col("_m")).over(
+        Window.orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_base"))
+    val ranked = bucketed
+      .withColumn("_wrk", row_number().over(
+        Window.partitionBy(col("_bkt"))
+          .orderBy(col("cents"), col("o_custkey"))).cast("long"))
+      .join(broadcast(base), Seq("_bkt"))
+      .select(col("cents"), (col("_base") + col("_wrk")).as("rk"))
     ranked
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).as("total_cents"),

@@ -358,18 +358,27 @@ object TextAnalysis {
     *
     * Scale: term stats and tf are map-side-combined integer aggs on
     * (term) / (doc_id, term); the 3-row query table broadcasts; no
-    * shuffle grows with corpus size beyond the tf agg itself. */
+    * shuffle grows with corpus size beyond the tf agg itself. Both
+    * global top-k's (query terms, final docs) plan as
+    * TakeOrderedAndProject — per-partition partial top-k then a k-row
+    * merge — NOT a single-partition window sort; ranks are then derived
+    * on the ≤k survivors by a broadcast strictly-better self-count, so
+    * no stage ever funnels the corpus through one task. */
   def bm25Rank(documents: DataFrame, k1: Double = 1.2, b: Double = 0.75,
       topDocs: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     // corpus term stats: total freq (query selection) + doc freq (idf)
     val termStats = toks.groupBy(col("t"))
       .agg(count(lit(1)).as("cf"), count_distinct(col("doc_id")).as("df"))
-    val qw = Window.orderBy(col("cf").desc, col("t"))
-    val query = termStats
-      .withColumn("qrk", row_number().over(qw))
-      .filter(col("qrk") <= 3)
+    // global top-3 terms, distributed (TakeOrderedAndProject); rank by
+    // counting strictly-(cf,t)-better survivors — 3×3 broadcast join
+    val top3 = termStats.orderBy(col("cf").desc, col("t")).limit(3)
+    val query = top3
+      .join(broadcast(top3.select(col("t").as("bt"), col("cf").as("bcf"))),
+        col("bcf") > col("cf") ||
+          (col("bcf") === col("cf") && col("bt") < col("t")), "left")
+      .groupBy(col("t"), col("cf"), col("df"))
+      .agg((count(col("bt")) + lit(1)).cast("int").as("qrk"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"),
       sum(size(tokens(col("text"))).cast("long")).as("tot_len"))
     val docLen = documents.select(col("doc_id"),
@@ -396,10 +405,19 @@ object TextAnalysis {
       .withColumn("score",
         coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
           coalesce(col("s3"), lit(0.0)))
-    val rw = Window.orderBy(col("score").desc, col("doc_id"))
-    perDoc
-      .withColumn("rk", row_number().over(rw))
-      .filter(col("rk") <= topDocs)
+    // global top-`topDocs` docs, same distributed shape as the query
+    // terms: TakeOrderedAndProject + broadcast rank-derivation on the
+    // ≤k survivors ((score, doc_id) is unique per doc, so the
+    // strictly-better count + 1 equals the old row_number exactly)
+    val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(topDocs)
+    top
+      .join(broadcast(top.select(
+          col("doc_id").as("b_id"), col("score").as("b_score"))),
+        col("b_score") > col("score") ||
+          (col("b_score") === col("score") && col("b_id") < col("doc_id")),
+        "left")
+      .groupBy(col("doc_id"), col("score"))
+      .agg((count(col("b_id")) + lit(1)).cast("int").as("rk"))
       .select(col("doc_id"), col("score"), col("rk"))
       .orderBy(col("rk"))
   }

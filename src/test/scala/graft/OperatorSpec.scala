@@ -378,6 +378,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("bm25 top-k plans distributed: TakeOrderedAndProject, no global window") {
+    val df = text.TextAnalysis.bm25Rank(Tables.load(spark, sf, "documents"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "bm25 must not plan an unpartitioned window")
+  }
+
   test("winsorized mean sits within [p05, p95]; bounds are data values") {
     val events = Tables.load(spark, sf, "events")
     val out = operators.EventsPipeline.winsorizedStats(events).collect()

@@ -29,4 +29,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"CartesianProduct found in: ${offenders.mkString(", ")}")
   }
+
+  // Unpartitioned windows ship every input row to ONE task — the shape
+  // that silently works at test SF and dies at 100×. The allowlist below
+  // is every query whose global window provably runs at a BOUNDED grain
+  // (post-aggregation rows capped by a value domain, not by data size);
+  // each entry names the grain. Corpus-scale rank/top-k must use
+  // orderBy().limit(k) (TakeOrderedAndProject) or a partitioned /
+  // bucket-grid rewrite instead (see bm25Rank, giniRevenue).
+  private val globalWindowAllowed = Set(
+    "q_benford",         // 9 leading-digit rows post-agg
+    "q_contingency",     // |event_types|·7 grid rows post-agg
+    "q_equidepth_hist",  // strictRankViaBuckets bucket grid
+    "q_gini",            // cent-bucket grid (value-range / $1000)
+    "q_ks_test",         // distinct n_chars values (length domain)
+    "q_monthly_growth",  // calendar months
+    "q_quality_sweep",   // 11 TTR bins
+    "q_skyline",         // distinct price-cent values (price grid)
+    "q_strict_rank",     // strictRankViaBuckets bucket grid
+    "q_theta_hist",      // strictRankViaBuckets bucket grid
+    "q_vocab_growth",    // curve points: n_docs/bucketSize, a
+                         // caller-chosen plot resolution, not data size
+  )
+
+  test("no corpus-scale unpartitioned window (bounded-grain allowlist only)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val hasGlobal = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        if (hasGlobal && !globalWindowAllowed.contains(name)) Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window found in: ${offenders.mkString(", ")}")
+  }
 }

@@ -77,6 +77,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("LambdaFunction"), plan.take(1200))
   }
 
+  test("gini bucket-grid rank equals the global-window form") {
+    val o = Tables.load(spark, sf, "orders")
+    val got = operators.Extended.giniRevenue(o).collect()(0)
+    // reference: the single-partition global-window row_number form the
+    // bucket-grid rewrite replaced (mirrors the theta_join/theta_hist
+    // contrast pattern — same arithmetic, different physical shape)
+    import org.apache.spark.sql.expressions.Window
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val ref = cust
+      .select(col("cents"), row_number().over(
+        Window.orderBy(col("cents"), col("o_custkey"))).cast("long").as("rk"))
+      .agg(count(lit(1)), sum(col("cents")), sum(col("rk") * col("cents")))
+      .collect()(0)
+    val (n, tc, t) = (ref.getLong(0), ref.getLong(1), ref.getLong(2))
+    assert(got.getLong(0) == n && got.getLong(1) == tc)
+    assert(got.getDouble(2) == (2L * t - (n + 1L) * tc).toDouble / (n * tc).toDouble)
+    // and the rewrite's only unpartitioned window runs on the bucket grid
+    val plan = operators.Extended.giniRevenue(o)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
   test("bloom-prefiltered join returns exactly the plain join's rows") {
     val li = Tables.load(spark, sf, "lineitem")
     // build side: a selective subset of orders, so the bloom filter
