@@ -20,6 +20,10 @@ object Bench {
       // streaming queries drain in seconds and their state dies with
       // the session, so mid-run maintenance is pure timing noise
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+      // timestamp semantics must match Verify/the oracle: the events ts
+      // normalization (Tables.normalizeTs) reinterprets NTZ wall-clocks
+      // as UTC instants, which is only the identity under a UTC session.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -97,7 +101,12 @@ object Bench {
     }
     val calAfter = calibrate()
     val loadAfter = loadavg()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the per-query map line compact enough
+    // for the driver's bounded tail capture (ADVICE r5: the full-precision
+    // line overflowed it and the structured record was lost)
+    def ms(v: Double): String = java.lang.String.format(
+      java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")

@@ -68,7 +68,17 @@ object Plans {
     "q_pipeline_e2e" -> ("quality gate → lang filter → dedup → sample " +
       "fused into one plan: filters reach the scan, dedup is one " +
       "digest-grain aggregate + semi join, sample is a stateless " +
-      "hash predicate"))
+      "hash predicate"),
+    "q_dpp_date" -> ("date-partitioned fact joined to a runtime-filtered " +
+      "broadcast dim: the scan carries a dynamicpruningexpression " +
+      "PartitionFilter — only the dim's surviving date directories are " +
+      "listed and read"),
+    "q_hilbert_range" -> ("2-D box over the Hilbert layout key: driver-" +
+      "side quadtree decomposition to sargable d-range BETWEENs + exact " +
+      "residual, all inside the scan-filter codegen span"),
+    "q_bpe_tokens" -> ("BPE merge table applied by a codegen'd expression " +
+      "over DISTINCT words (vocab-sized), token counts joined back to " +
+      "the corpus word stream"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

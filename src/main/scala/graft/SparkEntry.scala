@@ -129,6 +129,26 @@ object SparkEntry {
           col("day").between(9500L, 10000L))
         .orderBy(col("o_orderkey"))
     },
+    "q_hilbert_range" -> t("orders") { o =>
+      import org.apache.spark.sql.functions.{col, expr}
+      // The read pattern the HILBERT layout serves: unlike Morton (one
+      // corner-bounded range), a 2-D box maps to a SET of curve ranges —
+      // HilbertValue.boxRanges decomposes the box on the driver (pure
+      // geometry on query constants), and the scan filter is the sargable
+      // OR-of-BETWEENs over the layout key plus the exact box residual.
+      val day = expr(
+        "cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")
+      val h = graft.functions.HilbertValue.hilbert(col("o_custkey"), day)
+      val inRanges = graft.functions.HilbertValue
+        .boxRanges(40L, 90L, 9500L, 10000L)
+        .map { case (lo, hi) => col("hval").between(lo, hi) }
+        .reduce(_ || _)
+      o.select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+          h.as("hval"))
+        .filter(inRanges && col("o_custkey").between(40L, 90L) &&
+          col("day").between(9500L, 10000L))
+        .orderBy(col("o_orderkey"))
+    },
     "q_topk_custom" -> t("orders")(o =>
       graft.plans.TopKPerGroup.topKPerGroup(
         o.select(org.apache.spark.sql.functions.col("o_custkey"),
@@ -198,6 +218,8 @@ object SparkEntry {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
     }),
+    "q_dpp_date" -> ((s, dir) => sources.Sources.dppDateRollup(s, dir)),
+    "q_bpe_tokens" -> t("documents")(T.bpeTokenStats(_)),
     "q_hll_mergeable" -> t("events")(operators.Extended.approxUsersBySketch),
     "q_kll_mergeable" -> t("events")(operators.Extended.kllValueQuantiles),
     "q_theta_overlap" -> t("events")(operators.Extended.thetaOverlap),
@@ -1167,6 +1189,28 @@ object SparkEntry {
               BETWEEN 9500 AND 10000
           ORDER BY o_orderkey"""
     },
+    "q_hilbert_range" -> {
+      // same driver-side box decomposition constants as the Spark side
+      // (embedded-constant oracle, like the LSH hyperplanes)
+      val ranges = graft.functions.HilbertValue
+        .boxRanges(40L, 90L, 9500L, 10000L)
+        .map { case (lo, hi) => s"(h.hval BETWEEN $lo AND $hi)" }
+        .mkString(" OR ")
+      s"""WITH RECURSIVE pts AS (
+            SELECT o_orderkey AS key, o_custkey AS x,
+              date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS y
+            FROM orders),
+          ${graft.functions.HilbertValue.hilbertCteSql("pts")}
+          SELECT o.o_orderkey, o.o_custkey,
+            date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE) AS day,
+            h.hval
+          FROM orders o JOIN _hilbert h ON h.key = o.o_orderkey
+          WHERE ($ranges)
+            AND o.o_custkey BETWEEN 40 AND 90
+            AND date_diff('day', DATE '1970-01-01', o.o_orderdate::DATE)
+              BETWEEN 9500 AND 10000
+          ORDER BY o.o_orderkey"""
+    },
     "q_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
@@ -2112,6 +2156,8 @@ object SparkEntry {
           FROM (SELECT range AS event_id FROM range(0, 100000))
           WHERE event_id >= 25000 AND event_id < 75000
           GROUP BY 1 ORDER BY 1""",
+    "q_dpp_date" -> sources.Sources.dppDateRollupOracleSql,
+    "q_bpe_tokens" -> T.bpeTokenStatsOracleSql,
     "q_jaccard_pairs" ->
       """WITH tok AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

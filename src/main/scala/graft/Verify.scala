@@ -16,6 +16,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture-drift canary: fail LOUDLY with the drifted column's name
+    // before any query runs (round 5: a regenerated events.ts surfaced as
+    // 62 opaque analysis errors). Non-fatal — queries on undrifted tables
+    // should still be verified — but the banner makes the cause legible.
+    val drift = Tables.checkContract(spark, sfDir)
+    if (drift.nonEmpty) {
+      System.err.println("[verify] FIXTURE SCHEMA DRIFT DETECTED:")
+      drift.foreach(d => System.err.println(s"[verify]   $d"))
+    }
     // Builder-side iteration aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the
     // dump to the named queries (driver never sets it — full run).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -173,7 +173,7 @@ object Dedup {
         Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val result = common
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
@@ -182,6 +182,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      // Cache swap: materialize the RESULT (threshold-filtered pairs — the
+      // small end of the funnel) while `sh` is hot, then release `sh`.
+      // Without this, the exploded shingle-hash cache (O(corpus×shingles))
+      // stays pinned for the life of the session; the surviving cache is
+      // the deliverable itself, dimension-sized.
+      .persist()
+    result.count()
+    sh.unpersist()
+    result
   }
 
   /** MinHash signature: k independent hash functions realized as salted
@@ -647,10 +656,13 @@ object Dedup {
     * many of its windows are shared (`n_shared`).
     *
     * Scale: the index holds total_chars/stride hashes (stride halves it
-    * vs dense sliding; overlap ≥ w+s chars is still always caught since
-    * the two docs' window grids align on the copied region only when the
-    * copy is grid-aligned — stride=w/2 guarantees any shared run of
-    * ≥ 2w chars contains an aligned window). Hot boilerplate windows are
+    * vs dense sliding) at a recall cost: a copied region is detected
+    * only when the two documents' window grids align on it — i.e. the
+    * copy offsets agree mod stride — in which case any shared run of
+    * ≥ w+stride chars contains a common window. For arbitrary offsets
+    * the pass is exact only at stride=1 (dense); larger strides trade
+    * recall (≈1/stride for random offsets) for an index 1/stride the
+    * size. Hot boilerplate windows are
     * df-capped exactly like the Jaccard posting lists; everything is
     * hash-groupBy (md5 — engine-neutral so the query is fully oracled;
     * at production scale swap in xxhash64 for 8-byte shuffle keys). */

@@ -134,6 +134,73 @@ object HilbertValue {
   def hilbert(x: Column, y: Column): Column =
     Shim.column(HilbertExpr(Shim.expression(x), Shim.expression(y)))
 
+  /** Decompose the inclusive 2-D box [xlo,xhi]×[ylo,yhi] into disjoint,
+    * sorted Hilbert-distance ranges that cover exactly the box's cells
+    * (then coarsened to ≤ maxRanges by closing the smallest inter-range
+    * gaps — a superset, safe under the exact box residual filter every
+    * curve-range read applies anyway).
+    *
+    * This is the READ-side planning step the Hilbert layout needs that
+    * Morton order gets for free: z(lo,lo)..z(hi,hi) bounds a 2-D box
+    * because bit-interleaving is monotone per dimension, but Hilbert's
+    * rotations break corner-monotonicity, so a box maps to a SET of
+    * d-ranges. The decomposition walks the quadtree: an aligned 2^k-cell
+    * is a contiguous d-block of length 4^k starting at a multiple of 4^k
+    * (the defining Hilbert recursion property), so fully-contained cells
+    * emit their block and partial cells recurse — O(perimeter·log N)
+    * cells visited, pure driver-side geometry on query CONSTANTS (no
+    * data touched; the same planning any curve-indexed store does). */
+  def boxRanges(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+      maxRanges: Int = 64): Seq[(Long, Long)] = {
+    require(xlo <= xhi && ylo <= yhi && xlo >= 0 && ylo >= 0 &&
+      xhi < N && yhi < N, s"box out of the $N×$N grid")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def emit(x0: Long, y0: Long, s: Long): Unit = {
+      val sz = s * s
+      val base = (xy2d(x0, y0) / sz) * sz
+      buf += ((base, base + sz - 1))
+    }
+    def walk(x0: Long, y0: Long, s: Long): Unit = {
+      val x1 = x0 + s - 1; val y1 = y0 + s - 1
+      if (x1 < xlo || x0 > xhi || y1 < ylo || y0 > yhi) ()
+      else if ((x0 >= xlo && x1 <= xhi && y0 >= ylo && y1 <= yhi) || s == 1L)
+        emit(x0, y0, s)
+      else {
+        val h = s >> 1
+        walk(x0, y0, h); walk(x0 + h, y0, h)
+        walk(x0, y0 + h, h); walk(x0 + h, y0 + h, h)
+      }
+    }
+    walk(0L, 0L, N)
+    // merge touching/overlapping ranges
+    val merged = buf.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, (l, h)) if l <= hi + 1 =>
+        (lo, math.max(hi, h)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse.toVector
+    if (merged.size <= maxRanges) merged
+    else {
+      // close the (size - maxRanges) smallest gaps: keeps the extra cells
+      // admitted by coarsening to a minimum
+      val k = merged.size - maxRanges
+      val gaps = merged.sliding(2).collect {
+        case Seq((_, h), (l, _)) => l - h - 1
+      }.toVector.sorted
+      val cut = gaps(k - 1)
+      // close every gap < cut, plus just enough == cut gaps to total k
+      var eqToClose = k - gaps.count(_ < cut)
+      merged.tail.foldLeft(List(merged.head)) {
+        case ((lo, hi) :: tail, (l, h)) =>
+          val gap = l - hi - 1
+          val close = gap < cut ||
+            (gap == cut && eqToClose > 0 && { eqToClose -= 1; true })
+          if (close) (lo, math.max(hi, h)) :: tail
+          else (l, h) :: (lo, hi) :: tail
+        case (acc, r) => r :: acc // unreachable; exhaustivity
+      }.reverse.toVector
+    }
+  }
+
   /** The same walk as a DuckDB recursive CTE body. `src` must expose
     * (key, x, y); the produced CTE `_hilbert` exposes (key, hval). */
   def hilbertCteSql(src: String): String =

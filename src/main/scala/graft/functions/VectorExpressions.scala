@@ -115,6 +115,8 @@ object VectorFunctions {
           case other => throw new IllegalArgumentException(
             s"word_shingles width must be an int literal, got $other")
         }), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_tokens", exprs => BpeTokensExpr(exprs(0)), "built-in")
   }
 }
 
@@ -165,6 +167,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"word_shingles width must be an int literal, got $other")
         })))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokensExpr].getName, "bpe_tokens"),
+      (exprs: Seq[Expression]) => BpeTokensExpr(exprs(0))))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
     // Banded time-range joins → binned equi-joins (no BNLJ at scale).
     ext.injectOptimizerRule(_ => graft.plans.BinTimeRangeJoin)

@@ -49,26 +49,36 @@ object EventsPipeline {
       .orderBy(col("timestamp"), col("event_id"))
 
   /** Scan-pushdown variant of [[historicalRange]]: resolves the anchor as
-    * a scalar aggregate first, then filters the RAW long-nanos column with
-    * a literal, which Parquet accepts as a pushed row-group/page filter —
+    * a scalar aggregate first, then filters the RAW on-disk column with a
+    * literal, which Parquet accepts as a pushed row-group/page filter —
     * `.explain` shows `PushedFilters: [GreaterThanOrEqual(ts, …)]`. The
     * single-plan broadcast form above cannot push (the bound is a join
     * output and `ts` sits inside a conversion expression), so at 100 TB it
     * would scan every row-group; this form skips row groups outside the
-    * window. The ns cutoff `(max_us − Δus)·1000` is exactly equivalent to
-    * the µs-truncated predicate (`floor(x/1000) ≥ c ⟺ x ≥ 1000c`), so
-    * results are identical to the oracle's µs comparison. */
+    * window. Branched on the fixture vintage (see Tables.normalizeTs):
+    * long-nanos vintage pushes a long literal whose ns cutoff
+    * `(max_us − Δus)·1000` is exactly equivalent to the µs-truncated
+    * predicate (`floor(x/1000) ≥ c ⟺ x ≥ 1000c`); the TIMESTAMP(MICROS)
+    * vintage pushes a LocalDateTime literal against the NTZ column. Both
+    * produce results identical to the oracle's µs comparison. */
   def historicalRangeScan(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, hours: Int = 24): DataFrame = {
     import graft.Tables
     val raw = Tables.raw(spark, sfDir, "events")
-    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-    val cutoffNs = (maxNs / 1000L - hours * 3600L * 1000000L) * 1000L
-    raw
-      .filter(col("ts") >= cutoffNs)
+    val filtered = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+        val cutoffNs = (maxNs / 1000L - hours * 3600L * 1000000L) * 1000L
+        raw.filter(col("ts") >= cutoffNs)
+      case _ =>
+        val maxTs = raw.agg(max(col("ts"))).head()
+          .getAs[java.time.LocalDateTime](0)
+        raw.filter(col("ts") >= lit(maxTs.minusHours(hours.toLong)))
+    }
+    Tables.normalizeTs(filtered)
       .select(
         col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("timestamp"),
+        col("ts").as("timestamp"),
         col("user_id"),
         col("event_type"),
         col("value"))

@@ -610,7 +610,9 @@ object Extended {
     * digit vs log10(1+1/d). One grouped count (9 groups) plus an
     * all-rows window over those 9 rows; the scan aggregates
     * map-side, so the single-partition window sees 9 rows at any
-    * scale. */
+    * scale. Totals below 1 (or negative) have no well-defined leading
+    * digit under floor-then-substring (digit "0" or "-"), so the audit
+    * is restricted to `o_totalprice >= 1` — mirrored in the oracle. */
   def benfordDigits(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val digit = substring(
@@ -620,6 +622,7 @@ object Extended {
         when(col("digit") === (i + 1).toString, lit(p)).otherwise(acc)
       }
     orders
+      .filter(col("o_totalprice") >= 1)
       .select(digit.as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
@@ -642,7 +645,7 @@ object Extended {
          SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
              AS VARCHAR), 1, 1) AS digit,
            count(*) AS n
-         FROM orders GROUP BY 1)
+         FROM orders WHERE o_totalprice >= 1 GROUP BY 1)
        SELECT digit, n,
          CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS obs_share,
          CASE digit $cases END AS exp_share,

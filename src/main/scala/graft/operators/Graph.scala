@@ -156,11 +156,22 @@ object Graph {
     val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    nodeStats.crossJoin(edgeStats).crossJoin(tri)
+    val out = nodeStats.crossJoin(edgeStats).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         (lit(3.0) * col("n_triangles").cast("double") /
           col("n_wedges").cast("double")).as("clustering"))
+    // The output is exactly ONE summary row: materialize it now (while the
+    // two persisted relations are hot), then RELEASE the caches — left
+    // pinned, they'd accumulate for the life of a multi-query session and
+    // at real scale evict working memory. A 1-row collect is a stats
+    // read, not a driver-side loop (same rationale as LayoutWriter's
+    // min/max bounds read).
+    val row = out.collect()
+    edges.unpersist()
+    oriented.unpersist()
+    lineitem.sparkSession.createDataFrame(
+      java.util.Arrays.asList(row: _*), out.schema)
   }
 
   /** DuckDB oracle: identical posting cap, orientation, wedge-close. */

@@ -27,14 +27,15 @@ object StreamingPipeline {
   def eventsStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     val schema = graft.Tables.raw(spark, sfDir, "events").schema
-    spark.readStream
+    val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       // glob (not bare file path): FileStreamSource requires basePath to be
       // a directory, and with a glob it resolves to the parent dir.
       .parquet(s"$sfDir/{events}.parquet")
-      // same ns→us normalization as Tables.load (ts arrives as long nanos)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same vintage-branched ts normalization as Tables.load (long nanos →
+    // truncate; TIMESTAMP_NTZ → session-UTC instant)
+    graft.Tables.normalizeTs(stream)
   }
 
   /** The reference's consume-side validation (app.py:251-252 required

@@ -39,6 +39,45 @@ object TextAnalysis {
         length(col("text")).as("len_chars"))
       .orderBy(col("doc_id"))
 
+  /** Subword-token accounting via the REAL fixed-merges BPE
+    * (functions/BpeExpressions.scala — upgrades [[bpeishTokenCount]]'s
+    * chunk heuristic to rank-ordered pair merges). Token counts are
+    * computed once per DISTINCT word (vocab-sized — Zipf keeps the
+    * vocab orders of magnitude below the corpus) and joined back to the
+    * per-doc word stream, so the expression cost scales with the vocab
+    * while the join scales with the corpus. Only `^[a-z]+$` words are
+    * BPE-counted (ASCII: JVM chars == SQL codepoints, so the DuckDB
+    * replay of the merge table is exact). */
+  def bpeTokenStats(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val vocab = words.select(col("word")).distinct()
+      .select(col("word"),
+        size(graft.functions.Bpe.bpeTokens(col("word"))).as("n_toks"))
+    words.join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[bpeTokenStats]]: the merge table replayed rank
+    * by rank as window CTEs (see Bpe.countsCteSql). */
+  def bpeTokenStatsOracleSql: String =
+    s"""WITH w AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id,
+              unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+          WHERE regexp_matches(word, '^[a-z]+${"$"}')),
+        ${graft.functions.Bpe.countsCteSql("w")}
+        SELECT doc_id, count(*) AS n_words,
+          CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens
+        FROM w JOIN _bpe_counts ON word = wid
+        GROUP BY doc_id ORDER BY doc_id"""
+
   /** Corpus statistics per language: doc counts + exact char/token
     * averages (integer sums → deterministic division). */
   def corpusStats(documents: DataFrame): DataFrame =

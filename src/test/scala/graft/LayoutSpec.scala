@@ -186,6 +186,48 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("boxRanges covers a 2-D box exactly (uncapped) and as a superset " +
+      "when coarsened") {
+    import graft.functions.HilbertValue.{boxRanges, xy2d}
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val xlo = rnd.nextInt(200).toLong; val xhi = xlo + rnd.nextInt(40)
+      val ylo = rnd.nextInt(200).toLong; val yhi = ylo + rnd.nextInt(40)
+      val ranges = boxRanges(xlo, xhi, ylo, yhi, maxRanges = Int.MaxValue)
+      // disjoint, sorted, non-touching (fully merged)
+      ranges.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1)
+        case _ =>
+      }
+      def inRanges(d: Long) = ranges.exists { case (l, h) => l <= d && d <= h }
+      // exact cover: every box cell's d is in some range...
+      for (x <- xlo to xhi; y <- ylo to yhi)
+        assert(inRanges(xy2d(x, y)), s"missing cell ($x,$y)")
+      // ...and total range length == box area (no cell outside the box)
+      val area = (xhi - xlo + 1) * (yhi - ylo + 1)
+      assert(ranges.map { case (l, h) => h - l + 1 }.sum == area)
+      // coarsened: few ranges, still a superset of the box cells
+      val capped = boxRanges(xlo, xhi, ylo, yhi, maxRanges = 4)
+      assert(capped.size <= 4)
+      def inCapped(d: Long) = capped.exists { case (l, h) => l <= d && d <= h }
+      for (x <- xlo to xhi; y <- ylo to yhi) assert(inCapped(xy2d(x, y)))
+    }
+  }
+
+  test("q_hilbert_range equals the plain box filter (residual exactness)") {
+    val viaCurve = SparkEntry.queries("q_hilbert_range")(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    val plain = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("day"))
+      .filter(col("o_custkey").between(40L, 90L) &&
+        col("day").between(9500L, 10000L))
+      .orderBy(col("o_orderkey"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaCurve == plain)
+    assert(plain.nonEmpty, "degenerate test: empty box")
+  }
+
   test("hilbert expression matches the Scala walk and registers in SQL") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)

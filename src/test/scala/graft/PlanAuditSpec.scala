@@ -52,6 +52,14 @@ class PlanAuditSpec extends AnyFunSuite {
                          // caller-chosen plot resolution, not data size
   )
 
+  test("q_dpp_date's fact scan carries a dynamicpruning partition filter") {
+    val plan = SparkEntry.queries("q_dpp_date")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "expected a dynamicpruningexpression PartitionFilter on the " +
+        "date-partitioned events scan:\n" + plan.take(2000))
+  }
+
   test("no corpus-scale unpartitioned window (bounded-grain allowlist only)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -204,6 +204,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: BPE tokens concatenate back to the word; merges apply " +
+      "in rank order") {
+    import graft.functions.Bpe
+    // lossless: merging only ever concatenates adjacent tokens
+    val wordGen: Gen[String] = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("theandingisoretcl".toSeq)).map(_.mkString))
+    (samples(wordGen, 200) ++ Seq("the", "thth", "and", "standing", "a"))
+      .foreach { w =>
+        val toks = Bpe.tokenize(w)
+        assert(toks.mkString == w, s"lossy tokenization of '$w'")
+        assert(toks.forall(_.nonEmpty))
+      }
+    // known replays: t+h -> th, th+e -> the (rank order matters)
+    assert(Bpe.tokenize("the").toSeq == Seq("the"))
+    // no overlap: adjacent t,h pairs merge independently
+    assert(Bpe.tokenize("thth").toSeq == Seq("th", "th"))
+    // i+n -> in, then in+g -> ing
+    assert(Bpe.tokenize("standing").toSeq.last == "ing")
+    // the expression agrees with the Scala function on the fixture vocab
+    // and stays in whole-stage codegen
+    val vocab = Tables.load(spark, TestSpark.sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$")).distinct().limit(500)
+      .select(col("word"), Bpe.bpeTokens(col("word")).as("toks"))
+    vocab.collect().foreach { r =>
+      assert(r.getSeq[String](1) == Bpe.tokenize(r.getString(0)).toSeq)
+    }
+    val plan = vocab.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(600))
+  }
+
   test("property: zvalue is monotonic in each coordinate (box-query safety)") {
     // z(x1,y1) <= z(x2,y2) whenever x1<=x2 && y1<=y2 — the property that
     // makes `z BETWEEN z(corner_lo) AND z(corner_hi)` a correct superset
