@@ -139,10 +139,13 @@ object SparkEntry {
       val day = expr(
         "cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")
       val h = graft.functions.HilbertValue.hilbert(col("o_custkey"), day)
-      val inRanges = graft.functions.HilbertValue
+      val ranges = graft.functions.HilbertValue
         .boxRanges(40L, 90L, 9500L, 10000L)
-        .map { case (lo, hi) => col("hval").between(lo, hi) }
-        .reduce(_ || _)
+      // InLongRanges (binary search, child evaluated once) — an
+      // OR-of-BETWEENs would inline the Hilbert walk into every
+      // comparison after project-filter collapse (~128 evals/row)
+      val inRanges = graft.functions.InLongRanges
+        .inRanges(col("hval"), ranges)
       o.select(col("o_orderkey"), col("o_custkey"), day.as("day"),
           h.as("hval"))
         .filter(inRanges && col("o_custkey").between(40L, 90L) &&

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -220,6 +220,62 @@ object HilbertValue {
            s // 2 AS s
          FROM _hraw WHERE s >= 1),
        _hilbert AS (SELECT key, d AS hval FROM _hraw WHERE s = 0)"""
+}
+
+/** Sorted-disjoint-range containment: `value ∈ ⋃ [los(i), his(i)]` via
+  * one binary search — the read-side predicate for curve-range scans.
+  *
+  * Why an expression and not `OR`-of-`BETWEEN`s: the filter sits right
+  * above the project that computes the curve key, so Catalyst collapses
+  * them and INLINES the key expression into every comparison — with 64
+  * ranges that re-ran the 16-iteration Hilbert walk ~128× per row
+  * (measured 5.3 s vs z-order's 0.24 s on the same box query). Here the
+  * child is evaluated ONCE and the ranges live in two sorted arrays
+  * behind a static binary search — O(log R) per row, one small codegen
+  * call instead of a 128-term comparison tree. */
+case class InLongRanges(child: Expression, los: Array[Long],
+    his: Array[Long]) extends UnaryExpression {
+  require(los.length == his.length && los.nonEmpty, "empty range set")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"in_long_ranges requires a bigint input, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "in_long_ranges"
+
+  override def nullSafeEval(v: Any): Any =
+    InLongRanges.contains(v.asInstanceOf[Long], los, his)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val losRef = ctx.addReferenceObj("los", los, "long[]")
+    val hisRef = ctx.addReferenceObj("his", his, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.InLongRanges.contains($c, $losRef, $hisRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): InLongRanges =
+    copy(child = c)
+}
+
+object InLongRanges {
+  /** Rightmost lo <= v (binary search), then test v <= its hi. */
+  def contains(v: Long, los: Array[Long], his: Array[Long]): Boolean = {
+    var lo = 0
+    var hi = los.length - 1
+    var found = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (los(mid) <= v) { found = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    found >= 0 && v <= his(found)
+  }
+
+  /** Column form over a sorted, disjoint range set. */
+  def inRanges(c: Column, ranges: Seq[(Long, Long)]): Column =
+    Shim.column(InLongRanges(Shim.expression(c),
+      ranges.map(_._1).toArray, ranges.map(_._2).toArray))
 }
 
 /** Native codegen'd Hilbert-index expression (see [[HilbertValue]]). */

@@ -63,6 +63,11 @@ object Sources {
         .createTempDirectory("graft_events_bydate").toString + "/events"
       val ev = graft.Tables.load(spark, sfDir, "events")
         .withColumn("event_date", to_date(col("ts")))
+        // one shuffle clusters each date into ONE task → one file per
+        // partition directory (the standard dynamic-partition-insert
+        // shuffle); without it every upstream task writes a sliver
+        // into every date it touches — up to tasks×dates tiny files
+        .repartition(col("event_date"))
       writeParquetPartitioned(ev, dir, Seq("event_date"))
       dir
     })

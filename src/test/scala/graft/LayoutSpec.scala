@@ -214,6 +214,16 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("InLongRanges binary search hits exactly the range cells") {
+    import graft.functions.InLongRanges.contains
+    val los = Array(0L, 10L, 100L)
+    val his = Array(3L, 10L, 199L)
+    val in = Set(0L, 1L, 3L, 10L, 100L, 150L, 199L)
+    val out = Set(-5L, 4L, 9L, 11L, 99L, 200L, Long.MaxValue)
+    in.foreach(v => assert(contains(v, los, his), s"$v should be in"))
+    out.foreach(v => assert(!contains(v, los, his), s"$v should be out"))
+  }
+
   test("q_hilbert_range equals the plain box filter (residual exactness)") {
     val viaCurve = SparkEntry.queries("q_hilbert_range")(spark, sf)
       .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
