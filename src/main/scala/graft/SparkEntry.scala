@@ -244,6 +244,7 @@ object SparkEntry {
     "q_chunked" -> t("documents")(T.chunkDocuments(_)),
     "q_pii_scrub" -> t("documents")(T.scrubPii),
     "q_pack_greedy" -> t("documents")(operators.Pipeline.packGreedy(_)),
+    "q_pack_bpe" -> t("documents")(operators.Pipeline.packGreedyBpe(_)),
     "q_stratified_sample" -> t("documents")(operators.Pipeline.stratifiedSample),
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
@@ -2344,6 +2345,7 @@ object SparkEntry {
          SELECT lang, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
            before // 2000 AS bin_id
          FROM c ORDER BY lang, doc_id""",
+    "q_pack_bpe" -> operators.Pipeline.packGreedyBpeOracleSql(),
     "q_heavy_hitters" ->
       """WITH t AS (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

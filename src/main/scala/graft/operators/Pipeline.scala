@@ -153,6 +153,66 @@ object Pipeline {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** [[packGreedy]] with SUBWORD-token budgets: bin capacity measured in
+    * BPE tokens (functions/BpeExpressions.scala) instead of whitespace
+    * words — the unit a training pipeline actually packs to. Counts are
+    * computed once per DISTINCT alphabetic word (vocab-sized) and joined
+    * back; non-`[a-z]+` words cost 1 token each (the unknown-token
+    * convention), so every word is accounted. Same per-shard window
+    * packing as the word-budget form. */
+  def packGreedyBpe(documents: DataFrame, targetTokens: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis.tokens
+    val words = documents
+      .select(col("lang"), col("doc_id"),
+        explode(tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = words.filter(col("word").rlike("^[a-z]+$"))
+      .select(col("word")).distinct()
+      .select(col("word"),
+        size(graft.functions.Bpe.bpeTokens(col("word"))).cast("long")
+          .as("n_toks"))
+    val perDoc = words.join(vocab, Seq("word"), "left")
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(coalesce(col("n_toks"), lit(1L))).as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        expr(s"before div $targetTokens").as("bin_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[packGreedyBpe]]: BPE counts via the shared
+    * merge-replay CTEs, unknown words cost 1, identical window packing. */
+  def packGreedyBpeOracleSql(targetTokens: Int = 2000): String =
+    s"""WITH w AS (
+          SELECT lang, doc_id, word FROM (
+            SELECT lang, doc_id,
+              unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+          WHERE length(word) > 0),
+        aw AS (SELECT word FROM w
+               WHERE regexp_matches(word, '^[a-z]+${"$"}')),
+        ${graft.functions.Bpe.countsCteSql("aw")},
+        perdoc AS (
+          SELECT lang, doc_id,
+            CAST(sum(COALESCE(c.n_toks, 1)) AS BIGINT) AS n_tokens
+          FROM w LEFT JOIN _bpe_counts c ON w.word = c.wid
+          GROUP BY lang, doc_id),
+        packed AS (
+          SELECT lang, doc_id, n_tokens,
+            CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS before
+          FROM perdoc)
+        SELECT lang, doc_id, n_tokens,
+          before // $targetTokens AS bin_id
+        FROM packed ORDER BY lang, doc_id"""
+
   /** Deterministic stratified sampling: per-language keep rates applied
     * via an engine-neutral hash gate — keep a document iff
     * (md5-prefix-hash of doc_id) mod 1000 < rate(lang). The standard
