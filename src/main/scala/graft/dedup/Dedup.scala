@@ -131,29 +131,32 @@ object Dedup {
     *
     * Scale: the posting lists that explode into pairs hold only prefix
     * tokens — the frequent shingles that dominate Σdf² never enter the
-    * index; verification joins touch candidate pairs × their shingles,
-    * not the corpus square. */
+    * index; verification joins each candidate pair against the two
+    * docs' hash ARRAYS (one row per doc) and intersects them inside
+    * codegen (`array_intersect` — hash-set, O(|A|+|B|) per pair), so
+    * the verify stage shuffles |cand| rows carrying small arrays
+    * instead of materializing candidate × per-doc-shingle rows (the
+    * row-form join measured ~20M intermediate rows on a 260k-shingle
+    * corpus — Σ|A| per candidate, for nothing). */
   def jaccardPrefixPairs(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.4): DataFrame = {
-    // sh is referenced three times (df count, prefix ranking, exact
-    // verification); it is a narrow (long, long) relation post-hash, so
-    // one materialization beats three shingle+hash recomputes — unlike
-    // the string-heavy exploded relations where persist measured slower.
+    // sh is referenced three times (df count, prefix ranking, doc-array
+    // build); it is a narrow (long, long) relation post-hash, so one
+    // materialization beats three shingle+hash recomputes — unlike the
+    // string-heavy exploded relations where persist measured slower.
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .persist()
-    val sizes = documents
-      .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
-    // one shuffle by h attaches df (postings carry their own length),
-    // one shuffle by doc ranks rare-first; |d| rides the same doc
-    // partition as a window count, so no size join is needed
+    // df via a grouped count joined back (a list-free shuffle of (h,
+    // count) pairs — building collect_list postings only to re-explode
+    // them allocates every list twice for nothing); one shuffle by doc
+    // then ranks rare-first, with |d| riding the same doc partition as
+    // a window count, so no size join is needed
     val byDoc = Window.partitionBy(col("doc_id"))
     val rarity = byDoc.orderBy(col("df"), col("h"))
-    val prefix = sh.groupBy(col("h"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .select(col("h"), size(col("ids")).as("df"),
-        explode(col("ids")).as("doc_id"))
+    val dfByHash = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfByHash, Seq("h"))
       .withColumn("rk", row_number().over(rarity))
       .withColumn("n_sh", count(lit(1)).over(byDoc))
       .filter(col("rk") <=
@@ -167,18 +170,24 @@ object Dedup {
         explode(slice(col("ids"), col("pos") + 2, size(col("ids"))))
           .as("doc_b"))
       .distinct()
-    val common = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")),
-        Seq("doc_b", "h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val result = common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    // one hash array per doc — shingles are distinct per doc by
+    // construction, so |array| is the set size and array_intersect is
+    // the exact overlap; this also subsumes the former separate `sizes`
+    // pass (a third full shingle scan)
+    val docArrays = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"))
+    val result = cand
+      .join(docArrays.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
+        Seq("doc_a"))
+      .join(docArrays.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long")
+          .as("n_common"),
+        size(col("ha")).as("na"), size(col("hb")).as("nb"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+          (col("na") + col("nb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

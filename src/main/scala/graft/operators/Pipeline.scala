@@ -53,9 +53,14 @@ object Pipeline {
     val pairs = graft.dedup.Dedup
       .jaccardPairs(documents, threshold = threshold)
       .select(col("doc_a"), col("doc_b"))
+    // both edge directions from ONE pass over the pair stream — a
+    // union with the swapped projection would re-plan (and re-execute)
+    // the whole jaccardPairs subtree for each branch
     val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // Initialization folds propagation round 1 into the vertex-dedup
     // shuffle: label₀(v) = min(v, min neighbor) — one less loop round.
