@@ -223,6 +223,7 @@ object SparkEntry {
     }),
     "q_dpp_date" -> ((s, dir) => sources.Sources.dppDateRollup(s, dir)),
     "q_bpe_tokens" -> t("documents")(T.bpeTokenStats(_)),
+    "q_bpe_train" -> t("documents")(T.bpeTrain(_)),
     "q_hll_mergeable" -> t("events")(operators.Extended.approxUsersBySketch),
     "q_kll_mergeable" -> t("events")(operators.Extended.kllValueQuantiles),
     "q_theta_overlap" -> t("events")(operators.Extended.thetaOverlap),
@@ -2162,6 +2163,7 @@ object SparkEntry {
           GROUP BY 1 ORDER BY 1""",
     "q_dpp_date" -> sources.Sources.dppDateRollupOracleSql,
     "q_bpe_tokens" -> T.bpeTokenStatsOracleSql,
+    "q_bpe_train" -> T.bpeTrainOracleSql(),
     "q_jaccard_pairs" ->
       """WITH tok AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -78,6 +78,118 @@ object TextAnalysis {
         FROM w JOIN _bpe_counts ON word = wid
         GROUP BY doc_id ORDER BY doc_id"""
 
+  /** In-engine BPE TRAINING (Sennrich et al.): learn the top-k merge
+    * ranks from the corpus itself — the other half of the BPE story
+    * ([[bpeTokenStats]] applies a table; this derives one). Classic
+    * iterative training: per round, count adjacent-pair frequencies over
+    * the VOCABULARY (distinct words weighted by corpus frequency —
+    * Zipf-bounded, so rounds never touch the corpus), take the most
+    * frequent pair (ties broken lexicographically, so both engines pick
+    * the same pair), merge it everywhere, repeat. Identical-symbol
+    * pairs (a == b) are excluded from selection so one merge pass can
+    * never self-overlap and "merge all candidates" stays exactly greedy
+    * left-to-right — the same no-overlap invariant Bpe.merges relies
+    * on, here enforced by construction and mirrored in the oracle.
+    *
+    * Scale: each round is two vocab-sized window passes + one grouped
+    * count; the only driver read is the 1-row argmax per round (the
+    * scalar-anchor pattern). Round results are persisted and the
+    * previous round released, so lineage stays O(1).
+    *
+    * Output: (rank, left, right, pair_freq) — the learned merge table. */
+  def bpeTrain(documents: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val byWord = Window.partitionBy(col("wid")).orderBy(col("pos"))
+    var toks = documents
+      .select(explode(tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word").as("wid"), col("freq"),
+        posexplode(split(col("word"), "")))
+      // Spark's split-on-empty-pattern can emit a trailing "" element
+      // (Java split limit -1); DuckDB's substr walk never does
+      .filter(length(col("col")) > 0)
+      .select(col("wid"), col("freq"), (col("pos") + 1).as("pos"),
+        col("col").as("tok"))
+      .persist()
+    toks.count()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to k) {
+      val best = toks
+        .withColumn("nxt", lead(col("tok"), 1).over(byWord))
+        .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+        .groupBy(col("tok"), col("nxt"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"), col("nxt"))
+        .limit(1).head()
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, a, b, cnt))
+      val next = toks
+        .withColumn("nxt", lead(col("tok"), 1).over(byWord))
+        .withColumn("prv", lag(col("tok"), 1).over(byWord))
+        .filter(col("prv").isNull || !(col("prv") === a && col("tok") === b))
+        .select(col("wid"), col("freq"),
+          row_number().over(byWord).as("pos"),
+          when(col("tok") === a && col("nxt") === b, lit(a + b))
+            .otherwise(col("tok")).as("tok"))
+        .persist()
+      next.count()
+      toks.unpersist()
+      toks = next
+    }
+    toks.unpersist()
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "lhs", "rhs", "pair_freq")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** DuckDB oracle for [[bpeTrain]]: the identical k training rounds as
+    * generated CTEs — per round a pair-count CTE, a 1-row argmax CTE,
+    * and a merge-apply CTE (same lead/lag logic as Bpe.countsCteSql). */
+  def bpeTrainOracleSql(k: Int = 8): String = {
+    val t0 =
+      s"""t0 AS MATERIALIZED (
+           SELECT word AS wid, freq, CAST(i AS BIGINT) + 1 AS pos,
+             substr(word, CAST(i AS INTEGER) + 1, 1) AS tok
+           FROM (SELECT word, freq, unnest(range(length(word))) AS i
+                 FROM (SELECT word, count(*) AS freq FROM (
+                         SELECT unnest(string_split(lower(text), ' '))
+                           AS word FROM documents)
+                       WHERE regexp_matches(word, '^[a-z]+${"$"}')
+                       GROUP BY word)))"""
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS MATERIALIZED (
+           SELECT tok AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT freq, tok,
+               lead(tok) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+             FROM t${r - 1})
+           WHERE nxt IS NOT NULL AND tok <> nxt
+           GROUP BY 1, 2),
+         b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r
+                 ORDER BY cnt DESC, a, b LIMIT 1),
+         t$r AS MATERIALIZED (
+           SELECT wid, freq,
+             row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+             CASE WHEN tok = (SELECT a FROM b$r)
+                   AND nxt = (SELECT b FROM b$r)
+               THEN tok || nxt ELSE tok END AS tok
+           FROM (
+             SELECT wid, freq, pos, tok,
+               lead(tok) OVER (PARTITION BY wid ORDER BY pos) AS nxt,
+               lag(tok) OVER (PARTITION BY wid ORDER BY pos) AS prv
+             FROM t${r - 1})
+           WHERE prv IS NULL OR NOT (prv = (SELECT a FROM b$r)
+             AND tok = (SELECT b FROM b$r)))"""
+    }
+    val union = (1 to k)
+      .map(r =>
+        s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_freq FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${(t0 +: rounds).mkString(",\n")}
+        SELECT * FROM ($union) ORDER BY merge_rank"""
+  }
+
   /** Corpus statistics per language: doc counts + exact char/token
     * averages (integer sums → deterministic division). */
   def corpusStats(documents: DataFrame): DataFrame =

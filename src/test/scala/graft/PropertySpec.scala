@@ -235,6 +235,22 @@ class PropertySpec extends AnyFunSuite {
     assert(plan.contains("*("), plan.take(600))
   }
 
+  test("property: BPE training emits non-increasing pair frequencies") {
+    // a merge can only create pairs whose count is bounded by the pair
+    // it replaced, so the selected max is non-increasing over rounds
+    val merges = graft.text.TextAnalysis
+      .bpeTrain(Tables.load(spark, TestSpark.sf, "documents"), k = 4)
+      .collect()
+    assert(merges.length == 4)
+    val freqs = merges.map(_.getLong(3))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, freqs.toSeq)
+    // learned symbols are non-empty and pairs are never identical
+    merges.foreach { r =>
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+      assert(r.getString(1) != r.getString(2))
+    }
+  }
+
   test("property: zvalue is monotonic in each coordinate (box-query safety)") {
     // z(x1,y1) <= z(x2,y2) whenever x1<=x2 && y1<=y2 — the property that
     // makes `z BETWEEN z(corner_lo) AND z(corner_hi)` a correct superset
