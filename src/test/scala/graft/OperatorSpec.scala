@@ -24,6 +24,24 @@ class OperatorSpec extends AnyFunSuite {
   test("oracle SQL exists for every SQL-expressible query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle for unknown queries: $missing")
+    // rows-only queries (no oracle) are a CLOSED, documented set — each
+    // is approximate/engine-native by design with an error-bound unit
+    // test, and most have a fully-oracled neutral twin. Adding a query
+    // without an oracle must be a deliberate decision that lands here.
+    val rowsOnlyByDesign = Set(
+      "q_approx_distinct",   // HLL estimate (exact twin: q_distinct_parts)
+      "q_approx_percentile", // sketch estimate (twin: q_percentile)
+      "q_hll_mergeable",     // Datasketches HLL union (SketchSpec bound)
+      "q_kll_mergeable",     // KLL quantiles (SketchSpec bound)
+      "q_theta_overlap",     // theta sketch set ops (SketchSpec bound)
+      "q_minhash_lsh",       // xxhash64 bands (oracled twin: q_minhash_neutral)
+      "q_simhash_pairs",     // xxhash64 64-bit (twin: q_simhash_neutral)
+      "q_media_features",    // stub codec output (documented)
+      "q_media_frames")      // stub codec output (documented)
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == rowsOnlyByDesign,
+      s"undocumented rows-only queries: ${noOracle -- rowsOnlyByDesign}; " +
+        s"stale allowlist entries: ${rowsOnlyByDesign -- noOracle}")
   }
 
   test("observe() collects pipeline metrics in the same pass") {
