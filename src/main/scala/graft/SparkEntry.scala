@@ -246,6 +246,8 @@ object SparkEntry {
     "q_pii_scrub" -> t("documents")(T.scrubPii),
     "q_pack_greedy" -> t("documents")(operators.Pipeline.packGreedy(_)),
     "q_pack_bpe" -> t("documents")(operators.Pipeline.packGreedyBpe(_)),
+    "q_split_leakage" ->
+      t("documents")(operators.Pipeline.leakageSafeSplits(_)),
     "q_stratified_sample" -> t("documents")(operators.Pipeline.stratifiedSample),
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
@@ -2248,6 +2250,50 @@ object SparkEntry {
            least(src, min(dst)) AS cluster_id,
            least(src, min(dst)) = src AS is_canonical
          FROM reach GROUP BY src ORDER BY doc_id""",
+    // Same pair/closure CTE as q_dedup_clusters, then the split gate
+    // hashed on the CLUSTER id (singletons keep their own id) — the
+    // leakage-safety property verified is exactly the oracle's.
+    "q_split_leakage" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         cnt AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jp AS (
+           SELECT doc_a, doc_b FROM cnt
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE CAST(n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM jp
+           UNION SELECT doc_b, doc_a FROM jp),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         lab AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+         alldocs AS (
+           SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+         SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+             THEN 'train'
+             WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+               IN ('c','d')
+             THEN 'val' ELSE 'test' END AS split
+         FROM alldocs ORDER BY doc_id""",
     // Same pair/closure CTE as q_dedup_clusters, then survivor pick:
     // largest doc per cluster (tie → lowest id) + all singletons.
     "q_cluster_canonical" ->

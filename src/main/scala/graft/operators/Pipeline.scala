@@ -100,6 +100,33 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/val/test assignment: near-duplicate documents
+    * MUST land in the same split, or evaluation leaks training data
+    * through paraphrase-level copies the doc-id hash split can't see.
+    * The split gate therefore hashes the CLUSTER id from
+    * [[dedupClusters]] (singletons keep their own id), with the same
+    * md5-bucket scheme as `splitAssignments` — so two docs that are
+    * near-dups of each other can never straddle train and test.
+    *
+    * Scale: one left join of the corpus against the (minority-sized)
+    * cluster labels, then a stateless per-row hash gate. */
+  def leakageSafeSplits(documents: DataFrame, threshold: Double = 0.5)
+      : DataFrame = {
+    val labels = dedupClusters(documents, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val bucket = substring(md5(col("cluster_id").cast("string")), 1, 1)
+    documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(bucket.isin("0", "1", "2", "3", "4", "5", "6", "7",
+          "8", "9", "a", "b"), "train")
+          .when(bucket.isin("c", "d"), "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark-contamination scan: which documents contain any of the
     * probe strings (e.g. eval-set n-grams), counted per source. The probe
     * list is tiny and becomes a literal array — at scale it would be a

@@ -44,6 +44,21 @@ class OperatorSpec extends AnyFunSuite {
         s"stale allowlist entries: ${rowsOnlyByDesign -- noOracle}")
   }
 
+  test("leakage-safe splits: no near-dup cluster straddles two splits") {
+    val rows = operators.Pipeline
+      .leakageSafeSplits(Tables.load(spark, sf, "documents")).collect()
+    assert(rows.length == 500)
+    // the defining property: one split per cluster
+    val splitsPerCluster = rows.groupBy(_.getLong(1))
+      .map { case (_, rs) => rs.map(_.getString(2)).distinct.length }
+    assert(splitsPerCluster.forall(_ == 1))
+    // all three splits are populated and clusters actually group docs
+    assert(rows.map(_.getString(2)).distinct.sorted.toSeq ==
+      Seq("test", "train", "val"))
+    assert(rows.groupBy(_.getLong(1)).exists(_._2.length > 1),
+      "expected at least one multi-doc cluster in the fixture")
+  }
+
   test("observe() collects pipeline metrics in the same pass") {
     // The reference dashboard re-queried Mongo for record counts
     // (app.py:488-497); observe() attaches the metrics to the flowing
