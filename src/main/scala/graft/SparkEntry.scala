@@ -251,6 +251,7 @@ object SparkEntry {
     "q_stratified_sample" -> t("documents")(operators.Pipeline.stratifiedSample),
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
+    "q_embed_cov" -> t("embeddings")(vector.Similarity.embeddingCovariance),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
     "q_temperature_resample" ->
       t("documents")(operators.Pipeline.temperatureResample(_)),
@@ -1867,6 +1868,7 @@ object SparkEntry {
          SELECT doc_id, lang, CAST(u.copy AS INTEGER) AS copy
          FROM cp, unnest(range(n_copies)) AS u(copy)
          ORDER BY doc_id, copy""",
+    "q_embed_cov" -> vector.Similarity.embeddingCovarianceOracleSql,
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 100),

@@ -455,6 +455,64 @@ object Similarity {
       .orderBy(col("dup_id"))
   }
 
+  /** Exact embedding covariance matrix (upper triangle) — the
+    * distributed half of PCA / whitening / decorrelation: every entry is
+    * cov(X_i, X_j) over the corpus, from EXACT decimal moment sums (the
+    * established moments pattern — see Relational.qtyPriceCorrelation)
+    * so the single final double expression is engine-identical. The
+    * eigen-solve on the collected d×d matrix is driver-side model math
+    * (like k-means seeds); SimilaritySpec power-iterates it and pins the
+    * residual.
+    *
+    * Scale: the dim-pair expansion shuffles N·d(d+1)/2 narrow rows into
+    * a d²-group partial-agg — the same outer-product accumulation a
+    * tree-aggregated distributed PCA performs, expressed declaratively;
+    * d is a model constant (64), so cost is linear in the corpus. */
+  def embeddingCovariance(embeddings: DataFrame): DataFrame = {
+    def decSumM(c: Column): Column =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    val e = embeddings
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))))
+      .select(col("vec_id"), col("pos").as("i"), col("col").as("x"))
+    val nD = col("n").cast("double")
+    e.as("a")
+      .join(e.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(count(lit(1)).as("n"),
+        decSumM(col("a.x") * col("b.x")).as("sxy"),
+        decSumM(col("a.x")).as("sa"),
+        decSumM(col("b.x")).as("sb"))
+      .select(col("i"), col("j"),
+        // rounded to 9 decimals: the decimal(38,12) sums carry more
+        // significant digits than a double, so each engine's
+        // decimal→double conversion can land one ulp apart (observed at
+        // sf≥0.01); 9 decimals ≈ 6 significant figures on these
+        // ~1e-3-scale covariances, far above the 1e-15 noise
+        round((col("sxy") - col("sa") * col("sb") / nD) / (nD - 1), 9)
+          .as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** DuckDB oracle for [[embeddingCovariance]]: identical moment sums
+    * and the identical final double expression tree. */
+  def embeddingCovarianceOracleSql: String =
+    """WITH e AS (
+         SELECT vec_id, CAST(i AS INTEGER) AS i,
+           CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS x
+         FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)),
+       m AS (
+         SELECT a.i AS i, b.i AS j, count(*) AS n,
+           CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(a.x AS DECIMAL(28,12))) AS DOUBLE) AS sa,
+           CAST(sum(CAST(b.x AS DECIMAL(28,12))) AS DOUBLE) AS sb
+         FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+         GROUP BY 1, 2)
+       SELECT i, j,
+         round((sxy - sa * sb / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1), 9) AS cov
+       FROM m ORDER BY i, j"""
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH-bucket candidates (the scalable near-dup shape). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,

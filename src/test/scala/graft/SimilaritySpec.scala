@@ -156,4 +156,39 @@ class SimilaritySpec extends AnyFunSuite {
     val full = vector.Similarity.semDedup(df, threshold = 0.9).collect()
     assert(full.forall(_.getDouble(3) >= 0.9))
   }
+
+  test("covariance matrix is symmetric-PSD enough for PCA: power " +
+      "iteration converges to a real top eigenpair") {
+    val rows = vector.Similarity
+      .embeddingCovariance(Tables.load(spark, TestSpark.sf, "embeddings"))
+      .collect()
+    val d = 64
+    assert(rows.length == d * (d + 1) / 2)
+    // symmetrize the collected upper triangle into a d×d matrix — the
+    // driver-side model-parameter step (like k-means seeds)
+    val c = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    // diagonal entries are variances — strictly positive
+    (0 until d).foreach(i => assert(c(i)(i) > 0, s"var($i)=${c(i)(i)}"))
+    // power iteration for the top eigenpair
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    for (_ <- 1 to 500) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => c(i)(j) * v(j)).sum)
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
+    }
+    assert(lambda > 0)
+    // residual ||Cv − λv|| small relative to λ — convergence rate is
+    // eigengap-limited on this near-isotropic synthetic corpus, so the
+    // bound certifies "a real top eigenpair", not machine precision
+    val cv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+    val resid = math.sqrt(
+      (0 until d).map(i => math.pow(cv(i) - lambda * v(i), 2)).sum)
+    assert(resid / lambda < 1e-3, s"residual $resid vs lambda $lambda")
+  }
 }
