@@ -78,7 +78,14 @@ object Plans {
       "residual, all inside the scan-filter codegen span"),
     "q_bpe_tokens" -> ("BPE merge table applied by a codegen'd expression " +
       "over DISTINCT words (vocab-sized), token counts joined back to " +
-      "the corpus word stream"))
+      "the corpus word stream"),
+    "q_embed_cov" -> ("distributed PCA precursor: dim-pair outer-product " +
+      "accumulation as a partial-agg'd d²-group aggregate over " +
+      "narrow exploded rows — linear in the corpus, d is a model " +
+      "constant"),
+    "q_jaccard_prefix" -> ("PPJoin verification by per-doc hash ARRAYS: " +
+      "candidates join two array-carrying rows and intersect inside " +
+      "codegen — no candidate × per-shingle row blowup"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
