@@ -78,67 +78,82 @@ object TextAnalysis {
         FROM w JOIN _bpe_counts ON word = wid
         GROUP BY doc_id ORDER BY doc_id"""
 
-  /** In-engine BPE TRAINING (Sennrich et al.): learn the top-k merge
-    * ranks from the corpus itself — the other half of the BPE story
-    * ([[bpeTokenStats]] applies a table; this derives one). Classic
-    * iterative training: per round, count adjacent-pair frequencies over
-    * the VOCABULARY (distinct words weighted by corpus frequency —
-    * Zipf-bounded, so rounds never touch the corpus), take the most
-    * frequent pair (ties broken lexicographically, so both engines pick
-    * the same pair), merge it everywhere, repeat. Identical-symbol
-    * pairs (a == b) are excluded from selection so one merge pass can
-    * never self-overlap and "merge all candidates" stays exactly greedy
-    * left-to-right — the same no-overlap invariant Bpe.merges relies
-    * on, here enforced by construction and mirrored in the oracle.
+  /** BPE TRAINING (Sennrich et al.): learn the top-k merge ranks from
+    * the corpus itself — the other half of the BPE story
+    * ([[bpeTokenStats]] applies a table; this derives one).
     *
-    * Scale: each round is two vocab-sized window passes + one grouped
-    * count; the only driver read is the 1-row argmax per round (the
-    * scalar-anchor pattern). Round results are persisted and the
-    * previous round released, so lineage stays O(1).
+    * Architecture (the split every production tokenizer trainer —
+    * SentencePiece, HF tokenizers — uses): the CORPUS-scale half runs
+    * in-engine as one job (tokenize → frequency-count → deterministic
+    * top-`vocabCap` prune, freq desc then word asc); the k greedy merge
+    * rounds then run on the driver over the BOUNDED vocabulary. The
+    * vocab is the only thing collected, and the cap bounds it by
+    * construction (2^18 words × ~10 chars ≈ a few MB) no matter the
+    * corpus size — at 100 TB the prune is also what you'd want
+    * statistically, since sub-threshold tail words contribute noise
+    * merges. The cap is mirrored in the oracle, so the compare stays
+    * exact even at an SF where it bites. (Round 6 ran the rounds
+    * in-engine — 8 unique lead/lag-window plans whose codegen cost
+    * 23.9 s cold at bench SF for vocab-sized data; VERDICT r6 §wrong-1.
+    * Rounds over a Zipf-bounded vocab are driver-grade model math, like
+    * the PCA eigen-solve.)
+    *
+    * Per round: count adjacent-pair frequencies (corpus-frequency
+    * weighted), take the most frequent pair (ties broken
+    * lexicographically, so both engines pick the same pair), merge it
+    * everywhere left-to-right, repeat. Identical-symbol pairs (a == b)
+    * are excluded from selection so one merge pass can never
+    * self-overlap and "merge all candidates" (what the oracle's window
+    * CTE does) coincides with greedy left-to-right (what the driver
+    * loop does) — the same no-overlap invariant Bpe.merges relies on.
+    * Rounds with no remaining pair stop early (the oracle's per-round
+    * argmax CTE goes empty the same way).
     *
     * Output: (rank, left, right, pair_freq) — the learned merge table. */
-  def bpeTrain(documents: DataFrame, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def bpeTrain(documents: DataFrame, k: Int = 8,
+      vocabCap: Int = 1 << 18): DataFrame = {
     val spark = documents.sparkSession
-    val byWord = Window.partitionBy(col("wid")).orderBy(col("pos"))
-    var toks = documents
+    val vocab: Array[(String, Long)] = documents
       .select(explode(tokens(lower(col("text")))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("word").as("wid"), col("freq"),
-        posexplode(split(col("word"), "")))
-      // Spark's split-on-empty-pattern can emit a trailing "" element
-      // (Java split limit -1); DuckDB's substr walk never does
-      .filter(length(col("col")) > 0)
-      .select(col("wid"), col("freq"), (col("pos") + 1).as("pos"),
-        col("col").as("tok"))
-      .persist()
-    toks.count()
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to k) {
-      val best = toks
-        .withColumn("nxt", lead(col("tok"), 1).over(byWord))
-        .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
-        .groupBy(col("tok"), col("nxt"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok"), col("nxt"))
-        .limit(1).head()
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r, a, b, cnt))
-      val next = toks
-        .withColumn("nxt", lead(col("tok"), 1).over(byWord))
-        .withColumn("prv", lag(col("tok"), 1).over(byWord))
-        .filter(col("prv").isNull || !(col("prv") === a && col("tok") === b))
-        .select(col("wid"), col("freq"),
-          row_number().over(byWord).as("pos"),
-          when(col("tok") === a && col("nxt") === b, lit(a + b))
-            .otherwise(col("tok")).as("tok"))
-        .persist()
-      next.count()
-      toks.unpersist()
-      toks = next
+      .orderBy(col("freq").desc, col("word"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] = vocab.map { case (w, f) =>
+      (w.toCharArray.map(String.valueOf), f)
     }
-    toks.unpersist()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((toks, f) <- words; i <- 0 until toks.length - 1
+           if toks(i) != toks(i + 1)) {
+        val key = (toks(i), toks(i + 1))
+        counts(key) = counts.getOrElse(key, 0L) + f
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((r, a, b, cnt))
+        words = words.map { case (toks, f) =>
+          if (toks.indices.exists(i =>
+              i + 1 < toks.length && toks(i) == a && toks(i + 1) == b)) {
+            val out = Array.newBuilder[String]
+            var j = 0
+            while (j < toks.length) {
+              if (j + 1 < toks.length && toks(j) == a && toks(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += toks(j); j += 1 }
+            }
+            (out.result(), f)
+          } else (toks, f)
+        }
+        r += 1
+      }
+    }
     import spark.implicits._
     merges.result().toDF("merge_rank", "lhs", "rhs", "pair_freq")
       .orderBy(col("merge_rank"))
@@ -146,8 +161,10 @@ object TextAnalysis {
 
   /** DuckDB oracle for [[bpeTrain]]: the identical k training rounds as
     * generated CTEs — per round a pair-count CTE, a 1-row argmax CTE,
-    * and a merge-apply CTE (same lead/lag logic as Bpe.countsCteSql). */
-  def bpeTrainOracleSql(k: Int = 8): String = {
+    * and a merge-apply CTE (same lead/lag logic as Bpe.countsCteSql).
+    * The top-`vocabCap` prune is replayed in t0 (same freq-desc,
+    * word-asc order), so engine and oracle see the same vocabulary. */
+  def bpeTrainOracleSql(k: Int = 8, vocabCap: Int = 1 << 18): String = {
     val t0 =
       s"""t0 AS MATERIALIZED (
            SELECT word AS wid, freq, CAST(i AS BIGINT) + 1 AS pos,
@@ -157,7 +174,8 @@ object TextAnalysis {
                          SELECT unnest(string_split(lower(text), ' '))
                            AS word FROM documents)
                        WHERE regexp_matches(word, '^[a-z]+${"$"}')
-                       GROUP BY word)))"""
+                       GROUP BY word
+                       ORDER BY freq DESC, word LIMIT $vocabCap)))"""
     val rounds = (1 to k).map { r =>
       s"""p$r AS MATERIALIZED (
            SELECT tok AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
