@@ -25,10 +25,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * each rank as a lead/lag window CTE with no run-parity logic needed.
   *
   * The merge ranks are constants of the library (like the LSH hyperplane
-  * constants): learned offline from English digram statistics, embedded
-  * so both engines replay the identical table. A production pipeline
-  * would load its model's merges file instead — same expression, longer
-  * table.
+  * constants), LEARNED FROM THE CORPUS by this engine's own trainer
+  * ([[graft.text.TextAnalysis.bpeTrain]], k=64 over the sf0.1 fixture
+  * documents; regenerate with `sbt "Test/runMain graft.GenBpeTable"`),
+  * embedded so both engines replay the identical table. The budget is
+  * corpus-bounded: the fixture vocabulary has 31 distinct words, so
+  * cross-symbol digrams saturate at 89 merges (every word a single
+  * token); 64 is the vocab-size budget below saturation that keeps the
+  * realistic trained shape — frequent words whole-word tokens, the rest
+  * subword-split (avg 1.79 tokens/word over corpus occurrences). A
+  * production pipeline over a real corpus would run the same trainer
+  * with a thousands-sized budget and load the table here — same
+  * expression, longer table.
   *
   * Scale: the expression is a single static call inside whole-stage
   * codegen — one pass over each word, no per-rank shuffle. Applied to
@@ -36,15 +44,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * the corpus directly.
   */
 object Bpe {
-  /** (a, b) pairs applied in rank order. INVARIANT (relied on by the
-    * no-overlap argument above and checked at class-init): a != b. */
+  /** (a, b) pairs applied in rank order — bpeTrain(k=64) output on the
+    * sf0.1 corpus (see object doc). INVARIANT (relied on by the
+    * no-overlap argument above and guaranteed by the trainer's a != b
+    * selection filter; checked at class-init): a != b. */
   val merges: Seq[(String, String)] = Seq(
-    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
-    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
-    "o" -> "r", "e" -> "s", "t" -> "o", "i" -> "t", "o" -> "u",
-    "i" -> "s", "h" -> "e", "a" -> "r", "s" -> "e", "l" -> "e",
-    "a" -> "l", "in" -> "g", "e" -> "d", "c" -> "o")
+    "e" -> "r", "i" -> "n", "o" -> "r", "s" -> "t",
+    "o" -> "w", "t" -> "a", "l" -> "u", "m" -> "er",
+    "a" -> "r", "p" -> "ar", "u" -> "p", "par" -> "k",
+    "s" -> "park", "d" -> "ow", "in" -> "dow", "w" -> "indow",
+    "g" -> "e", "mer" -> "ge", "b" -> "l", "bl" -> "e",
+    "ta" -> "ble", "c" -> "o", "co" -> "lu", "colu" -> "m",
+    "colum" -> "n", "c" -> "t", "ct" -> "or", "e" -> "ctor",
+    "v" -> "ector", "a" -> "m", "e" -> "am", "r" -> "eam",
+    "st" -> "ream", "a" -> "lu", "alu" -> "e", "v" -> "alue",
+    "a" -> "ta", "d" -> "ata", "a" -> "l", "al" -> "l",
+    "m" -> "all", "s" -> "mall", "j" -> "o", "jo" -> "in",
+    "f" -> "i", "fi" -> "l", "fil" -> "t", "filt" -> "er",
+    "b" -> "i", "bi" -> "g", "g" -> "r", "gr" -> "o",
+    "gro" -> "up", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "c" -> "u", "cu" -> "st", "cust" -> "o", "custo" -> "mer",
+    "or" -> "t", "s" -> "ort", "d" -> "er", "or" -> "der")
   require(merges.forall { case (a, b) => a != b })
+  require(merges.size == 64)
 
   /** Apply all merge ranks to one word. Words are expected lowercase
     * ASCII (callers filter `^[a-z]+$`), so char == codepoint and the

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off generator for the embedded production-scale BPE merge table
+  * (functions/BpeExpressions.scala): runs [[graft.text.TextAnalysis.bpeTrain]]
+  * with k=256 over the largest fixture corpus and prints the learned table
+  * as a Scala literal. Run via `sbt "Test/runMain graft.GenBpeTable"`. */
+object GenBpeTable {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_BPE_K", "256").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t0 = System.nanoTime()
+    val merges = graft.text.TextAnalysis.bpeTrain(docs, k = k).collect()
+    println(f"GEN trained ${merges.length} merges in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val items = merges.map(r => s""""${r.getString(1)}" -> "${r.getString(2)}"""")
+    println("GEN-BEGIN")
+    println(items.grouped(4).map(g => "    " + g.mkString(", ")).mkString(",\n"))
+    println("GEN-END")
+    spark.stop()
+  }
+}

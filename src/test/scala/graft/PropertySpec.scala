@@ -216,12 +216,13 @@ class PropertySpec extends AnyFunSuite {
         assert(toks.mkString == w, s"lossy tokenization of '$w'")
         assert(toks.forall(_.nonEmpty))
       }
-    // known replays: t+h -> th, th+e -> the (rank order matters)
-    assert(Bpe.tokenize("the").toSeq == Seq("the"))
-    // no overlap: adjacent t,h pairs merge independently
-    assert(Bpe.tokenize("thth").toSeq == Seq("th", "th"))
-    // i+n -> in, then in+g -> ing
-    assert(Bpe.tokenize("standing").toSeq.last == "ing")
+    // known replays against the learned k=64 table (rank order matters):
+    // a+r -> ar, p+ar -> par, par+k -> park, s+park -> spark
+    assert(Bpe.tokenize("spark").toSeq == Seq("spark"))
+    // e+r -> er, m+er -> mer, g+e -> ge, mer+ge -> merge
+    assert(Bpe.tokenize("merge").toSeq == Seq("merge"))
+    // no overlap: adjacent e,r pairs merge independently in one pass
+    assert(Bpe.tokenize("erer").toSeq == Seq("er", "er"))
     // the expression agrees with the Scala function on the fixture vocab
     // and stays in whole-stage codegen
     val vocab = Tables.load(spark, TestSpark.sf, "documents")
