@@ -76,6 +76,10 @@ object Bench {
         .start()
       w.awaitTermination()
     }
+    // One-time date-partitioned events layout for q_dpp_date: build it
+    // here so the measured query times the DPP join, not the ~2s fixture
+    // rewrite (VERDICT r6). Cached per (session, sfDir) inside Sources.
+    sources.Sources.partitionedEventsDir(spark, sfDir)
     // Optional comma-separated name filter for single-query profiling
     // inside the warmed bench session (SPARK_GRAFT_ONLY=q_a,q_b).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
