@@ -252,6 +252,7 @@ object SparkEntry {
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
     "q_embed_cov" -> t("embeddings")(vector.Similarity.embeddingCovariance),
+    "q_power_iter" -> t("embeddings")(vector.Similarity.powerIteration(_)),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
     "q_temperature_resample" ->
       t("documents")(operators.Pipeline.temperatureResample(_)),
@@ -1869,6 +1870,7 @@ object SparkEntry {
          FROM cp, unnest(range(n_copies)) AS u(copy)
          ORDER BY doc_id, copy""",
     "q_embed_cov" -> vector.Similarity.embeddingCovarianceOracleSql,
+    "q_power_iter" -> vector.Similarity.powerIterationOracleSql(),
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 100),

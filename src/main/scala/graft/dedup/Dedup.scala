@@ -195,8 +195,13 @@ object Dedup {
       // small end of the funnel) while `sh` is hot, then release `sh`.
       // Without this, the exploded shingle-hash cache (O(corpus×shingles))
       // stays pinned for the life of the session; the surviving cache is
-      // the deliverable itself, dimension-sized.
-      .persist()
+      // the deliverable itself, dimension-sized. CALLER CONTRACT (ADVICE
+      // r6): each call returns a fresh persisted result — callers that
+      // rebuild repeatedly in one long-lived session own `.unpersist()`
+      // on results they drop. MEMORY_AND_DISK (not the MEMORY_ONLY
+      // default) so stacked result caches degrade to disk, not eviction
+      // churn, if a caller does leak them.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
     sh.unpersist()
     result

@@ -70,10 +70,18 @@ object EventsPipeline {
         val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
         val cutoffNs = (maxNs / 1000L - hours * 3600L * 1000000L) * 1000L
         raw.filter(col("ts") >= cutoffNs)
-      case _ =>
+      case org.apache.spark.sql.types.TimestampNTZType =>
         val maxTs = raw.agg(max(col("ts"))).head()
           .getAs[java.time.LocalDateTime](0)
         raw.filter(col("ts") >= lit(maxTs.minusHours(hours.toLong)))
+      case org.apache.spark.sql.types.TimestampType =>
+        val maxTs = raw.agg(max(col("ts"))).head()
+          .getAs[java.time.Instant](0)
+        raw.filter(col("ts") >= lit(maxTs.minusSeconds(hours * 3600L)))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other; historicalRangeScan handles the " +
+          "long-nanos, TIMESTAMP_NTZ and TIMESTAMP vintages " +
+          "(Tables.contract). Extend the scan branch for the new vintage.")
     }
     Tables.normalizeTs(filtered)
       .select(

@@ -513,6 +513,99 @@ object Similarity {
            / (CAST(n AS DOUBLE) - 1), 9) AS cov
        FROM m ORDER BY i, j"""
 
+  /** Distributed power iteration on the embedding covariance — completes
+    * the PCA story in-engine: [[embeddingCovariance]] is the corpus-scale
+    * Gram accumulation; this unrolls a FIXED number of v ← C·v / ‖C·v‖
+    * rounds as one declarative plan (the q_pagerank pattern — no driver
+    * loop, no per-round scalar reads), yielding the top principal
+    * direction and its eigenvalue estimate (‖C·v‖ of the final round,
+    * the Rayleigh-quotient limit for a unit v).
+    *
+    * Determinism (what makes a float iteration oracle-able): every
+    * cross-engine-identical double is quantized before it enters an
+    * order-sensitive reduction — products are cast to decimal(28,12)
+    * BEFORE the sum (exact, order-independent; the embedCov moment-sum
+    * trick), and each round's vector is `round(·,12)` so both engines
+    * start every round from bit-identical state. v₀ = 1/√64 = 0.125
+    * exactly. cov entries are the 9-decimal-rounded covariance output.
+    *
+    * Scale: C is d×d (d=64, a model constant) — every per-round join is
+    * against a dimension-sized relation, so rounds cost nothing at any
+    * corpus size; the one corpus-scale job is the covariance itself.
+    * The repeated cov subtree stays unpersisted: identical per round, so
+    * runtime dedups it via ReusedExchange (the q_pagerank edges/deg
+    * precedent). */
+  def powerIteration(embeddings: DataFrame, iters: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val upper = embeddingCovariance(embeddings)
+    val cov = upper.select(col("i"), col("j"), col("cov"))
+      .unionAll(upper.filter(col("i") < col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    def decSum(c: Column): Column =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    val v0 = spark.range(64)
+      .select(col("id").cast("int").as("j"), lit(0.125).as("v"))
+    def mul(v: DataFrame): DataFrame = cov.join(v, "j")
+      .groupBy(col("i"))
+      .agg(decSum(col("cov") * col("v")).as("w"))
+    def normed(w: DataFrame): DataFrame =
+      w.crossJoin(broadcast(
+        w.agg(sqrt(decSum(col("w") * col("w"))).as("nrm"))))
+    var v = v0
+    for (_ <- 1 until iters)
+      v = normed(mul(v))
+        .select(col("i").as("j"), round(col("w") / col("nrm"), 12).as("v"))
+    normed(mul(v))
+      .select(col("i").as("dim"),
+        round(col("w") / col("nrm"), 12).as("component"),
+        round(col("nrm"), 9).as("eigenvalue"))
+      .orderBy(col("dim"))
+  }
+
+  /** DuckDB oracle for [[powerIteration]]: the embedCov oracle as the
+    * cov CTE, then the identical rounds unrolled — same decimal(28,12)
+    * product quantization before each sum, same per-round round(·,12). */
+  def powerIterationOracleSql(iters: Int = 4): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""w$r AS (
+           SELECT c.i,
+             CAST(sum(CAST(c.cov * v.v AS DECIMAL(28,12))) AS DOUBLE) AS w
+           FROM cov c JOIN v${r - 1} v ON c.j = v.j GROUP BY c.i),
+         n$r AS (
+           SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE))
+             AS nrm FROM w$r),
+         v$r AS (
+           SELECT i AS j, round(w / (SELECT nrm FROM n$r), 12) AS v
+           FROM w$r)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+         SELECT vec_id, CAST(i AS INTEGER) AS i,
+           CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS x
+         FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)),
+       m AS (
+         SELECT a.i AS i, b.i AS j, count(*) AS n,
+           CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(a.x AS DECIMAL(28,12))) AS DOUBLE) AS sa,
+           CAST(sum(CAST(b.x AS DECIMAL(28,12))) AS DOUBLE) AS sb
+         FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+         GROUP BY 1, 2),
+       cov9 AS (
+         SELECT i, j,
+           round((sxy - sa * sb / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1), 9) AS cov
+         FROM m),
+       cov AS (
+         SELECT i, j, cov FROM cov9
+         UNION ALL SELECT j AS i, i AS j, cov FROM cov9 WHERE i < j),
+       v0 AS (
+         SELECT CAST(unnest(range(64)) AS INTEGER) AS j,
+           CAST(0.125 AS DOUBLE) AS v),
+       $rounds
+       SELECT w.i AS dim, round(w.w / n.nrm, 12) AS component,
+         round(n.nrm, 9) AS eigenvalue
+       FROM w$iters w CROSS JOIN n$iters n ORDER BY dim"""
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH-bucket candidates (the scalable near-dup shape). */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,

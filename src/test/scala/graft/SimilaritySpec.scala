@@ -190,5 +190,22 @@ class SimilaritySpec extends AnyFunSuite {
     val resid = math.sqrt(
       (0 until d).map(i => math.pow(cv(i) - lambda * v(i), 2)).sum)
     assert(resid / lambda < 1e-3, s"residual $resid vs lambda $lambda")
+
+    // the IN-ENGINE unrolled power iteration (q_power_iter) agrees with
+    // this driver-side reference: unit-norm output, eigenvalue estimate
+    // bounded by the converged lambda (||Cv|| <= lambda_max for any unit
+    // v, symmetric PSD C) and within striking distance of it
+    val engine = vector.Similarity
+      .powerIteration(Tables.load(spark, TestSpark.sf, "embeddings"))
+      .collect()
+    assert(engine.length == d)
+    val comp = engine.sortBy(_.getInt(0)).map(_.getDouble(1))
+    val engLambda = engine.head.getDouble(2)
+    assert(math.abs(comp.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(engLambda > 0 && engLambda <= lambda * (1 + 1e-6),
+      s"engine lambda $engLambda vs converged $lambda")
+    assert(engLambda >= lambda * 0.5,
+      s"4 rounds should reach at least half the converged lambda " +
+        s"($engLambda vs $lambda)")
   }
 }
