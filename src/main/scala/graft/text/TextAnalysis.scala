@@ -109,7 +109,14 @@ object TextAnalysis {
     * Rounds with no remaining pair stop early (the oracle's per-round
     * argmax CTE goes empty the same way).
     *
-    * Output: (rank, left, right, pair_freq) — the learned merge table. */
+    * Output: (rank, left, right, pair_freq) — the learned merge table.
+    *
+    * NOTE (ADVICE r6): construction is EAGER — the vocab collect and all
+    * k rounds run when this method is called, and the returned DataFrame
+    * is a driver-built LocalRelation. Callers that merely enumerate
+    * `SparkEntry.queries` plans (e.g. plan audits) pay the full training
+    * cost, and plan-level audit coverage of this query is the vocab
+    * job's plan only — the rounds are driver model math by design. */
   def bpeTrain(documents: DataFrame, k: Int = 8,
       vocabCap: Int = 1 << 18): DataFrame = {
     val spark = documents.sparkSession

@@ -513,13 +513,12 @@ object Similarity {
            / (CAST(n AS DOUBLE) - 1), 9) AS cov
        FROM m ORDER BY i, j"""
 
-  /** Distributed power iteration on the embedding covariance — completes
-    * the PCA story in-engine: [[embeddingCovariance]] is the corpus-scale
-    * Gram accumulation; this unrolls a FIXED number of v ← C·v / ‖C·v‖
-    * rounds as one declarative plan (the q_pagerank pattern — no driver
-    * loop, no per-round scalar reads), yielding the top principal
-    * direction and its eigenvalue estimate (‖C·v‖ of the final round,
-    * the Rayleigh-quotient limit for a unit v).
+  /** Power iteration on the embedding covariance — completes the PCA
+    * story in-engine: [[fixedPointCovariance]] is the corpus-scale Gram
+    * accumulation; a FIXED number of v ← C·v rounds then runs as one
+    * in-engine job per round, yielding the top principal direction and
+    * its eigenvalue estimate λ = ‖C·v‖/‖v‖ (the Rayleigh-quotient limit
+    * for a converged v).
     *
     * Determinism (what makes a float iteration oracle-able): every
     * cross-engine-identical double is quantized before it enters an
@@ -527,72 +526,117 @@ object Similarity {
     * BEFORE the sum (exact, order-independent; the embedCov moment-sum
     * trick), and each round's vector is `round(·,12)` so both engines
     * start every round from bit-identical state. v₀ = 1/√64 = 0.125
-    * exactly. cov entries are the 9-decimal-rounded covariance output.
+    * exactly. Rounds scale by 2⁷ (EXACT in binary FP, no rounding
+    * interplay) instead of per-round normalization — normalizing would
+    * need ‖w‖, a second reference to the round's output, and the plan
+    * tree doubled per round (measured 240 parquet scans / 182
+    * broadcasts at iters=4 for the all-lazy normalize-per-round form).
     *
-    * Scale: C is d×d (d=64, a model constant) — every per-round join is
-    * against a dimension-sized relation, so rounds cost nothing at any
-    * corpus size; the one corpus-scale job is the covariance itself.
-    * The repeated cov subtree stays unpersisted: identical per round, so
-    * runtime dedups it via ReusedExchange (the q_pagerank edges/deg
-    * precedent). */
+    * Scale: the one corpus-scale job is the covariance's sufficient
+    * statistics via [[graft.functions.GramMoments]] — a one-pass
+    * TypedImperativeAggregate folding each task's rows into a single
+    * packed long[] of exact integer moment sums (ONE ~17 KB buffer per
+    * partition crosses the shuffle; the explode + self-join formulation
+    * this replaced shuffled N·d rows and joined out N·d(d+1)/2 —
+    * measured 2.5 s vs 0.3 s at sf0.1, and at 100 TB a full corpus
+    * shuffle vs none). The d×d matrix those moments define is a MODEL
+    * PARAMETER — dimension-sized, corpus-size-independent — assembled
+    * on the driver (the k-means-seeds precedent; each engine derives
+    * cov from the same exact integers with the same expression, so the
+    * DuckDB oracle's join-shaped moment CTEs agree bit-for-bit) and
+    * replayed as a LocalRelation for the rounds. Each round's 64-row
+    * vector is read back and re-literalized (the bpeTrain
+    * per-round-argmax precedent) — leaving the chain lazy re-executes
+    * every prefix once per broadcast reference, measured 4.6 s for
+    * arithmetic on 4160 rows. Construction is accordingly EAGER
+    * (documented at bpeTrain). */
   def powerIteration(embeddings: DataFrame, iters: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
-    val upper = embeddingCovariance(embeddings)
-    val cov = upper.select(col("i"), col("j"), col("cov"))
-      .unionAll(upper.filter(col("i") < col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    import spark.implicits._
+    val d = 64
+    val nPairs = d * (d + 1) / 2
+    val packed = embeddings
+      .select(transform(asDouble(col("embedding")),
+        x => round(x * 1000000d).cast("long")).as("xq"))
+      .agg(graft.functions.GramAggregate.gramMoments(col("xq"), d)
+        .as("moments"))
+      .head().getSeq[Long](0)
+    // cov(i,j) from the exact integer moments — the identical double
+    // expression tree as the oracle's cov9 CTE, with Spark's own
+    // HALF_UP-on-decimal-string round(·,9) semantics
+    def round9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val n = packed(nPairs + d).toDouble
+    def covAt(i: Int, j: Int): Double = {
+      val sxy = packed(i * d - i * (i - 1) / 2 + (j - i)).toDouble / 1e12
+      val sa = packed(nPairs + i).toDouble / 1e6
+      val sb = packed(nPairs + j).toDouble / 1e6
+      round9((sxy - sa * sb / n) / (n - 1))
+    }
+    val cov = (for {
+      i <- 0 until d
+      j <- i until d
+      e <- if (i < j) Seq((i, j, covAt(i, j)), (j, i, covAt(i, j)))
+           else Seq((i, j, covAt(i, j)))
+    } yield e).toDF("i", "j", "cov")
     def decSum(c: Column): Column =
       sum(c.cast("decimal(28,12)")).cast("double")
-    val v0 = spark.range(64)
-      .select(col("id").cast("int").as("j"), lit(0.125).as("v"))
-    def mul(v: DataFrame): DataFrame = cov.join(v, "j")
+    def mul(v: DataFrame): DataFrame = cov.join(broadcast(v), "j")
       .groupBy(col("i"))
       .agg(decSum(col("cov") * col("v")).as("w"))
-    def normed(w: DataFrame): DataFrame =
-      w.crossJoin(broadcast(
-        w.agg(sqrt(decSum(col("w") * col("w"))).as("nrm"))))
-    var v = v0
-    for (_ <- 1 until iters)
-      v = normed(mul(v))
-        .select(col("i").as("j"), round(col("w") / col("nrm"), 12).as("v"))
-    normed(mul(v))
+    var v = (0 until 64).map(j => (j, 0.125)).toDF("j", "v")
+    for (_ <- 1 until iters) {
+      val rows = mul(v)
+        .select(col("i").as("j"), round(col("w") * 128d, 12).as("v"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      v = rows.toSeq.toDF("j", "v")
+    }
+    val w = mul(v)
+    val nw = w.agg(sqrt(decSum(col("w") * col("w"))).as("nw"))
+    val nv = v.agg(sqrt(decSum(col("v") * col("v"))).as("nv"))
+    w.crossJoin(broadcast(nw)).crossJoin(broadcast(nv))
       .select(col("i").as("dim"),
-        round(col("w") / col("nrm"), 12).as("component"),
-        round(col("nrm"), 9).as("eigenvalue"))
+        round(col("w") / col("nw"), 12).as("component"),
+        round(col("nw") / col("nv"), 9).as("eigenvalue"))
       .orderBy(col("dim"))
   }
 
-  /** DuckDB oracle for [[powerIteration]]: the embedCov oracle as the
-    * cov CTE, then the identical rounds unrolled — same decimal(28,12)
-    * product quantization before each sum, same per-round round(·,12). */
+  /** DuckDB oracle for [[powerIteration]]: the covariance from the same
+    * exact fixed-point moment sums over 1e-6-quantized components
+    * (expressed join-shaped — integer-exact, so it agrees bit-for-bit
+    * with the engine's GramMoments accumulation), then the identical
+    * rounds unrolled — same decimal(28,12) product quantization before
+    * each round sum, same exact ·2⁷ scaling and per-round round(·,12),
+    * same final ‖C·v‖/‖v‖ eigenvalue. The fixed-point quantization
+    * (~1e-7 relative, far below the estimator's own statistical noise)
+    * is what buys exact integer determinism at long-arithmetic speed;
+    * [[embeddingCovariance]] remains the exact-decimal deliverable. */
   def powerIterationOracleSql(iters: Int = 4): String = {
-    val rounds = (1 to iters).map { r =>
-      s"""w$r AS (
-           SELECT c.i,
-             CAST(sum(CAST(c.cov * v.v AS DECIMAL(28,12))) AS DOUBLE) AS w
-           FROM cov c JOIN v${r - 1} v ON c.j = v.j GROUP BY c.i),
-         n$r AS (
-           SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE))
-             AS nrm FROM w$r),
-         v$r AS (
-           SELECT i AS j, round(w / (SELECT nrm FROM n$r), 12) AS v
-           FROM w$r)"""
+    val rounds = (1 until iters).map { r =>
+      s"""v$r AS (
+           SELECT c.i AS j,
+             round(CAST(sum(CAST(c.cov * v.v AS DECIMAL(28,12)))
+               AS DOUBLE) * 128, 12) AS v
+           FROM cov c JOIN v${r - 1} v ON c.j = v.j GROUP BY c.i)"""
     }.mkString(",\n")
     s"""WITH e AS (
          SELECT vec_id, CAST(i AS INTEGER) AS i,
            CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS x
          FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)),
+       eq AS (
+         SELECT vec_id, i, CAST(round(x * 1000000) AS BIGINT) AS xq
+         FROM e),
        m AS (
          SELECT a.i AS i, b.i AS j, count(*) AS n,
-           CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
-           CAST(sum(CAST(a.x AS DECIMAL(28,12))) AS DOUBLE) AS sa,
-           CAST(sum(CAST(b.x AS DECIMAL(28,12))) AS DOUBLE) AS sb
-         FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+           sum(a.xq * b.xq) AS sxy, sum(a.xq) AS sa, sum(b.xq) AS sb
+         FROM eq a JOIN eq b ON a.vec_id = b.vec_id AND a.i <= b.i
          GROUP BY 1, 2),
        cov9 AS (
          SELECT i, j,
-           round((sxy - sa * sb / CAST(n AS DOUBLE))
-             / (CAST(n AS DOUBLE) - 1), 9) AS cov
+           round((CAST(sxy AS DOUBLE) / 1e12
+             - CAST(sa AS DOUBLE) / 1e6 * (CAST(sb AS DOUBLE) / 1e6)
+               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 9) AS cov
          FROM m),
        cov AS (
          SELECT i, j, cov FROM cov9
@@ -600,10 +644,20 @@ object Similarity {
        v0 AS (
          SELECT CAST(unnest(range(64)) AS INTEGER) AS j,
            CAST(0.125 AS DOUBLE) AS v),
-       $rounds
-       SELECT w.i AS dim, round(w.w / n.nrm, 12) AS component,
-         round(n.nrm, 9) AS eigenvalue
-       FROM w$iters w CROSS JOIN n$iters n ORDER BY dim"""
+       $rounds,
+       w AS (
+         SELECT c.i,
+           CAST(sum(CAST(c.cov * v.v AS DECIMAL(28,12))) AS DOUBLE) AS w
+         FROM cov c JOIN v${iters - 1} v ON c.j = v.j GROUP BY c.i),
+       nw AS (
+         SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE))
+           AS nw FROM w),
+       nv AS (
+         SELECT sqrt(CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE))
+           AS nv FROM v${iters - 1})
+       SELECT w.i AS dim, round(w.w / nw.nw, 12) AS component,
+         round(nw.nw / nv.nv, 9) AS eigenvalue
+       FROM w CROSS JOIN nw CROSS JOIN nv ORDER BY dim"""
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
