@@ -62,28 +62,39 @@ object Skew {
     * (smaller) build side's keys, pre-filter the probe side BEFORE its
     * shuffle, then join. At 100 TB this is the classic runtime-filter
     * pattern — rows whose keys cannot match never leave the scan stage,
-    * shrinking the shuffle by the join's selectivity. Spark's AQE injects
-    * this automatically in some shapes (InjectRuntimeFilter); this is the
-    * explicit form with a driver-built `sketch.BloomFilter` (exposed via
-    * `DataFrameStatFunctions.bloomFilter`). False positives only cost
-    * wasted shuffle — join correctness is unchanged. */
+    * shrinking the shuffle by the join's selectivity. This is the exact
+    * shape Spark's own `InjectRuntimeFilter` emits: the filter is built
+    * IN-ENGINE by `BloomFilterAggregate` inside a scalar subquery and
+    * `BloomFilterMightContain` probes it — the serialized filter flows
+    * executor→probe stage as a subquery result, never through the
+    * driver and never into the plan tree. (The previous driver-built
+    * `stat.bloomFilter` + 1.2 MB foldable binary-literal form poisoned
+    * the SESSION: every plan/event string thereafter carried the
+    * megabyte literal, measured +4-18 s of first-compile latency on
+    * whatever queries FOLLOWED it in a bench run.) False positives only
+    * cost wasted shuffle — join correctness is unchanged.
+    *
+    * `expectedKeys < 0` sizes the filter from a build-side count()
+    * first (one cheap columnar count job) — a fixed guess is wrong at
+    * every other scale factor. */
   def bloomPrefilteredJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
-      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    // The probe-side predicate is Catalyst's own `BloomFilterMightContain`
-    // (the expression `InjectRuntimeFilter` emits), built through the
-    // graftshim since it is not in the public function registry. Unlike a
-    // Scala UDF it has `doGenCode`, so the probe scan + filter stay inside
-    // one WholeStageCodegen span; the serialized filter rides along as a
-    // foldable binary literal (deserialized once per task, broadcast-like).
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      expectedKeys: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftshim.Shim
-    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
-    val out = new java.io.ByteArrayOutputStream()
-    bf.writeTo(out)
+    val nKeys = if (expectedKeys >= 0) expectedKeys else build.count()
+    // optimal bits for the target fpp: -n·ln(p)/ln²2
+    val numBits = math.max(64L,
+      math.ceil(-nKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val buildAgg = build.select(Shim.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(Shim.expression(col(buildKey).cast("long")))),
+        Literal(nKeys), Literal(numBits)).toAggregateExpression())
+      .as("bf"))
     val probeFilter = Shim.column(BloomFilterMightContain(
-      Literal.create(out.toByteArray, org.apache.spark.sql.types.BinaryType),
-      Shim.expression(col(probeKey).cast("long"))))
+      ScalarSubquery(Shim.logicalPlan(buildAgg)),
+      new XxHash64(Seq(Shim.expression(col(probeKey).cast("long"))))))
     probe
       .filter(probeFilter)
       .join(build, col(probeKey) === col(buildKey))
@@ -95,7 +106,7 @@ object Skew {
   def bloomRevenueByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
     bloomPrefilteredJoin(
       lineitem, orders.filter(col("o_totalprice") > 50000),
-      "l_orderkey", "o_orderkey", expectedKeys = 1000000L)
+      "l_orderkey", "o_orderkey", expectedKeys = -1L)
       .groupBy(col("o_orderpriority"))
       .agg(
         decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
