@@ -295,6 +295,21 @@ object StreamingPipeline {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Streaming state-partition sizing: a stateful query creates (and
+    * commits, every micro-batch) one state store per shuffle partition,
+    * and the partition count is FROZEN into the query at start. The
+    * session's batch-tuned 32 oversizes the stores ~4× for these
+    * drain-in-seconds demo volumes (~10⁴ rows/batch, ≤10² distinct
+    * keys) — exactly the sizing a production streaming job does
+    * per-query against its throughput. Scoped set/restore around
+    * `start()`: the conf is only read at stream planning. */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Run the windowed aggregation synchronously over the sf events table
     * (AvailableNow → memory sink) and return the completed result — lets
     * the batch-oriented driver harness exercise the streaming path. */
@@ -306,38 +321,42 @@ object StreamingPipeline {
     // event-time window agg; generation is deterministic arithmetic, so
     // the completed result is exactly DuckDB-checkable via range().
     val name = "synth_stream_out"
-    val q = spark.readStream
-      .format("graft.sources.SyntheticEventsSource")
-      .option("n", n).option("slices", 4)
-      .option("rowsPerBatch", rowsPerBatch)
-      .load()
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
-      .select(col("window.start").as("window_start"),
-        col("event_type"), col("n"), col("sum_cents"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStreamPartitions(spark, 8) {
+      spark.readStream
+        .format("graft.sources.SyntheticEventsSource")
+        .option("n", n).option("slices", 4)
+        .option("rowsPerBatch", rowsPerBatch)
+        .load()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("sum_cents"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
   def runWindowedBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "stream_windowed_out"
-    val q = windowedCounts(eventsStream(spark, sfDir, maxFilesPerTrigger = 1))
-      .select(
-        col("window.start").as("window_start"),
-        col("event_type"), col("n"), col("sum_value"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStreamPartitions(spark, 8) {
+      windowedCounts(eventsStream(spark, sfDir, maxFilesPerTrigger = 1))
+        .select(
+          col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name).orderBy(col("window_start"), col("event_type"))
   }
