@@ -253,6 +253,7 @@ object SparkEntry {
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
     "q_embed_cov" -> t("embeddings")(vector.Similarity.embeddingCovariance),
     "q_power_iter" -> t("embeddings")(vector.Similarity.powerIteration(_)),
+    "q_pca_project" -> t("embeddings")(vector.Similarity.pcaProject(_)),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
     "q_temperature_resample" ->
       t("documents")(operators.Pipeline.temperatureResample(_)),
@@ -1871,6 +1872,7 @@ object SparkEntry {
          ORDER BY doc_id, copy""",
     "q_embed_cov" -> vector.Similarity.embeddingCovarianceOracleSql,
     "q_power_iter" -> vector.Similarity.powerIterationOracleSql(),
+    "q_pca_project" -> vector.Similarity.pcaProjectOracleSql(),
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 100),

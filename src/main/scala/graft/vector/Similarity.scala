@@ -612,7 +612,16 @@ object Similarity {
     * (~1e-7 relative, far below the estimator's own statistical noise)
     * is what buys exact integer determinism at long-arithmetic speed;
     * [[embeddingCovariance]] remains the exact-decimal deliverable. */
-  def powerIterationOracleSql(iters: Int = 4): String = {
+  def powerIterationOracleSql(iters: Int = 4): String =
+    s"""WITH ${powerIterationCtes(iters)}
+       SELECT w.i AS dim, round(w.w / nw.nw, 12) AS component,
+         round(nw.nw / nv.nv, 9) AS eigenvalue
+       FROM w CROSS JOIN nw CROSS JOIN nv ORDER BY dim"""
+
+  /** The shared CTE chain behind [[powerIterationOracleSql]] /
+    * [[pcaProjectOracleSql]]: quantize → integer moments → cov →
+    * unrolled rounds → final w and the two norms. */
+  private def powerIterationCtes(iters: Int): String = {
     val rounds = (1 until iters).map { r =>
       s"""v$r AS (
            SELECT c.i AS j,
@@ -620,7 +629,7 @@ object Similarity {
                AS DOUBLE) * 128, 12) AS v
            FROM cov c JOIN v${r - 1} v ON c.j = v.j GROUP BY c.i)"""
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
          SELECT vec_id, CAST(i AS INTEGER) AS i,
            CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS x
          FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)),
@@ -654,11 +663,51 @@ object Similarity {
            AS nw FROM w),
        nv AS (
          SELECT sqrt(CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE))
-           AS nv FROM v${iters - 1})
-       SELECT w.i AS dim, round(w.w / nw.nw, 12) AS component,
-         round(nw.nw / nv.nv, 9) AS eigenvalue
-       FROM w CROSS JOIN nw CROSS JOIN nv ORDER BY dim"""
+           AS nv FROM v${iters - 1})"""
   }
+
+  /** PCA projection — the eigenvector put to WORK: every embedding's
+    * scalar coordinate along the corpus's top principal direction
+    * (outlier scoring / decorrelation / 1-D semantic ordering, the
+    * standard uses of a leading component). Reuses [[powerIteration]]
+    * end-to-end (Gram pass + rounds), then one corpus-scale projection
+    * pass: the 64 learned components broadcast; per-vector dot product
+    * as decimal-quantized product sums (order-independent, so the
+    * per-vector double is engine-identical); rounded to 6.
+    *
+    * Scale: projection = explode + broadcast join + map-side-combining
+    * agg back to vec grain — one pass, no corpus shuffle beyond the
+    * vec_id-grain partials. */
+  def pcaProject(embeddings: DataFrame, iters: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val comp = powerIteration(embeddings, iters)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      .toDF("dim", "component")
+    def decSum(c: Column): Column =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    embeddings
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").as("x"))
+      .join(broadcast(comp), "dim")
+      .groupBy(col("vec_id"))
+      .agg(round(decSum(col("x") * col("component")), 6).as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[pcaProject]]: the [[powerIterationCtes]] chain,
+    * a `comp` CTE for the rounded components, then the identical
+    * decimal-quantized projection sums. */
+  def pcaProjectOracleSql(iters: Int = 4): String =
+    s"""WITH ${powerIterationCtes(iters)},
+       comp AS (
+         SELECT w.i AS dim, round(w.w / nw.nw, 12) AS component
+         FROM w CROSS JOIN nw)
+       SELECT e.vec_id,
+         round(CAST(sum(CAST(e.x * c.component AS DECIMAL(28,12)))
+           AS DOUBLE), 6) AS proj
+       FROM e JOIN comp c ON e.i = c.dim
+       GROUP BY e.vec_id ORDER BY e.vec_id"""
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH-bucket candidates (the scalable near-dup shape). */
