@@ -254,6 +254,7 @@ object SparkEntry {
     "q_embed_cov" -> t("embeddings")(vector.Similarity.embeddingCovariance),
     "q_power_iter" -> t("embeddings")(vector.Similarity.powerIteration(_)),
     "q_pca_project" -> t("embeddings")(vector.Similarity.pcaProject(_)),
+    "q_pca_top2" -> t("embeddings")(vector.Similarity.pcaTop2(_)),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
     "q_temperature_resample" ->
       t("documents")(operators.Pipeline.temperatureResample(_)),
@@ -1873,6 +1874,7 @@ object SparkEntry {
     "q_embed_cov" -> vector.Similarity.embeddingCovarianceOracleSql,
     "q_power_iter" -> vector.Similarity.powerIterationOracleSql(),
     "q_pca_project" -> vector.Similarity.pcaProjectOracleSql(),
+    "q_pca_top2" -> vector.Similarity.pcaTop2OracleSql(),
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 100),

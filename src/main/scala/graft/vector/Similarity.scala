@@ -550,10 +550,22 @@ object Similarity {
     * every prefix once per broadcast reference, measured 4.6 s for
     * arithmetic on 4160 rows. Construction is accordingly EAGER
     * (documented at bpeTrain). */
-  def powerIteration(embeddings: DataFrame, iters: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val d = 64
+  def powerIteration(embeddings: DataFrame, iters: Int = 4): DataFrame =
+    iterateRounds(embeddings.sparkSession, gramCov(embeddings), iters)
+
+  private val pcaDim = 64
+
+  /** Spark's HALF_UP-on-decimal-string `round(x, s)` semantics, for
+    * driver-side model arithmetic that both engines must reproduce. */
+  private def roundAt(x: Double, s: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Corpus pass: GramMoments → the full symmetric d×d covariance as
+    * driver rows. cov(i,j) uses the identical double expression tree as
+    * the oracle's cov9 CTE over the same exact integers. */
+  private def gramCov(embeddings: DataFrame): IndexedSeq[(Int, Int, Double)] = {
+    val d = pcaDim
     val nPairs = d * (d + 1) / 2
     val packed = embeddings
       .select(transform(asDouble(col("embedding")),
@@ -561,31 +573,34 @@ object Similarity {
       .agg(graft.functions.GramAggregate.gramMoments(col("xq"), d)
         .as("moments"))
       .head().getSeq[Long](0)
-    // cov(i,j) from the exact integer moments — the identical double
-    // expression tree as the oracle's cov9 CTE, with Spark's own
-    // HALF_UP-on-decimal-string round(·,9) semantics
-    def round9(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
     val n = packed(nPairs + d).toDouble
     def covAt(i: Int, j: Int): Double = {
       val sxy = packed(i * d - i * (i - 1) / 2 + (j - i)).toDouble / 1e12
       val sa = packed(nPairs + i).toDouble / 1e6
       val sb = packed(nPairs + j).toDouble / 1e6
-      round9((sxy - sa * sb / n) / (n - 1))
+      roundAt((sxy - sa * sb / n) / (n - 1), 9)
     }
-    val cov = (for {
+    for {
       i <- 0 until d
       j <- i until d
       e <- if (i < j) Seq((i, j, covAt(i, j)), (j, i, covAt(i, j)))
            else Seq((i, j, covAt(i, j)))
-    } yield e).toDF("i", "j", "cov")
+    } yield e
+  }
+
+  /** The in-engine iteration rounds over a (local, model-sized) matrix:
+    * scaled v ← 2⁷·C·v rounds with per-round re-literalization, then the
+    * final normalization + eigenvalue in one plan. */
+  private def iterateRounds(spark: org.apache.spark.sql.SparkSession,
+      covRows: Seq[(Int, Int, Double)], iters: Int): DataFrame = {
+    import spark.implicits._
+    val cov = covRows.toDF("i", "j", "cov")
     def decSum(c: Column): Column =
       sum(c.cast("decimal(28,12)")).cast("double")
     def mul(v: DataFrame): DataFrame = cov.join(broadcast(v), "j")
       .groupBy(col("i"))
       .agg(decSum(col("cov") * col("v")).as("w"))
-    var v = (0 until 64).map(j => (j, 0.125)).toDF("j", "v")
+    var v = (0 until pcaDim).map(j => (j, 0.125)).toDF("j", "v")
     for (_ <- 1 until iters) {
       val rows = mul(v)
         .select(col("i").as("j"), round(col("w") * 128d, 12).as("v"))
@@ -600,6 +615,40 @@ object Similarity {
         round(col("w") / col("nw"), 12).as("component"),
         round(col("nw") / col("nv"), 9).as("eigenvalue"))
       .orderBy(col("dim"))
+  }
+
+  /** Top-2 eigenpairs via Hotelling deflation — the k-component PCA
+    * pattern: extract (v₁, λ₁), deflate C₂ = C − λ₁v₁v₁ᵀ (quantized to
+    * 9 decimals — cov's own scale, and tie-free against v₀, see the
+    * covRows2 comment — so both engines iterate the identical matrix), iterate
+    * again for (v₂, λ₂). One corpus Gram pass serves both eigenpairs;
+    * the deflation itself is dimension-sized model arithmetic on the
+    * driver (k-means-seeds precedent), the rounds run in-engine.
+    * Output: (k, dim, component, eigenvalue), 2·d rows. */
+  def pcaTop2(embeddings: DataFrame, iters: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val covRows = gramCov(embeddings)
+    val first = iterateRounds(spark, covRows, iters)
+    val f = first.collect().map(r =>
+      (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val comp = f.map(t => t._1 -> t._2).toMap
+    val lambda = f.head._3
+    val covRows2 = covRows.map { case (i, j, c) =>
+      // 9 decimals like cov itself: a 12-dec deflated matrix times the
+      // exact v0=0.125 yields EXACT 15-decimal products whose last
+      // digits sit on …500 half-ties, where Spark's HALF_UP
+      // double→decimal cast and DuckDB's float-scaled cast disagree
+      // systematically (56/64 first-round entries diverged by one
+      // 1e-12 quantum). At 9 decimals the ×0.125 product is exactly
+      // 12 decimals — nothing to round, tie-free by construction.
+      (i, j, roundAt(c - lambda * comp(i) * comp(j), 9))
+    }
+    val second = iterateRounds(spark, covRows2, iters)
+    first.select(lit(1).as("k"), col("dim"), col("component"),
+        col("eigenvalue"))
+      .unionAll(second.select(lit(2).as("k"), col("dim"),
+        col("component"), col("eigenvalue")))
+      .orderBy(col("k"), col("dim"))
   }
 
   /** DuckDB oracle for [[powerIteration]]: the covariance from the same
@@ -621,14 +670,7 @@ object Similarity {
   /** The shared CTE chain behind [[powerIterationOracleSql]] /
     * [[pcaProjectOracleSql]]: quantize → integer moments → cov →
     * unrolled rounds → final w and the two norms. */
-  private def powerIterationCtes(iters: Int): String = {
-    val rounds = (1 until iters).map { r =>
-      s"""v$r AS (
-           SELECT c.i AS j,
-             round(CAST(sum(CAST(c.cov * v.v AS DECIMAL(28,12)))
-               AS DOUBLE) * 128, 12) AS v
-           FROM cov c JOIN v${r - 1} v ON c.j = v.j GROUP BY c.i)"""
-    }.mkString(",\n")
+  private def powerIterationCtes(iters: Int): String =
     s"""e AS (
          SELECT vec_id, CAST(i AS INTEGER) AS i,
            CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS x
@@ -650,21 +692,61 @@ object Similarity {
        cov AS (
          SELECT i, j, cov FROM cov9
          UNION ALL SELECT j AS i, i AS j, cov FROM cov9 WHERE i < j),
-       v0 AS (
+       ${roundCtes("cov", "", iters)}"""
+
+  /** The iteration-round CTEs over matrix CTE `covName`, all CTE names
+    * suffixed `p` so two chains (original + deflated) can coexist. */
+  private def roundCtes(covName: String, p: String, iters: Int): String = {
+    val rounds = (1 until iters).map { r =>
+      s"""v$r$p AS (
+           SELECT c.i AS j,
+             round(CAST(sum(CAST(c.cov * v.v AS DECIMAL(28,12)))
+               AS DOUBLE) * 128, 12) AS v
+           FROM $covName c JOIN v${r - 1}$p v ON c.j = v.j GROUP BY c.i)"""
+    }.mkString(",\n")
+    s"""v0$p AS (
          SELECT CAST(unnest(range(64)) AS INTEGER) AS j,
            CAST(0.125 AS DOUBLE) AS v),
        $rounds,
-       w AS (
+       w$p AS (
          SELECT c.i,
            CAST(sum(CAST(c.cov * v.v AS DECIMAL(28,12))) AS DOUBLE) AS w
-         FROM cov c JOIN v${iters - 1} v ON c.j = v.j GROUP BY c.i),
-       nw AS (
+         FROM $covName c JOIN v${iters - 1}$p v ON c.j = v.j GROUP BY c.i),
+       nw$p AS (
          SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE))
-           AS nw FROM w),
-       nv AS (
+           AS nw FROM w$p),
+       nv$p AS (
          SELECT sqrt(CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE))
-           AS nv FROM v${iters - 1})"""
+           AS nv FROM v${iters - 1}$p)"""
   }
+
+  /** DuckDB oracle for [[pcaTop2]]: the first chain, the rounded
+    * deflation C₂ = round(C − λ₁v₁v₁ᵀ, 9), and a suffixed second
+    * chain; identical arithmetic throughout. */
+  def pcaTop2OracleSql(iters: Int = 4): String =
+    s"""WITH ${powerIterationCtes(iters)},
+       comp AS (
+         SELECT w.i AS dim, round(w.w / nw.nw, 12) AS component
+         FROM w CROSS JOIN nw),
+       lam AS (
+         SELECT round(nw.nw / nv.nv, 9) AS lambda
+         FROM nw CROSS JOIN nv),
+       cov2 AS (
+         SELECT c.i, c.j,
+           round(c.cov - l.lambda * a.component * b.component, 9) AS cov
+         FROM cov c
+         JOIN comp a ON c.i = a.dim
+         JOIN comp b ON c.j = b.dim
+         CROSS JOIN lam l),
+       ${roundCtes("cov2", "b", iters)}
+       SELECT 1 AS k, w.i AS dim, round(w.w / nw.nw, 12) AS component,
+         round(nw.nw / nv.nv, 9) AS eigenvalue
+       FROM w CROSS JOIN nw CROSS JOIN nv
+       UNION ALL
+       SELECT 2 AS k, wb.i AS dim, round(wb.w / nwb.nw, 12) AS component,
+         round(nwb.nw / nvb.nv, 9) AS eigenvalue
+       FROM wb CROSS JOIN nwb CROSS JOIN nvb
+       ORDER BY k, dim"""
 
   /** PCA projection — the eigenvector put to WORK: every embedding's
     * scalar coordinate along the corpus's top principal direction
