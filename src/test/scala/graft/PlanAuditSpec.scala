@@ -52,6 +52,26 @@ class PlanAuditSpec extends AnyFunSuite {
                          // caller-chosen plot resolution, not data size
   )
 
+  test("q_bloom_join probes an in-engine subquery filter, not a plan literal") {
+    val qe = SparkEntry.queries("q_bloom_join")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "expected a BloomFilterMightContain probe on the fact scan:\n" +
+        plan.take(2000))
+    assert(plan.contains("bloom_filter_agg") || plan.contains("Subquery"),
+      "expected the filter built by an in-engine BloomFilterAggregate " +
+        "subquery (the InjectRuntimeFilter shape):\n" + plan.take(2000))
+    // the r7 regression this guards: a driver-built filter serialized as
+    // a foldable BINARY literal bloats every later plan/event string in
+    // the session (measured +4-18 s on FOLLOWING queries)
+    val literalBlob = qe.optimizedPlan.expressions.exists(
+      _.collect { case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.value.isInstanceOf[Array[Byte]] &&
+            l.value.asInstanceOf[Array[Byte]].length > 10000 => l
+      }.nonEmpty)
+    assert(!literalBlob, "found a >10KB binary literal in the plan")
+  }
+
   test("q_dpp_date's fact scan carries a dynamicpruning partition filter") {
     val plan = SparkEntry.queries("q_dpp_date")(spark, sf)
       .queryExecution.executedPlan.toString
