@@ -25,9 +25,10 @@ object Plans {
       "exchange then bounded per-group heaps — no Window, no full Sort"),
     "q_theta_hist" -> ("pair-free inequality join: broadcast threshold " +
       "array + idx histogram instead of materializing N*M matched pairs"),
-    "q_bloom_join" -> ("probe side pre-filtered by a codegen'd " +
-      "BloomFilterMightContain (no UDF) before its shuffle — scan + " +
-      "bloom probe share one WholeStageCodegen span"),
+    "q_bloom_join" -> ("the InjectRuntimeFilter shape: filter built " +
+      "in-engine by a BloomFilterAggregate scalar subquery, probe side " +
+      "pre-filtered by codegen'd might_contain before its shuffle — no " +
+      "driver-built filter, no binary plan literal"),
     "q_top_ngrams" -> ("corpus frequency table shuffles (xxhash64, count) " +
       "pairs, never ngram strings; winners recovered via broadcast " +
       "semi-join; AQE reuses the counts exchange at runtime"),
@@ -85,7 +86,11 @@ object Plans {
       "constant"),
     "q_jaccard_prefix" -> ("PPJoin verification by per-doc hash ARRAYS: " +
       "candidates join two array-carrying rows and intersect inside " +
-      "codegen — no candidate × per-shingle row blowup"))
+      "codegen — no candidate × per-shingle row blowup"),
+    "q_pca_project" -> ("corpus statistics via ONE GramMoments buffer " +
+      "per partition (no self-join, no N·d shuffle), then one " +
+      "projection pass: 64 components broadcast, decimal-quantized " +
+      "product sums partial-agg'd back to vec grain"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
