@@ -627,9 +627,9 @@ object Similarity {
     * Output: (k, dim, component, eigenvalue), 2·d rows. */
   def pcaTop2(embeddings: DataFrame, iters: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
+    import spark.implicits._
     val covRows = gramCov(embeddings)
-    val first = iterateRounds(spark, covRows, iters)
-    val f = first.collect().map(r =>
+    val f = iterateRounds(spark, covRows, iters).collect().map(r =>
       (r.getInt(0), r.getDouble(1), r.getDouble(2)))
     val comp = f.map(t => t._1 -> t._2).toMap
     val lambda = f.head._3
@@ -644,8 +644,11 @@ object Similarity {
       (i, j, roundAt(c - lambda * comp(i) * comp(j), 9))
     }
     val second = iterateRounds(spark, covRows2, iters)
-    first.select(lit(1).as("k"), col("dim"), col("component"),
-        col("eigenvalue"))
+    // k=1 rows replayed from the already-collected eigenpair (model
+    // values) — unioning the first chain's DataFrame would RE-EXECUTE
+    // its final norm subqueries per reference
+    f.toSeq.map { case (d, c, l) => (1, d, c, l) }
+      .toDF("k", "dim", "component", "eigenvalue")
       .unionAll(second.select(lit(2).as("k"), col("dim"),
         col("component"), col("eigenvalue")))
       .orderBy(col("k"), col("dim"))
