@@ -30,12 +30,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * N·d(d+1)/2 join output): measured 2.5 s → ~0.3 s at sf0.1, and at
   * 100 TB the difference is a full corpus shuffle versus none.
   *
-  * ANSI-overflow-safe by construction for |x| ≤ `maxAbs` (quantized
-  * unit-ish components, 1e6): |Σ xᵢ·xⱼ| ≤ N·1e12, fine to N ≈ 9·10⁶ per
-  * aggregation — beyond that, shard the corpus and merge the integer
-  * buffers (they stay exact). The guard in `update` throws on a
-  * component that would break the bound rather than overflowing. */
-case class GramMoments(child: Expression, d: Int, maxAbs: Long = 2000000L,
+  * ANSI-overflow-safe by construction for |x| ≤ `maxAbs` (default 1e6,
+  * the 1e-6 quantization of unit-ish components — fixture max |x| is
+  * 0.58): |Σ xᵢ·xⱼ| ≤ N·maxAbs², fine to N ≈ 9·10⁶ rows per
+  * aggregation at the default — beyond that, shard the corpus and
+  * merge the integer buffers (they stay exact). The guard in `update`
+  * throws on a component that would break the bound rather than
+  * overflowing. */
+case class GramMoments(child: Expression, d: Int, maxAbs: Long = 1000000L,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 

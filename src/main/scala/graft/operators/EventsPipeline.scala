@@ -75,8 +75,11 @@ object EventsPipeline {
           .getAs[java.time.LocalDateTime](0)
         raw.filter(col("ts") >= lit(maxTs.minusHours(hours.toLong)))
       case org.apache.spark.sql.types.TimestampType =>
+        // getTimestamp, not getAs[Instant]: with the default
+        // spark.sql.datetime.java8API.enabled=false, TimestampType
+        // collects as java.sql.Timestamp
         val maxTs = raw.agg(max(col("ts"))).head()
-          .getAs[java.time.Instant](0)
+          .getTimestamp(0).toInstant
         raw.filter(col("ts") >= lit(maxTs.minusSeconds(hours * 3600L)))
       case other => throw new IllegalStateException(
         s"events.ts arrived as $other; historicalRangeScan handles the " +

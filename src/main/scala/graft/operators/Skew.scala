@@ -83,7 +83,11 @@ object Skew {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftshim.Shim
-    val nKeys = if (expectedKeys >= 0) expectedKeys else build.count()
+    // floor at 1: BloomFilterAggregate rejects estimatedNumItems <= 0 at
+    // analysis, and an empty build side must still produce the (empty)
+    // join result rather than an AnalysisException
+    val nKeys = math.max(1L,
+      if (expectedKeys >= 0) expectedKeys else build.count())
     // optimal bits for the target fpp: -n·ln(p)/ln²2
     val numBits = math.max(64L,
       math.ceil(-nKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)

@@ -40,6 +40,14 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Exact-decimal sum of a double column, returned as double — the
+    * order-independent reduction every oracle-matched float aggregate
+    * here uses. The (28,12) quantization scale is LOAD-BEARING for
+    * cross-engine bit-identity (every oracle mirrors it); keep this the
+    * single definition. */
+  private def decSum(c: Column): Column =
+    sum(c.cast("decimal(28,12)")).cast("double")
+
   /** Pairwise cosine between a small set of vectors (vec_id < bound) —
     * deterministic per-row fold, oracle-checkable with rounding. */
   def pairwiseCosine(embeddings: DataFrame, bound: Int = 10): DataFrame = {
@@ -140,8 +148,6 @@ object Similarity {
     val subLen = dim / m
     def subSlices(v: Column): Column =
       array((0 until m).map(s => slice(v, s * subLen + 1, subLen)): _*)
-    def decSumD(c: Column): Column =
-      sum(c.cast("decimal(28,12)")).cast("double")
     val corpus = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val subs = corpus
@@ -152,7 +158,7 @@ object Similarity {
     val codebook = subs
       .select(col("sub"), col("label"), posexplode(col("sv")))
       .groupBy(col("sub"), col("label"), col("pos"))
-      .agg((decSumD(col("col")) / count(lit(1)).cast("double")).as("mc"))
+      .agg((decSum(col("col")) / count(lit(1)).cast("double")).as("mc"))
       .groupBy(col("sub"), col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("mc"))))
         .getField("mc").as("centroid"))
@@ -184,7 +190,7 @@ object Similarity {
     val coarse = codes
       .join(broadcast(parts), Seq("sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(decSumD(col("dpart")).as("adot"), decSumD(col("n2part")).as("an2"))
+      .agg(decSum(col("dpart")).as("adot"), decSum(col("n2part")).as("an2"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(qnorm), Seq("query_id"))
       .withColumn("acos",
@@ -469,8 +475,6 @@ object Similarity {
     * tree-aggregated distributed PCA performs, expressed declaratively;
     * d is a model constant (64), so cost is linear in the corpus. */
   def embeddingCovariance(embeddings: DataFrame): DataFrame = {
-    def decSumM(c: Column): Column =
-      sum(c.cast("decimal(28,12)")).cast("double")
     val e = embeddings
       .select(col("vec_id"), posexplode(asDouble(col("embedding"))))
       .select(col("vec_id"), col("pos").as("i"), col("col").as("x"))
@@ -480,9 +484,9 @@ object Similarity {
         col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
       .agg(count(lit(1)).as("n"),
-        decSumM(col("a.x") * col("b.x")).as("sxy"),
-        decSumM(col("a.x")).as("sa"),
-        decSumM(col("b.x")).as("sb"))
+        decSum(col("a.x") * col("b.x")).as("sxy"),
+        decSum(col("a.x")).as("sa"),
+        decSum(col("b.x")).as("sb"))
       .select(col("i"), col("j"),
         // rounded to 9 decimals: the decimal(38,12) sums carry more
         // significant digits than a double, so each engine's
@@ -595,8 +599,6 @@ object Similarity {
       covRows: Seq[(Int, Int, Double)], iters: Int): DataFrame = {
     import spark.implicits._
     val cov = covRows.toDF("i", "j", "cov")
-    def decSum(c: Column): Column =
-      sum(c.cast("decimal(28,12)")).cast("double")
     def mul(v: DataFrame): DataFrame = cov.join(broadcast(v), "j")
       .groupBy(col("i"))
       .agg(decSum(col("cov") * col("v")).as("w"))
@@ -769,8 +771,6 @@ object Similarity {
     val comp = powerIteration(embeddings, iters)
       .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
       .toDF("dim", "component")
-    def decSum(c: Column): Column =
-      sum(c.cast("decimal(28,12)")).cast("double")
     embeddings
       .select(col("vec_id"), posexplode(asDouble(col("embedding"))))
       .select(col("vec_id"), col("pos").as("dim"), col("col").as("x"))

@@ -2,14 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One-off generator for the embedded production-scale BPE merge table
+/** One-off generator for the embedded BPE merge table
   * (functions/BpeExpressions.scala): runs [[graft.text.TextAnalysis.bpeTrain]]
-  * with k=256 over the largest fixture corpus and prints the learned table
-  * as a Scala literal. Run via `sbt "Test/runMain graft.GenBpeTable"`. */
+  * over the largest fixture corpus and prints the learned table as a
+  * Scala literal. DEFAULT k = 64, matching the SHIPPED table and its
+  * `require(merges.size == 64)` — a plain
+  * `sbt "Test/runMain graft.GenBpeTable"` reproduces exactly what is
+  * embedded. Override with SPARK_GRAFT_BPE_K to explore larger budgets
+  * (the fixture vocabulary saturates at 89 cross-symbol merges). */
 object GenBpeTable {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val k = sys.env.getOrElse("SPARK_GRAFT_BPE_K", "256").toInt
+    val k = sys.env.getOrElse("SPARK_GRAFT_BPE_K", "64").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -64,11 +64,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // the r7 regression this guards: a driver-built filter serialized as
     // a foldable BINARY literal bloats every later plan/event string in
     // the session (measured +4-18 s on FOLLOWING queries)
-    val literalBlob = qe.optimizedPlan.expressions.exists(
-      _.collect { case l: org.apache.spark.sql.catalyst.expressions.Literal
-          if l.value.isInstanceOf[Array[Byte]] &&
-            l.value.asInstanceOf[Array[Byte]].length > 10000 => l
-      }.nonEmpty)
+    // whole-TREE scan: QueryPlan.expressions is node-local, and the r7
+    // literal lived in the probe-side Filter, not the root Aggregate
+    val literalBlob = qe.optimizedPlan.collect {
+      case node if node.expressions.exists(
+        _.collect { case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.value.isInstanceOf[Array[Byte]] &&
+              l.value.asInstanceOf[Array[Byte]].length > 10000 => l
+        }.nonEmpty) => node
+    }.nonEmpty
     assert(!literalBlob, "found a >10KB binary literal in the plan")
   }
 
