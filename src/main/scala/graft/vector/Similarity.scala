@@ -702,27 +702,31 @@ object Similarity {
   /** The iteration-round CTEs over matrix CTE `covName`, all CTE names
     * suffixed `p` so two chains (original + deflated) can coexist. */
   private def roundCtes(covName: String, p: String, iters: Int): String = {
+    // assembled as a single CTE list so iters=1 (zero unrolled rounds)
+    // still yields well-formed SQL
+    val v0 =
+      s"""v0$p AS (
+         SELECT CAST(unnest(range(64)) AS INTEGER) AS j,
+           CAST(0.125 AS DOUBLE) AS v)"""
     val rounds = (1 until iters).map { r =>
       s"""v$r$p AS (
            SELECT c.i AS j,
              round(CAST(sum(CAST(c.cov * v.v AS DECIMAL(28,12)))
                AS DOUBLE) * 128, 12) AS v
            FROM $covName c JOIN v${r - 1}$p v ON c.j = v.j GROUP BY c.i)"""
-    }.mkString(",\n")
-    s"""v0$p AS (
-         SELECT CAST(unnest(range(64)) AS INTEGER) AS j,
-           CAST(0.125 AS DOUBLE) AS v),
-       $rounds,
-       w$p AS (
+    }
+    val finals = Seq(
+      s"""w$p AS (
          SELECT c.i,
            CAST(sum(CAST(c.cov * v.v AS DECIMAL(28,12))) AS DOUBLE) AS w
-         FROM $covName c JOIN v${iters - 1}$p v ON c.j = v.j GROUP BY c.i),
-       nw$p AS (
+         FROM $covName c JOIN v${iters - 1}$p v ON c.j = v.j GROUP BY c.i)""",
+      s"""nw$p AS (
          SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE))
-           AS nw FROM w$p),
-       nv$p AS (
+           AS nw FROM w$p)""",
+      s"""nv$p AS (
          SELECT sqrt(CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE))
-           AS nv FROM v${iters - 1}$p)"""
+           AS nv FROM v${iters - 1}$p)""")
+    ((v0 +: rounds) ++ finals).mkString(",\n       ")
   }
 
   /** DuckDB oracle for [[pcaTop2]]: the first chain, the rounded
