@@ -255,6 +255,9 @@ object SparkEntry {
     "q_power_iter" -> t("embeddings")(vector.Similarity.powerIteration(_)),
     "q_pca_project" -> t("embeddings")(vector.Similarity.pcaProject(_)),
     "q_pca_top2" -> t("embeddings")(vector.Similarity.pcaTop2(_)),
+    "q_rand_proj" -> t("embeddings")(vector.Similarity.randomProjection(_)),
+    "q_pmi" -> t("documents")(T.pmiCollocations(_)),
+    "q_lr_quality" -> t("documents")(text.QualityModel.trainAndScore(_)),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
     "q_temperature_resample" ->
       t("documents")(operators.Pipeline.temperatureResample(_)),
@@ -1875,6 +1878,9 @@ object SparkEntry {
     "q_power_iter" -> vector.Similarity.powerIterationOracleSql(),
     "q_pca_project" -> vector.Similarity.pcaProjectOracleSql(),
     "q_pca_top2" -> vector.Similarity.pcaTop2OracleSql(),
+    "q_rand_proj" -> vector.Similarity.randomProjectionOracleSql(),
+    "q_pmi" -> T.pmiCollocationsOracleSql(),
+    "q_lr_quality" -> text.QualityModel.trainAndScoreOracleSql(),
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 100),

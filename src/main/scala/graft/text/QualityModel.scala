@@ -1,0 +1,168 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine training of a logistic-style document classifier — the
+  * distributed half of the DCLM/fastText-quality-filter recipe: learn a
+  * tiny linear model over cheap surface features, then score every
+  * document with it. Here the (deliberately simple) task is predicting
+  * `lang = 'en'` from four surface statistics.
+  *
+  * Architecture is the same broadcast-model / aggregate-gradient shape
+  * as `Similarity.powerIteration` and every data-parallel SGD system:
+  * the MODEL (5 doubles) lives on the driver and enters each round's
+  * plan as literals; the GRADIENT is one corpus-scan aggregate with
+  * map-side partial aggregation (5 exact-decimal sums + a count — a
+  * fixed-width row per partition over the shuffle, corpus-size
+  * independent). `iters` rounds = `iters` scans; at 100 TB the feature
+  * projection would be cached once, which changes the constant, not the
+  * shape.
+  *
+  * Cross-engine determinism (the whole point of the formulation):
+  *  - the link is the RATIONAL "fast sigmoid" sigma(z) = 0.5*(1 + z/(1+|z|))
+  *    — add/mul/div/abs are all correctly-rounded IEEE ops that JVM and
+  *    DuckDB execute identically, unlike libm `exp`, whose last-ulp
+  *    behavior is implementation-defined. Monotone S-curve through
+  *    (0, 0.5), so the classification semantics survive. The update is
+  *    the error-driven delta rule (p - y)·x — the logistic-regression
+  *    gradient formula applied through this link.
+  *  - gradient sums go through decimal(28,12) (Cols.decSum convention):
+  *    order-independent, so Spark's partial aggregation at any
+  *    partitioning and DuckDB's single-threaded sum agree exactly.
+  *  - every scalar update (w - lr*g) is the same two IEEE ops on both
+  *    engines, so the weight trajectories are bit-identical and the
+  *    oracle re-DERIVES them (no values smuggled from the engine).
+  *
+  * Training is EAGER at construction (like TextAnalysis.bpeTrain): the
+  * `iters` gradient jobs run when this method is called; the returned
+  * DataFrame is the lazy final scoring pass with the learned literals.
+  */
+object QualityModel {
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val alpha = "^[a-z]+$"
+
+  /** The four surface features + bias, identically derivable in DuckDB:
+    * x1 token count /100, x2 mean chars-per-token /10, x3 stopword
+    * ratio, x4 alphabetic-token ratio. Divisions are single IEEE ops on
+    * exactly-represented integer-valued doubles. */
+  private def features(documents: DataFrame): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    documents.select(
+      col("doc_id"),
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+      (size(w).cast("double") / lit(100.0)).as("x1"),
+      (col("n_chars").cast("double") / size(w).cast("double") /
+        lit(10.0)).as("x2"),
+      (size(filter(w, t => t.isin(stop: _*))).cast("double") /
+        size(w).cast("double")).as("x3"),
+      (size(filter(w, t => t.rlike(alpha))).cast("double") /
+        size(w).cast("double")).as("x4"))
+  }
+
+  private def z(ws: Array[Double]): Column =
+    lit(ws(0)) + lit(ws(1)) * col("x1") + lit(ws(2)) * col("x2") +
+      lit(ws(3)) * col("x3") + lit(ws(4)) * col("x4")
+
+  private def fastSigmoid(zc: Column): Column =
+    lit(0.5) * (lit(1.0) + zc / (lit(1.0) + abs(zc)))
+
+  /** decSum at scale 12 — mirrored literally in the oracle SQL. */
+  private def gradSum(c: Column): Column =
+    sum(c.cast("decimal(28,12)")).cast("double")
+
+  /** Train `iters` full-batch gradient-descent rounds from w = 0, then
+    * score every document with the learned weights. Output: per-doc
+    * label, score (rounded for the compare) and thresholded prediction.
+    *
+    * Honest-metric note (cf. q_pq_recall): the fixture text is
+    * language-uniform word salad, so `lang` is barely recoverable from
+    * surface stats (stopword ratio separates by ~0.004) — the learned
+    * model converges to the class base rate plus a weak x3 signal.
+    * That IS the correct answer on this data; the operator's value is
+    * the broadcast-model/aggregate-gradient shape and its exact
+    * cross-engine replay, which an informative feature set would reuse
+    * unchanged. */
+  def trainAndScore(documents: DataFrame, iters: Int = 8,
+      lr: Double = 1.0): DataFrame = {
+    val f = features(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ws = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    try {
+      for (_ <- 1 to iters) {
+        val err = fastSigmoid(z(ws)) - col("y")
+        val row = f.agg(
+          gradSum(err).as("g0"),
+          gradSum(err * col("x1")).as("g1"),
+          gradSum(err * col("x2")).as("g2"),
+          gradSum(err * col("x3")).as("g3"),
+          gradSum(err * col("x4")).as("g4"),
+          count(lit(1)).cast("double").as("n")).head()
+        val n = row.getDouble(5)
+        ws = Array.tabulate(5)(j => ws(j) - lr * (row.getDouble(j) / n))
+      }
+    } finally f.unpersist()
+    val p = fastSigmoid(z(ws))
+    features(documents).select(
+      col("doc_id"),
+      col("y").cast("int").as("label"),
+      round(p, 6).as("score"),
+      (p >= lit(0.5)).cast("int").as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[trainAndScore]]: the weight trajectory is
+    * re-derived round by round as CTEs (r0 = zeros; d_k = gradient
+    * aggregate against r_{k-1}; r_k = update), then the final scoring
+    * pass replays with r_iters' scalars. */
+  def trainAndScoreOracleSql(iters: Int = 8, lr: Double = 1.0): String = {
+    val stopList = stop.map(s => s"'$s'").mkString(", ")
+    def dec(x: String) =
+      s"CAST(sum(CAST($x AS DECIMAL(28,12))) AS DOUBLE)"
+    val f =
+      s"""f AS (
+           SELECT doc_id,
+             CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS y,
+             CAST(len(w) AS DOUBLE) / 100.0 AS x1,
+             CAST(n_chars AS DOUBLE) / CAST(len(w) AS DOUBLE) / 10.0 AS x2,
+             CAST(len(list_filter(w, t -> t IN ($stopList))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS x3,
+             CAST(len(list_filter(w, t ->
+                 regexp_matches(t, '^[a-z]+${"$"}'))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS x4
+           FROM (SELECT doc_id, lang, n_chars,
+                   string_split(lower(text), ' ') AS w FROM documents))"""
+    val r0 =
+      """r0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+           CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+           CAST(0.0 AS DOUBLE) AS w4)"""
+    val zExpr = "w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4"
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS (
+           SELECT ${dec("err")} AS g0, ${dec("err * x1")} AS g1,
+             ${dec("err * x2")} AS g2, ${dec("err * x3")} AS g3,
+             ${dec("err * x4")} AS g4,
+             CAST(count(*) AS DOUBLE) AS n
+           FROM (SELECT x1, x2, x3, x4,
+               0.5 * (1.0 + z / (1.0 + abs(z))) - y AS err
+             FROM (SELECT f.*, $zExpr AS z FROM f, r${k - 1}))),
+         r$k AS (
+           SELECT w0 - $lr * (g0 / n) AS w0, w1 - $lr * (g1 / n) AS w1,
+             w2 - $lr * (g2 / n) AS w2, w3 - $lr * (g3 / n) AS w3,
+             w4 - $lr * (g4 / n) AS w4
+           FROM d$k, r${k - 1})"""
+    }.mkString(",\n        ")
+    s"""WITH $f,
+        $r0,
+        $rounds
+        SELECT doc_id, CAST(y AS INTEGER) AS label,
+          round(p, 6) AS score,
+          CAST(p >= 0.5 AS INTEGER) AS pred
+        FROM (SELECT doc_id, y,
+            0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+          FROM (SELECT f.*, $zExpr AS z FROM f, r$iters))
+        ORDER BY doc_id"""
+  }
+}

@@ -846,4 +846,81 @@ object TextAnalysis {
          CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY tb.bucket)
            AS BIGINT) AS cum_types
        FROM tb LEFT JOIN nb USING (bucket) ORDER BY tb.bucket"""
+
+  /** Top-k bigram collocations by pointwise mutual information — the
+    * standard corpus-linguistics statistic for "these two words belong
+    * together" (multi-word expressions, named entities), and the phrase
+    * detector behind word2vec-style phrase merging.
+    *
+    * PMI(a,b) = log( P(a,b) / (P(a)·P(b)) ). log is monotone, so ranking
+    * by the LIFT ratio c_ab·N / (c_a·c_b) ranks by PMI while keeping the
+    * score a single IEEE division of two exact BIGINT products — no libm
+    * call whose last-ulp behavior could differ between engines. The
+    * reported `lift` is that ratio (PMI = log2(lift) if a reader wants
+    * the log form).
+    *
+    * Scale shape: bigram counting is one shuffle at bigram grain; the
+    * `minCount` support filter (applied BEFORE the unigram joins) bounds
+    * the surviving pairs Zipf-style; unigram counts are vocab-grain; the
+    * 1-row token total is broadcast. Nothing is quadratic in the corpus.
+    * Only `^[a-z]+$` tokens participate (ASCII, so the DuckDB replay is
+    * exact), but adjacency is measured on the RAW token stream — a pair
+    * separated by a filtered token is not a collocation. */
+  def pmiCollocations(documents: DataFrame, k: Int = 25,
+      minCount: Long = 5): DataFrame = {
+    val alpha = "^[a-z]+$"
+    val toks = documents.select(tokens(lower(col("text"))).as("w"))
+    val words = toks.select(explode(col("w")).as("word"))
+      .filter(col("word").rlike(alpha))
+    val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val total = words.agg(count(lit(1)).as("n_total"))
+    val pairs = toks
+      .select(explode(
+        when(size(col("w")) < 2,
+          array().cast("array<struct<a:string,b:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("w")) - 2),
+            i => struct(
+              element_at(col("w"), i + 1).as("a"),
+              element_at(col("w"), i + 2).as("b"))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a").rlike(alpha) && col("b").rlike(alpha))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs
+      .join(uni.withColumnRenamed("word", "a")
+        .withColumnRenamed("c", "c_a"), Seq("a"))
+      .join(uni.withColumnRenamed("word", "b")
+        .withColumnRenamed("c", "c_b"), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        round((col("c_ab") * col("n_total")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[pmiCollocations]] — same raw-stream adjacency,
+    * same alpha filter, same exact-BIGINT lift arithmetic. */
+  def pmiCollocationsOracleSql(k: Int = 25, minCount: Long = 5): String =
+    s"""WITH tok AS (
+          SELECT string_split(lower(text), ' ') AS w FROM documents),
+        wrd AS (SELECT unnest(w) AS word FROM tok),
+        uni AS (SELECT word, count(*) AS c FROM wrd
+                WHERE regexp_matches(word, '^[a-z]+${"$"}') GROUP BY word),
+        tot AS (SELECT count(*) AS n_total FROM wrd
+                WHERE regexp_matches(word, '^[a-z]+${"$"}')),
+        pr AS (SELECT unnest(list_transform(
+                 range(greatest(len(w) - 1, 0)),
+                 i -> struct_pack(a := w[i+1], b := w[i+2]))) AS p
+               FROM tok),
+        bi AS (SELECT p.a AS a, p.b AS b, count(*) AS c_ab FROM pr
+               WHERE regexp_matches(p.a, '^[a-z]+${"$"}')
+                 AND regexp_matches(p.b, '^[a-z]+${"$"}')
+               GROUP BY 1, 2 HAVING count(*) >= $minCount)
+        SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+          round(CAST(c_ab * n_total AS DOUBLE) /
+                CAST(ua.c * ub.c AS DOUBLE), 6) AS lift
+        FROM bi JOIN uni ua ON bi.a = ua.word
+                JOIN uni ub ON bi.b = ub.word, tot
+        ORDER BY lift DESC, a, b LIMIT $k"""
 }

@@ -815,4 +815,57 @@ object Similarity {
         round(col("cos"), 3).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Sign of the (i,j) entry of a deterministic ±1 Johnson–Lindenstrauss
+    * projection matrix, derived by pure integer arithmetic so the DuckDB
+    * oracle replays it exactly (no engine hash function involved). The
+    * inner mod-65536 keeps the Knuth-multiplicative product inside
+    * int64; bit 16 of the mixed 32-bit product is the sign bit. */
+  private def jlSign(i: Column, j: Column): Column = {
+    val m = (i * lit(73856093L) + j * lit(19349663L) + lit(83492791L)) %
+      lit(65536L)
+    val h = (m * lit(2654435761L)) % lit(4294967296L)
+    when(shiftright(h, 16) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** Johnson–Lindenstrauss signed random projection 64 → `outDim` dims
+    * (Achlioptas 2003: ±1 entries preserve pairwise distances in
+    * expectation just as well as Gaussian ones, and need no float
+    * matrix). The compressed vectors are what a 100 TB pipeline ships to
+    * the ANN index when 64 dims of float is still too wide — and unlike
+    * PCA, the matrix needs no training pass, so the operator is a single
+    * embarrassingly-parallel corpus scan: every output dim is a
+    * sequential per-row fold (codegen'd HOFs, deterministic order), no
+    * shuffle at all.
+    *
+    * Normalization is left to the consumer (cosine is scale-invariant);
+    * values are the raw signed sums, rounded for the oracle compare. */
+  def randomProjection(embeddings: DataFrame, outDim: Int = 16): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val idx = sequence(lit(0L), size(col("embedding")).cast("long") - 1)
+    val projCols = (0 until outDim).map { j =>
+      round(aggregate(zip_with(v, idx, (x, i) => x * jlSign(i, lit(j.toLong))),
+        lit(0.0), (acc, x) => acc + x), 6).as(s"p$j")
+    }
+    embeddings.select(col("vec_id") +: projCols: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[randomProjection]] — identical integer sign
+    * arithmetic ((i,j) zero-based, so the 1-based list index shifts by
+    * one) and the same sequential left fold (`list_sum` of the
+    * transformed list matches Spark's `aggregate` element order). */
+  def randomProjectionOracleSql(outDim: Int = 16): String = {
+    val cols = (0 until outDim).map { j =>
+      val sign = s"""CASE WHEN ((((((i - 1) * 73856093 + $j * 19349663
+             + 83492791) % 65536) * 2654435761) % 4294967296)
+             // 65536) % 2 = 0 THEN 1.0 ELSE -1.0 END"""
+      s"""round(list_sum(list_transform(range(1, 65),
+           i -> e[i] * $sign)), 6) AS p$j"""
+    }.mkString(",\n          ")
+    s"""SELECT vec_id,
+          $cols
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings) ORDER BY vec_id"""
+  }
 }

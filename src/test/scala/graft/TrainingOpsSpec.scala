@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-7 training-pipeline additions: PMI
+  * collocations (text/TextAnalysis.pmiCollocations), JL signed random
+  * projection (vector/Similarity.randomProjection), and the in-engine
+  * delta-rule classifier (text/QualityModel). */
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def docs = Tables.load(spark, sf, "documents")
+  private def emb = Tables.load(spark, sf, "embeddings")
+
+  // ------------------------------------------------------------------ PMI
+
+  test("pmi lift equals c_ab*N/(c_a*c_b) recomputed from scratch") {
+    val out = text.TextAnalysis.pmiCollocations(docs).collect()
+    assert(out.nonEmpty)
+    // independent recount of one returned pair
+    val row = out.head
+    val aV = row.getAs[String]("a")
+    val bV = row.getAs[String]("b")
+    val w = docs.select(split(lower(col("text")), " ").as("w"))
+    val words = w.select(explode(col("w")).as("t"))
+      .filter(col("t").rlike("^[a-z]+$"))
+    val n = words.count()
+    val cA = words.filter(col("t") === aV).count()
+    val cB = words.filter(col("t") === bV).count()
+    assert(row.getAs[Long]("c_a") == cA)
+    assert(row.getAs[Long]("c_b") == cB)
+    val cAb = row.getAs[Long]("c_ab")
+    val expLift = BigDecimal((cAb * n).toDouble / (cA * cB).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("lift") - expLift) < 1e-9)
+  }
+
+  test("pmi respects min support and k, ranked descending") {
+    val out = text.TextAnalysis.pmiCollocations(docs, k = 10, minCount = 5)
+      .collect()
+    assert(out.length <= 10)
+    assert(out.forall(_.getAs[Long]("c_ab") >= 5))
+    val lifts = out.map(_.getAs[Double]("lift")).toSeq
+    assert(lifts == lifts.sorted.reverse)
+  }
+
+  // ------------------------------------------- JL random projection
+
+  test("random projection preserves squared norms in expectation (JL)") {
+    // E[||Pv||^2] = outDim * ||v||^2 for ±1 sign matrices; the mean
+    // ratio over the corpus concentrates near 1.
+    val proj = vector.Similarity.randomProjection(emb)
+    val pn = proj.select(
+      col("vec_id"),
+      (0 until 16).map(j => col(s"p$j") * col(s"p$j"))
+        .reduce(_ + _).as("pn2"))
+    val on = emb.select(col("vec_id"),
+      aggregate(transform(col("embedding").cast("array<double>"),
+        x => x * x), lit(0.0), (a, x) => a + x).as("on2"))
+    val ratio = pn.join(on, "vec_id")
+      .agg(avg(col("pn2") / (col("on2") * lit(16.0)))).head.getDouble(0)
+    assert(ratio > 0.7 && ratio < 1.3, s"mean JL ratio $ratio")
+  }
+
+  test("random projection is deterministic and mixes signs") {
+    val a = vector.Similarity.randomProjection(emb).collect()
+    val b = vector.Similarity.randomProjection(emb).collect()
+    assert(a.toSeq == b.toSeq)
+    // not all outputs share a sign in any dimension (signs actually mix)
+    (1 to 16).foreach { c =>
+      val vals = a.map(_.getDouble(c))
+      assert(vals.exists(_ > 0) && vals.exists(_ < 0), s"col $c one-sided")
+    }
+  }
+
+  // ------------------------------------------- delta-rule classifier
+
+  test("classifier output is consistent and deterministic") {
+    val out1 = text.QualityModel.trainAndScore(docs).collect()
+    val out2 = text.QualityModel.trainAndScore(docs).collect()
+    assert(out1.toSeq == out2.toSeq) // bit-identical weight trajectory
+    assert(out1.nonEmpty)
+    out1.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s > 0.0 && s < 1.0)
+      assert(r.getAs[Int]("pred") == (if (s >= 0.5) 1 else 0) ||
+        // rounding display vs raw threshold may differ only at 0.5 exactly
+        math.abs(s - 0.5) < 1e-6)
+      assert(Set(0, 1).contains(r.getAs[Int]("label")))
+    }
+  }
+
+  test("first-round gradient equals the analytic value at w = 0") {
+    // at w = 0 every p is exactly 0.5, so grad_j = mean((0.5-y)*x_j);
+    // one training round with lr = 1 must land on w_j = -grad_j.
+    val scored = text.QualityModel.trainAndScore(docs, iters = 1, lr = 1.0)
+    // recompute the expected bias weight: w0 = -(mean(0.5 - y))
+    val yMean = docs.select(
+      avg(when(col("lang") === "en", 1.0).otherwise(0.0))).head.getDouble(0)
+    val w0 = -(0.5 - yMean)
+    // a doc's score must be strictly on the side the bias implies for
+    // near-average docs; cheap sanity that the round actually moved w
+    val s = scored.select(avg(col("score"))).head.getDouble(0)
+    assert(math.abs(s - 0.5) > 1e-4, s"scores did not move off 0.5: $s")
+    assert((s > 0.5) == (w0 > 0), "bias direction mismatch")
+  }
+}
