@@ -90,7 +90,18 @@ object Plans {
     "q_pca_project" -> ("corpus statistics via ONE GramMoments buffer " +
       "per partition (no self-join, no N·d shuffle), then one " +
       "projection pass: 64 components broadcast, decimal-quantized " +
-      "product sums partial-agg'd back to vec grain"))
+      "product sums partial-agg'd back to vec grain"),
+    "q_rand_proj" -> ("training-free JL compression: all 16 output dims " +
+      "are per-row sequential folds inside one project span — a single " +
+      "scan, ZERO exchanges in the data path (sort is the oracle order)"),
+    "q_pmi" -> ("collocation mining at bigram grain: pair counting is " +
+      "one hash-agg shuffle, min-support filters BEFORE the vocab-grain " +
+      "unigram joins, 1-row token total broadcast — nothing corpus-" +
+      "quadratic"),
+    "q_lr_quality" -> ("classifier scoring pass with learned literal " +
+      "weights: one scan, features + rational sigmoid fused into the " +
+      "project span (training rounds are separate fixed-width " +
+      "aggregate jobs of the same shape)"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
