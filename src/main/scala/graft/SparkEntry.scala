@@ -54,6 +54,8 @@ object SparkEntry {
     "q_interarrival" -> t("events")(E.interArrival),
     "q_running_sum" -> t("events")(E.runningSum),
     "q_sessionize" -> t("events")(E.sessionize(_)),
+    "q_session_window" -> t("events")(E.sessionWindows(_)),
+    "q_neg_sample" -> t("documents")(operators.Pipeline.negativeSamples(_)),
     "q_asof_purchase" -> t("events")(E.asofLastPurchase),
     "q_asof_custom" -> t("events") { ev =>
       import org.apache.spark.sql.functions.col
@@ -1017,6 +1019,33 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
             min(ts) AS session_start, max(ts) AS session_end
          FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // native session_window boundary: a gap of EXACTLY 30 min starts a
+    // new session (window overlap is strict), hence >= where
+    // q_sessionize's manual form uses >
+    "q_session_window" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               THEN 1 ELSE 0 END AS new_session
+           FROM x),
+         z AS (
+           SELECT user_id, ts,
+             CAST(sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM y)
+         SELECT user_id, min(ts) AS session_start,
+            max(ts) + INTERVAL 30 MINUTE AS session_end,
+            max(ts) AS last_ts, count(*) AS n_events
+         FROM z GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
+    "q_neg_sample" -> operators.Pipeline.negativeSamplesOracleSql(),
     "q_asof_purchase" ->
       """SELECT e.event_id, e.ts, e.user_id,
             (SELECT max(p.ts) FROM events p

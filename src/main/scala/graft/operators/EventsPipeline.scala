@@ -295,6 +295,27 @@ object EventsPipeline {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Native `session_window` aggregation — the engine operator that
+    * [[sessionize]]'s manual gaps-and-islands formulation reimplements.
+    * Semantics differ at the exact boundary: session_window merges
+    * events whose [ts, ts+gap) windows OVERLAP, so a gap of exactly
+    * `gapMinutes` starts a NEW session (the manual form's `> gap` test
+    * keeps it). The oracle replays the native `>=` boundary. In
+    * Structured Streaming the identical expression is state-store
+    * backed; in batch it plans as a plain hash aggregate over the
+    * merged windows — one shuffle by (user, session), no window
+    * function, which is why it's the preferred form at scale. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("last_ts"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** As-of enrichment (SURVEY.md §2.3 as-of row): for every event, the
     * timestamp of the same user's most recent 'purchase' at or before it.
     * Expressed as a running `last(..., ignoreNulls)` over the user's

@@ -322,6 +322,62 @@ object Pipeline {
         .as("sample_ids"))
       .orderBy(col("lang"))
 
+  /** Deterministic hash-based negative sampling — the contrastive-
+    * training primitive (word2vec/SimCLR/InfoNCE all need "k random
+    * non-matches per anchor"): for each document, k pseudo-random
+    * partner ids from a multiplicative hash of (doc_id, j), remapped
+    * off self-collisions, then joined back for the partners' metadata.
+    *
+    * Determinism over randomness on purpose: reproducible epochs,
+    * resumable jobs, and an exactly-replayable DuckDB oracle. The
+    * `% 1000003` pre-fold bounds the product under int64 (ANSI mode
+    * would error on wrap, not corrupt). Scale shape: 1-row corpus count
+    * broadcast, bounded k-fold explode, one shuffle join on the sampled
+    * id — no cross join anywhere. Assumes the contiguous [0, n) doc_id
+    * index the fixture provides; a sparse-id corpus would first build
+    * that index with `zipWithIndex`-style windowing or keep a dense
+    * surrogate key, which changes the prologue, not the shape. */
+  def negativeSamples(documents: DataFrame, k: Int = 4): DataFrame = {
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val cand = documents.select(col("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_docs"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("j"))
+      .withColumn("raw_neg",
+        (((col("doc_id") % lit(1000003L)) * lit(2654435761L) +
+          col("j") * lit(40503L)) % lit(4294967296L)) % col("n_docs"))
+      .withColumn("neg_id",
+        when(col("raw_neg") === col("doc_id"),
+          (col("raw_neg") + 1) % col("n_docs"))
+          .otherwise(col("raw_neg")))
+    cand
+      .join(documents.select(col("doc_id").as("neg_id"),
+        col("lang").as("neg_lang"), col("source").as("neg_source")),
+        Seq("neg_id"))
+      .select(col("doc_id"), col("j"), col("neg_id"),
+        col("neg_lang"), col("neg_source"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
+  /** DuckDB oracle for [[negativeSamples]] — identical integer
+    * arithmetic end to end. */
+  def negativeSamplesOracleSql(k: Int = 4): String =
+    s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        c AS (SELECT doc_id, n_docs, unnest(range(1, $k + 1)) AS j
+              FROM documents, n),
+        h AS (SELECT doc_id, j, n_docs,
+                (((doc_id % 1000003) * 2654435761 + j * 40503)
+                  % 4294967296) % n_docs AS raw_neg
+              FROM c),
+        s AS (SELECT doc_id, j,
+                CASE WHEN raw_neg = doc_id THEN (raw_neg + 1) % n_docs
+                     ELSE raw_neg END AS neg_id
+              FROM h)
+        SELECT s.doc_id, j, neg_id, d.lang AS neg_lang,
+          d.source AS neg_source
+        FROM s JOIN documents d ON s.neg_id = d.doc_id
+        ORDER BY s.doc_id, j"""
+
   /** Per-vector int8 quantization (min/max affine, the standard embedding
     * compression step): emits the scale parameters and the quantized
     * vector. Pure per-row arithmetic — narrow, codegen'd, no shuffle. The

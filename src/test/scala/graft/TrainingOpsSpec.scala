@@ -92,6 +92,61 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------- negative sampling
+
+  test("negative sampling: k per doc, never self, partition-invariant") {
+    val out = operators.Pipeline.negativeSamples(docs, k = 4)
+    val rows = out.collect()
+    val nDocs = docs.count()
+    assert(rows.length == nDocs * 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("neg_id") != r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("neg_id") >= 0 &&
+        r.getAs[Long]("neg_id") < nDocs)
+    }
+    // same ids regardless of input partitioning
+    val rows2 = operators.Pipeline
+      .negativeSamples(docs.repartition(13), k = 4).collect()
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(0))).toSeq ==
+      rows2.map(r => (r.getLong(1), r.getLong(2), r.getLong(0))).toSeq)
+  }
+
+  // ------------------------------------------- native session windows
+
+  test("session_window matches gaps-and-islands with the >= boundary") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, sf, "events")
+    val native = operators.EventsPipeline.sessionWindows(ev).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3),
+        r.getLong(4)))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val manual = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >= 30 * 60 * 1000000L,
+          1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        (max(col("ts")) + expr("INTERVAL 30 MINUTES")).as("session_end"),
+        max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("last_ts"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.getLong(4)))
+    assert(native.length == manual.length && native.nonEmpty)
+    assert(native.toSeq == manual.toSeq)
+    // every session closes exactly gap after its last event
+    native.foreach { case (_, _, end, last, _) =>
+      assert(end.asInstanceOf[java.sql.Timestamp].getTime -
+        last.asInstanceOf[java.sql.Timestamp].getTime == 30 * 60 * 1000L)
+    }
+  }
+
   test("first-round gradient equals the analytic value at w = 0") {
     // at w = 0 every p is exactly 0.5, so grad_j = mean((0.5-y)*x_j);
     // one training round with lr = 1 must land on w_j = -grad_j.
