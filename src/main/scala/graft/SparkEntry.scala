@@ -396,6 +396,7 @@ object SparkEntry {
       M.framePipeline(s, Tables.load(s, dir, "documents"))),
     // ---- structured streaming (SURVEY.md §2.8) ----
     "q_stream_windowed" -> ((s, dir) => S.runWindowedBatch(s, dir)),
+    "q_stream_sessions" -> ((s, dir) => S.runSessionBatch(s, dir)),
     "q_synth_stream" -> ((s, _) => S.runSyntheticStream(s))
   )
 
@@ -2503,6 +2504,33 @@ object SparkEntry {
           FROM events
           WHERE ts IS NOT NULL AND user_id IS NOT NULL
             AND value IS NOT NULL AND event_type IS NOT NULL
-          GROUP BY 1, 2 ORDER BY 1, 2"""
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // streaming session_window parity: same strict-overlap >= boundary
+    // as q_session_window, over the validated stream
+    "q_stream_sessions" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             AND value IS NOT NULL AND event_type IS NOT NULL),
+         y AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               THEN 1 ELSE 0 END AS new_session
+           FROM x),
+         z AS (
+           SELECT user_id, ts,
+             CAST(sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM y)
+         SELECT user_id, min(ts) AS session_start,
+            max(ts) + INTERVAL 30 MINUTE AS session_end,
+            count(*) AS n_events
+         FROM z GROUP BY user_id, session_id
+         ORDER BY user_id, session_start"""
   )
 }

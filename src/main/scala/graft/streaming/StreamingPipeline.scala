@@ -343,6 +343,32 @@ object StreamingPipeline {
     spark.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Drain the file stream through the SESSION-window aggregation
+    * (AvailableNow, complete mode) — streaming/batch parity for
+    * [[sessionCounts]]: the state store merges session fragments across
+    * micro-batches (maxFilesPerTrigger=1 forces several), and the fully
+    * drained result must equal the one-shot batch `session_window` agg,
+    * which the gaps-and-islands oracle replays. */
+  def runSessionBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "stream_sessions_out"
+    val q = withStreamPartitions(spark, 8) {
+      sessionCounts(eventsStream(spark, sfDir, maxFilesPerTrigger = 1))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name).orderBy(col("user_id"), col("session_start"))
+  }
+
   def runWindowedBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "stream_windowed_out"
     val q = withStreamPartitions(spark, 8) {

@@ -499,4 +499,20 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out == Map(1L -> "gold", 2L -> "basic", 3L -> null))
   }
+
+  test("streaming session_window drain equals the batch aggregation") {
+    // state-store session merging across micro-batches must converge to
+    // the one-shot batch session_window result
+    val streamed = streaming.StreamingPipeline
+      .runSessionBatch(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.getLong(3)))
+    val batch = operators.EventsPipeline
+      .sessionWindows(Tables.load(spark, TestSpark.sf, "events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.getLong(3)))
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
