@@ -1024,28 +1024,7 @@ object SparkEntry {
     // new session (window overlap is strict), hence >= where
     // q_sessionize's manual form uses >
     "q_session_window" ->
-      """WITH x AS (
-           SELECT user_id, ts, event_id, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-           FROM events),
-         y AS (
-           SELECT user_id, ts, event_id,
-             CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
-               THEN 1 ELSE 0 END AS new_session
-           FROM x),
-         z AS (
-           SELECT user_id, ts,
-             CAST(sum(new_session) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS session_id
-           FROM y)
-         SELECT user_id, min(ts) AS session_start,
-            max(ts) + INTERVAL 30 MINUTE AS session_end,
-            max(ts) AS last_ts, count(*) AS n_events
-         FROM z GROUP BY user_id, session_id
-         ORDER BY user_id, session_start""",
+      sessionWindowOracleSql(validated = false, withLastTs = true),
     "q_neg_sample" -> operators.Pipeline.negativeSamplesOracleSql(),
     "q_asof_purchase" ->
       """SELECT e.event_id, e.ts, e.user_id,
@@ -2508,13 +2487,26 @@ object SparkEntry {
     // streaming session_window parity: same strict-overlap >= boundary
     // as q_session_window, over the validated stream
     "q_stream_sessions" ->
-      """WITH x AS (
+      sessionWindowOracleSql(validated = true, withLastTs = false)
+  )
+
+  /** One source of truth for the native-session-window oracle (the
+    * strict-overlap `>=` boundary and the 30-min/1800000000 µs gap live
+    * HERE only); q_session_window and q_stream_sessions differ just in
+    * the stream-validation filter and the last_ts column. */
+  private def sessionWindowOracleSql(validated: Boolean,
+      withLastTs: Boolean): String = {
+    val where = if (validated)
+      """
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             AND value IS NOT NULL AND event_type IS NOT NULL"""
+    else ""
+    val lastTs = if (withLastTs) "max(ts) AS last_ts," else ""
+    s"""WITH x AS (
            SELECT user_id, ts, event_id, epoch_us(ts) AS us,
              lag(epoch_us(ts)) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-           FROM events
-           WHERE ts IS NOT NULL AND user_id IS NOT NULL
-             AND value IS NOT NULL AND event_type IS NOT NULL),
+           FROM events$where),
          y AS (
            SELECT user_id, ts, event_id,
              CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
@@ -2529,8 +2521,8 @@ object SparkEntry {
            FROM y)
          SELECT user_id, min(ts) AS session_start,
             max(ts) + INTERVAL 30 MINUTE AS session_end,
-            count(*) AS n_events
+            $lastTs count(*) AS n_events
          FROM z GROUP BY user_id, session_id
          ORDER BY user_id, session_start"""
-  )
+  }
 }

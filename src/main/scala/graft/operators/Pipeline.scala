@@ -338,6 +338,9 @@ object Pipeline {
     * that index with `zipWithIndex`-style windowing or keep a dense
     * surrogate key, which changes the prologue, not the shape. */
   def negativeSamples(documents: DataFrame, k: Int = 4): DataFrame = {
+    // sequence(1, 0) would auto-generate DESCENDING [1, 0] — a k < 1
+    // call must fail loudly, not emit j = 0 samples the oracle lacks
+    require(k >= 1, s"k must be >= 1, got $k")
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val cand = documents.select(col("doc_id"))
       .crossJoin(broadcast(n))

@@ -72,20 +72,11 @@ object QualityModel {
   private def gradSum(c: Column): Column =
     sum(c.cast("decimal(28,12)")).cast("double")
 
-  /** Train `iters` full-batch gradient-descent rounds from w = 0, then
-    * score every document with the learned weights. Output: per-doc
-    * label, score (rounded for the compare) and thresholded prediction.
-    *
-    * Honest-metric note (cf. q_pq_recall): the fixture text is
-    * language-uniform word salad, so `lang` is barely recoverable from
-    * surface stats (stopword ratio separates by ~0.004) — the learned
-    * model converges to the class base rate plus a weak x3 signal.
-    * That IS the correct answer on this data; the operator's value is
-    * the broadcast-model/aggregate-gradient shape and its exact
-    * cross-engine replay, which an informative feature set would reuse
-    * unchanged. */
-  def trainAndScore(documents: DataFrame, iters: Int = 8,
-      lr: Double = 1.0): DataFrame = {
+  /** The training loop itself — the learned weight vector after `iters`
+    * full-batch rounds from w = 0 (exposed for tests to pin the
+    * trajectory against analytic values). */
+  private[graft] def train(documents: DataFrame, iters: Int,
+      lr: Double): Array[Double] = {
     val f = features(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ws = Array(0.0, 0.0, 0.0, 0.0, 0.0)
@@ -103,6 +94,24 @@ object QualityModel {
         ws = Array.tabulate(5)(j => ws(j) - lr * (row.getDouble(j) / n))
       }
     } finally f.unpersist()
+    ws
+  }
+
+  /** Train `iters` full-batch gradient-descent rounds from w = 0, then
+    * score every document with the learned weights. Output: per-doc
+    * label, score (rounded for the compare) and thresholded prediction.
+    *
+    * Honest-metric note (cf. q_pq_recall): the fixture text is
+    * language-uniform word salad, so `lang` is barely recoverable from
+    * surface stats (stopword ratio separates by ~0.004) — the learned
+    * model converges to the class base rate plus a weak x3 signal.
+    * That IS the correct answer on this data; the operator's value is
+    * the broadcast-model/aggregate-gradient shape and its exact
+    * cross-engine replay, which an informative feature set would reuse
+    * unchanged. */
+  def trainAndScore(documents: DataFrame, iters: Int = 8,
+      lr: Double = 1.0): DataFrame = {
+    val ws = train(documents, iters, lr)
     val p = fastSigmoid(z(ws))
     features(documents).select(
       col("doc_id"),
@@ -153,10 +162,11 @@ object QualityModel {
              w2 - $lr * (g2 / n) AS w2, w3 - $lr * (g3 / n) AS w3,
              w4 - $lr * (g4 / n) AS w4
            FROM d$k, r${k - 1})"""
-    }.mkString(",\n        ")
-    s"""WITH $f,
-        $r0,
-        $rounds
+    }
+    // assemble as a LIST so iters = 0 yields well-formed SQL (same
+    // degenerate-round-list fix as the power-iteration oracle)
+    val ctes = (Seq(f, r0) ++ rounds).mkString(",\n        ")
+    s"""WITH $ctes
         SELECT doc_id, CAST(y AS INTEGER) AS label,
           round(p, 6) AS score,
           CAST(p >= 0.5 AS INTEGER) AS pred

@@ -844,8 +844,13 @@ object Similarity {
     val v = asDouble(col("embedding"))
     val idx = sequence(lit(0L), size(col("embedding")).cast("long") - 1)
     val projCols = (0 until outDim).map { j =>
-      round(aggregate(zip_with(v, idx, (x, i) => x * jlSign(i, lit(j.toLong))),
-        lit(0.0), (acc, x) => acc + x), 6).as(s"p$j")
+      // empty-array guard: sequence(0, -1) would descend to [0, -1] and
+      // zip_with null-pad — an empty vector projects to 0.0 (mirrored
+      // in the oracle's CASE len(e) = 0)
+      when(size(col("embedding")) === 0, lit(0.0))
+        .otherwise(round(
+          aggregate(zip_with(v, idx, (x, i) => x * jlSign(i, lit(j.toLong))),
+            lit(0.0), (acc, x) => acc + x), 6)).as(s"p$j")
     }
     embeddings.select(col("vec_id") +: projCols: _*)
       .orderBy(col("vec_id"))
@@ -860,8 +865,9 @@ object Similarity {
       val sign = s"""CASE WHEN ((((((i - 1) * 73856093 + $j * 19349663
              + 83492791) % 65536) * 2654435761) % 4294967296)
              // 65536) % 2 = 0 THEN 1.0 ELSE -1.0 END"""
-      s"""round(list_sum(list_transform(range(1, 65),
-           i -> e[i] * $sign)), 6) AS p$j"""
+      s"""CASE WHEN len(e) = 0 THEN 0.0
+           ELSE round(list_sum(list_transform(range(1, 65),
+             i -> e[i] * $sign)), 6) END AS p$j"""
     }.mkString(",\n          ")
     s"""SELECT vec_id,
           $cols

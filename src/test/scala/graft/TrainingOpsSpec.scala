@@ -147,18 +147,31 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("first-round gradient equals the analytic value at w = 0") {
-    // at w = 0 every p is exactly 0.5, so grad_j = mean((0.5-y)*x_j);
-    // one training round with lr = 1 must land on w_j = -grad_j.
-    val scored = text.QualityModel.trainAndScore(docs, iters = 1, lr = 1.0)
-    // recompute the expected bias weight: w0 = -(mean(0.5 - y))
-    val yMean = docs.select(
-      avg(when(col("lang") === "en", 1.0).otherwise(0.0))).head.getDouble(0)
-    val w0 = -(0.5 - yMean)
-    // a doc's score must be strictly on the side the bias implies for
-    // near-average docs; cheap sanity that the round actually moved w
-    val s = scored.select(avg(col("score"))).head.getDouble(0)
-    assert(math.abs(s - 0.5) > 1e-4, s"scores did not move off 0.5: $s")
-    assert((s > 0.5) == (w0 > 0), "bias direction mismatch")
+  test("first-round weights equal the analytic w=0 gradient exactly") {
+    // at w = 0 every p is exactly 0.5, so grad_j = mean((0.5-y)*x_j)
+    // and one round with lr = 1 lands on w_j = -grad_j. Recompute every
+    // feature independently here and pin all five weights bit-exactly.
+    val learned = text.QualityModel.train(docs, iters = 1, lr = 1.0)
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val w = split(lower(col("text")), " ")
+    val err = lit(0.5) -
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+    val xs = Seq(
+      lit(1.0),
+      size(w).cast("double") / lit(100.0),
+      col("n_chars").cast("double") / size(w).cast("double") / lit(10.0),
+      size(filter(w, t => t.isin(stop: _*))).cast("double") /
+        size(w).cast("double"),
+      size(filter(w, t => t.rlike("^[a-z]+$"))).cast("double") /
+        size(w).cast("double"))
+    val aggs = xs.zipWithIndex.map { case (x, j) =>
+      sum((err * x).cast("decimal(28,12)")).cast("double").as(s"g$j")
+    } :+ count(lit(1)).cast("double").as("n")
+    val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getDouble(5)
+    val expected = Array.tabulate(5)(j => 0.0 - 1.0 * (row.getDouble(j) / n))
+    assert(learned.toSeq == expected.toSeq,
+      s"learned ${learned.toSeq} != analytic ${expected.toSeq}")
+    assert(learned.exists(_ != 0.0), "round did not move any weight")
   }
 }
