@@ -197,6 +197,7 @@ object SparkEntry {
     "q_salted_agg" -> t("events")(operators.Skew.saltedValueSums(_)),
     "q_salted_join" ->
       t2("lineitem", "orders")(operators.Skew.saltedRevenueByPriority),
+    "q_join_card" -> t2("lineitem", "orders")(R.joinCardinality),
     "q_top_ngrams" -> t("documents")(T.topNgrams(_)),
     "q_length_histogram" -> t("documents")(T.lengthHistogram(_)),
     "q_dedup_decisions" -> t("documents")(operators.Pipeline.dedupDecisions(_)),
@@ -1341,6 +1342,21 @@ object SparkEntry {
       s"""SELECT o_orderpriority, $revenueExpr AS revenue, count(*) AS n_lines
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_card" ->
+      """WITH l AS (SELECT l_orderkey AS k, count(*) AS cl
+                    FROM lineitem GROUP BY 1),
+         o AS (SELECT o_orderkey AS k, count(*) AS co
+               FROM orders GROUP BY 1),
+         m AS (SELECT count(*) AS n_matching_keys,
+                 CAST(sum(cl * co) AS BIGINT) AS join_rows
+               FROM l JOIN o USING (k)),
+         ls AS (SELECT count(*) AS n_left,
+                  count(DISTINCT l_orderkey) AS n_left_keys FROM lineitem),
+         rs AS (SELECT count(*) AS n_right,
+                  count(DISTINCT o_orderkey) AS n_right_keys FROM orders)
+         SELECT n_left, n_right, n_left_keys, n_right_keys,
+           n_matching_keys, join_rows
+         FROM ls, rs, m""",
     "q_top_ngrams" ->
       """WITH tok AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

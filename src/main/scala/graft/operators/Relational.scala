@@ -1028,4 +1028,30 @@ object Relational {
         decSum(col("c_acctbal"), 2).as("totacctbal"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** EXACT join-cardinality profile WITHOUT materializing the join —
+    * the statistic a cost-based optimizer (or a capacity planner sizing
+    * a 100 TB shuffle) needs before committing to the join: |A ⋈ B| =
+    * Σ_k c_A(k)·c_B(k), computed by aggregating each side to KEY grain
+    * (map-side combinable, output bounded by distinct keys) and joining
+    * the two count relations. The wide join never runs; at 100 TB this
+    * is the difference between a key-grain metadata pass and a
+    * multi-TB shuffle. Also reports per-side row/key counts and the
+    * matching-key overlap (the containment the estimate depends on). */
+  def joinCardinality(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val l = lineitem.groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("cl"))
+    val o = orders.groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("co"))
+    val matched = l.join(o, Seq("k"))
+      .agg(count(lit(1)).as("n_matching_keys"),
+        sum(col("cl") * col("co")).as("join_rows"))
+    val lSide = lineitem.agg(count(lit(1)).as("n_left"),
+      countDistinct(col("l_orderkey")).as("n_left_keys"))
+    val rSide = orders.agg(count(lit(1)).as("n_right"),
+      countDistinct(col("o_orderkey")).as("n_right_keys"))
+    lSide.crossJoin(broadcast(rSide)).crossJoin(broadcast(matched))
+      .select(col("n_left"), col("n_right"), col("n_left_keys"),
+        col("n_right_keys"), col("n_matching_keys"), col("join_rows"))
+  }
 }

@@ -977,4 +977,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(600))
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
+
+  test("join cardinality profile equals the materialized join") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    val row = operators.Relational.joinCardinality(li, ord).head()
+    val actual = li.join(ord,
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(row.getAs[Long]("join_rows") == actual)
+    assert(row.getAs[Long]("n_left") == li.count())
+    assert(row.getAs[Long]("n_right") == ord.count())
+    assert(row.getAs[Long]("n_matching_keys") <=
+      math.min(row.getAs[Long]("n_left_keys"),
+        row.getAs[Long]("n_right_keys")))
+  }
 }
