@@ -259,6 +259,7 @@ object SparkEntry {
     "q_pca_project" -> t("embeddings")(vector.Similarity.pcaProject(_)),
     "q_pca_top2" -> t("embeddings")(vector.Similarity.pcaTop2(_)),
     "q_rand_proj" -> t("embeddings")(vector.Similarity.randomProjection(_)),
+    "q_mean_pairwise" -> t("embeddings")(vector.Similarity.meanPairwiseDot),
     "q_pmi" -> t("documents")(T.pmiCollocations(_)),
     "q_lr_quality" -> t("documents")(text.QualityModel.trainAndScore(_)),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
@@ -1904,6 +1905,7 @@ object SparkEntry {
     "q_pca_project" -> vector.Similarity.pcaProjectOracleSql(),
     "q_pca_top2" -> vector.Similarity.pcaTop2OracleSql(),
     "q_rand_proj" -> vector.Similarity.randomProjectionOracleSql(),
+    "q_mean_pairwise" -> vector.Similarity.meanPairwiseDotOracleSql,
     "q_pmi" -> T.pmiCollocationsOracleSql(),
     "q_lr_quality" -> text.QualityModel.trainAndScoreOracleSql(),
     "q_quantize" ->

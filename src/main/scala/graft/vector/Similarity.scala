@@ -816,6 +816,61 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** EXACT mean pairwise dot product over ALL N·(N−1) ordered pairs —
+    * the corpus-homogeneity statistic behind diversity scoring and
+    * near-dup-rate forecasting — WITHOUT the quadratic pair join, via
+    * the Gram identity  Σ_{a≠b} vₐ·v_b = ‖Σv‖² − Σ‖v‖².  One linear
+    * pass builds the per-dim component sums (dim-grain shuffle, 64
+    * keys) and the per-row self-dots; the N² pairs never materialize.
+    * At 100 TB this is the difference between a metadata-sized
+    * aggregate and an impossible self-join. All cross-row reductions go
+    * through decimal(28,12) so both engines agree bit-exactly. */
+  def meanPairwiseDot(embeddings: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val dimSums = embeddings
+      .select(posexplode(v).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(decSum(col("x")).as("sx"))
+    val nss = dimSums.agg(
+      sum((col("sx") * col("sx")).cast("decimal(28,12)")).cast("double")
+        .as("norm_sum_sq"))
+    val selfd = embeddings
+      .select(aggregate(transform(v, x => x * x), lit(0.0),
+        (acc, x) => acc + x).as("self"))
+      .agg(sum(col("self").cast("decimal(28,12)")).cast("double")
+        .as("sum_self"), count(lit(1)).as("n"))
+    selfd.crossJoin(broadcast(nss))
+      .select(col("n").as("n_vecs"),
+        round(col("norm_sum_sq"), 6).as("norm_sum_sq"),
+        round(col("sum_self"), 6).as("sum_self_dot"),
+        round((col("norm_sum_sq") - col("sum_self")) /
+          (col("n") * (col("n") - 1)).cast("double"), 9)
+          .as("mean_pairwise_dot"))
+  }
+
+  /** DuckDB oracle for [[meanPairwiseDot]] — same decimal reductions,
+    * same single-division mean. */
+  def meanPairwiseDotOracleSql: String =
+    """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        d AS (SELECT u.dim, e[u.dim] AS x
+              FROM v, (SELECT unnest(range(1, 65)) AS dim) u),
+        s AS (SELECT dim, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                AS sx FROM d GROUP BY dim),
+        nss AS (SELECT CAST(sum(CAST(sx * sx AS DECIMAL(28,12)))
+                  AS DOUBLE) AS norm_sum_sq FROM s),
+        sd AS (SELECT
+                 CAST(sum(CAST(self AS DECIMAL(28,12))) AS DOUBLE)
+                   AS sum_self,
+                 count(*) AS n
+               FROM (SELECT list_sum(list_transform(e, x -> x * x))
+                       AS self FROM v))
+        SELECT n AS n_vecs,
+          round(norm_sum_sq, 6) AS norm_sum_sq,
+          round(sum_self, 6) AS sum_self_dot,
+          round((norm_sum_sq - sum_self) / CAST(n * (n - 1) AS DOUBLE), 9)
+            AS mean_pairwise_dot
+        FROM sd, nss"""
+
   /** Sign of the (i,j) entry of a deterministic ±1 Johnson–Lindenstrauss
     * projection matrix, derived by pure integer arithmetic so the DuckDB
     * oracle replays it exactly (no engine hash function involved). The

@@ -92,6 +92,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mean pairwise dot via the Gram identity equals the pair join") {
+    // brute-force all ordered pairs on a 60-vector subset and compare
+    // with the linear-pass identity computed over the SAME subset
+    val sub = emb.filter(col("vec_id") < 60)
+    val viaIdentity = vector.Similarity.meanPairwiseDot(sub)
+      .head.getAs[Double]("mean_pairwise_dot")
+    val v = col("embedding").cast("array<double>")
+    val pairs = sub.select(col("vec_id").as("ia"), v.as("va"))
+      .join(sub.select(col("vec_id").as("ib"), v.as("vb")),
+        col("ia") =!= col("ib"))
+    val brute = pairs.select(
+      aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x).as("dot"))
+      .agg(avg(col("dot"))).head.getDouble(0)
+    assert(math.abs(viaIdentity - brute) < 1e-6,
+      s"identity $viaIdentity vs brute $brute")
+  }
+
   // ------------------------------------------- negative sampling
 
   test("negative sampling: k per doc, never self, partition-invariant") {
