@@ -99,6 +99,10 @@ object ScalingProbe {
       time("bpe_token_stats", k) {
         graft.text.TextAnalysis.bpeTokenStats(d).count()
       }
+      // bigram-grain PMI collocation mining
+      time("pmi", k) {
+        graft.text.TextAnalysis.pmiCollocations(d).count()
+      }
       d.unpersist()
     }
 
@@ -112,6 +116,14 @@ object ScalingProbe {
             x => round(x * 1000000d).cast("long")).as("xq"))
           .agg(functions.GramAggregate.gramMoments(col("xq"), 64))
           .head().getSeq[Long](0).length.toLong
+      }
+      // zero-shuffle per-row JL projection folds
+      time("rand_proj", k) {
+        vector.Similarity.randomProjection(e).count()
+      }
+      // Gram-identity mean pairwise dot (pair-join-free)
+      time("mean_pairwise", k) {
+        vector.Similarity.meanPairwiseDot(e).count()
       }
       e.unpersist()
     }
