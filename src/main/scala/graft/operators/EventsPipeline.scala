@@ -979,6 +979,54 @@ object EventsPipeline {
                AS BIGINT) AS DOUBLE)) AS acf
        FROM p GROUP BY lag ORDER BY lag"""
 
+  /** CUSUM change-point scan over the daily event-count series — the
+    * classic drift detector (a level shift shows as a sustained ramp in
+    * the cumulative deviation-from-mean; the extremum locates the
+    * change point). The deviation mean S/C is rational, so the running
+    * statistic is kept as the ALL-INTEGER numerator
+    * C·cum_n(t) − t·S (one double division only at the end): there is
+    * no float accumulation order for the engines to disagree on, and
+    * the final cusum is exactly 0 at the last day by construction — an
+    * invariant the spec pins. Day grain per event_type: windows are
+    * partitioned and tiny regardless of corpus size. */
+  def cusumDaily(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("cum_n", sum(col("n")).over(run))
+      .withColumn("t", count(lit(1)).over(run))
+      .withColumn("s_total", sum(col("n")).over(whole))
+      .withColumn("c_days", count(lit(1)).over(whole))
+      .select(col("event_type"), col("day"), col("n"),
+        round((col("c_days") * col("cum_n") - col("t") * col("s_total"))
+          .cast("double") / col("c_days").cast("double"), 6).as("cusum"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB oracle for [[cusumDaily]] — identical integer numerator. */
+  def cusumDailyOracleSql: String =
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       x AS (
+         SELECT event_type, day, n,
+           sum(n) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+           count(*) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+           sum(n) OVER (PARTITION BY event_type) AS s_total,
+           count(*) OVER (PARTITION BY event_type) AS c_days
+         FROM daily)
+       SELECT event_type, day, n,
+         round(CAST(c_days * cum_n - t * s_total AS DOUBLE)
+           / CAST(c_days AS DOUBLE), 6) AS cusum
+       FROM x ORDER BY event_type, day"""
+
   /** Sliding-window distinct users — the batch form of the streaming
     * sliding aggregation (`functions.window`, epoch-aligned exactly
     * like Structured Streaming's, so a backfill and the live stream

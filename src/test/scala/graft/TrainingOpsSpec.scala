@@ -46,7 +46,51 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(lifts == lifts.sorted.reverse)
   }
 
+  test("pmi lift is invariant under exact corpus duplication") {
+    // doubling every doc doubles c_ab, c_a, c_b and N, so lift
+    // (c_ab*N)/(c_a*c_b) is unchanged — the statistic measures
+    // association, not volume
+    val base = text.TextAnalysis.pmiCollocations(docs, k = 15).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Double]("lift")))
+    val doubled = docs.union(docs.withColumn("doc_id",
+      col("doc_id") + lit(1000000L)))
+    val dup = text.TextAnalysis
+      .pmiCollocations(doubled, k = 15, minCount = 10).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Double]("lift")))
+    assert(base.toSeq == dup.toSeq)
+  }
+
+  test("cusum is exactly zero on the last day of every series") {
+    val out = operators.EventsPipeline
+      .cusumDaily(Tables.load(spark, sf, "events")).collect()
+    assert(out.nonEmpty)
+    val lastPerType = out.groupBy(_.getString(0))
+      .map { case (_, rows) => rows.maxBy(_.getDate(1).getTime) }
+    lastPerType.foreach { r =>
+      assert(r.getAs[Double]("cusum") == 0.0,
+        s"${r.getString(0)} terminal cusum ${r.getAs[Double]("cusum")}")
+    }
+  }
+
   // ------------------------------------------- JL random projection
+
+  test("random projection is linear: proj(2v) = 2*proj(v)") {
+    val scaled = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x * lit(2.0))
+        .cast("array<float>").as("embedding"))
+    val base = vector.Similarity.randomProjection(emb).collect()
+    val twice = vector.Similarity.randomProjection(scaled).collect()
+    assert(base.length == twice.length)
+    base.zip(twice).foreach { case (b, t) =>
+      (1 to 16).foreach { c =>
+        // tolerance: float re-cast of 2v + the two round(,6) steps
+        assert(math.abs(t.getDouble(c) - 2.0 * b.getDouble(c)) < 1e-4,
+          s"vec ${b.getLong(0)} dim $c")
+      }
+    }
+  }
 
   test("random projection preserves squared norms in expectation (JL)") {
     // E[||Pv||^2] = outDim * ||v||^2 for ±1 sign matrices; the mean
