@@ -101,7 +101,13 @@ object Plans {
     "q_lr_quality" -> ("classifier scoring pass with learned literal " +
       "weights: one scan, features + rational sigmoid fused into the " +
       "project span (training rounds are separate fixed-width " +
-      "aggregate jobs of the same shape)"))
+      "aggregate jobs of the same shape)"),
+    "q_join_card" -> ("exact join cardinality WITHOUT the join: two " +
+      "key-grain count aggregations meet in a key-grain join; the wide " +
+      "fact-fact shuffle never appears in the plan"),
+    "q_mean_pairwise" -> ("Gram-identity mean pairwise dot: the N^2 " +
+      "pair join is absent - one dim-grain aggregate (64 keys) + one " +
+      "per-row fold aggregate, combined by broadcast of 1-row relations"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -210,6 +210,7 @@ object SparkEntry {
     "q_contingency" -> t("events")(E.contingencyChi2),
     "q_autocorrelation" -> t("events")(E.dailyAutocorrelation(_)),
     "q_cusum" -> t("events")(E.cusumDaily),
+    "q_rolling_median" -> t("events")(E.rollingMedianDaily(_)),
     "q_ref_integrity" -> ((s, dir) =>
       operators.Extended.refIntegrity(s, dir)),
     "q_triangles" -> t("lineitem")(operators.Graph.triangles(_)),
@@ -2165,6 +2166,7 @@ object SparkEntry {
     "q_contingency" -> E.contingencyChi2OracleSql(),
     "q_autocorrelation" -> E.dailyAutocorrelationOracleSql(),
     "q_cusum" -> E.cusumDailyOracleSql,
+    "q_rolling_median" -> E.rollingMedianDailyOracleSql(),
     "q_ref_integrity" -> operators.Extended.refIntegrityOracleSql(),
     "q_rfm_segments" -> R.rfmSegmentsOracleSql(),
     "q_epoch_shuffle" ->

@@ -1027,6 +1027,54 @@ object EventsPipeline {
            / CAST(c_days AS DOUBLE), 6) AS cusum
        FROM x ORDER BY event_type, day"""
 
+  /** Exact 7-day rolling MEDIAN of the daily count per event type —
+    * the robust trend line (median shrugs off the single-day spikes
+    * that drag a rolling mean). Exact order statistics over a window
+    * are usually expensive; here the frame is BOUNDED (7 values), so
+    * collect_list + array_sort inside the windowed projection is O(w
+    * log w) per row at day grain — cost independent of corpus size,
+    * like every day-grain operator in this module. Early days take the
+    * median of however many days exist (frame clips at the partition
+    * start, same in both engines). Even-width frames average the two
+    * middle values (one IEEE division). */
+  def rollingMedianDaily(events: DataFrame, window: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val s = array_sort(collect_list(col("n")).over(w))
+    val len = size(s)
+    val med = when(len % 2 === 1,
+      element_at(s, ((len + 1) / lit(2)).cast("int")).cast("double"))
+      .otherwise(
+        (element_at(s, (len / lit(2)).cast("int")) +
+          element_at(s, (len / lit(2)).cast("int") + 1)).cast("double") /
+          lit(2.0))
+    daily
+      .select(col("event_type"), col("day"), col("n"),
+        med.as("med7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB oracle for [[rollingMedianDaily]]. */
+  def rollingMedianDailyOracleSql(window: Int = 7): String =
+    s"""WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       x AS (
+         SELECT event_type, day, n,
+           list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW)) AS s
+         FROM daily)
+       SELECT event_type, day, n,
+         CASE WHEN len(s) % 2 = 1
+           THEN CAST(s[(len(s) + 1) // 2] AS DOUBLE)
+           ELSE CAST(s[len(s) // 2] + s[len(s) // 2 + 1] AS DOUBLE) / 2.0
+         END AS med7
+       FROM x ORDER BY event_type, day"""
+
   /** Sliding-window distinct users — the batch form of the streaming
     * sliding aggregation (`functions.window`, epoch-aligned exactly
     * like Structured Streaming's, so a backfill and the live stream

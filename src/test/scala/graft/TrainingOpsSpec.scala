@@ -62,6 +62,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(base.toSeq == dup.toSeq)
   }
 
+  test("rolling median: first day is its own median, median is robust") {
+    val out = operators.EventsPipeline
+      .rollingMedianDaily(Tables.load(spark, sf, "events")).collect()
+    assert(out.nonEmpty)
+    val byType = out.groupBy(_.getString(0))
+    byType.values.foreach { rows =>
+      val ordered = rows.sortBy(_.getDate(1).getTime)
+      // day 1: window holds exactly one value
+      assert(ordered.head.getAs[Double]("med7") ==
+        ordered.head.getAs[Long]("n").toDouble)
+      // median always lies within the window's [min, max]
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val win = ordered.slice(math.max(0, i - 6), i + 1)
+          .map(_.getAs[Long]("n").toDouble)
+        assert(r.getAs[Double]("med7") >= win.min &&
+          r.getAs[Double]("med7") <= win.max)
+      }
+    }
+  }
+
   test("cusum is exactly zero on the last day of every series") {
     val out = operators.EventsPipeline
       .cusumDaily(Tables.load(spark, sf, "events")).collect()
