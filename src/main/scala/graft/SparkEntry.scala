@@ -211,6 +211,7 @@ object SparkEntry {
     "q_autocorrelation" -> t("events")(E.dailyAutocorrelation(_)),
     "q_cusum" -> t("events")(E.cusumDaily),
     "q_rolling_median" -> t("events")(E.rollingMedianDaily(_)),
+    "q_decay_score" -> t("events")(E.decayedPopularity),
     "q_ref_integrity" -> ((s, dir) =>
       operators.Extended.refIntegrity(s, dir)),
     "q_triangles" -> t("lineitem")(operators.Graph.triangles(_)),
@@ -2167,6 +2168,7 @@ object SparkEntry {
     "q_autocorrelation" -> E.dailyAutocorrelationOracleSql(),
     "q_cusum" -> E.cusumDailyOracleSql,
     "q_rolling_median" -> E.rollingMedianDailyOracleSql(),
+    "q_decay_score" -> E.decayedPopularityOracleSql,
     "q_ref_integrity" -> operators.Extended.refIntegrityOracleSql(),
     "q_rfm_segments" -> R.rfmSegmentsOracleSql(),
     "q_epoch_shuffle" ->

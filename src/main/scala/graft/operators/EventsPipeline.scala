@@ -1027,6 +1027,49 @@ object EventsPipeline {
            / CAST(c_days AS DOUBLE), 6) AS cusum
        FROM x ORDER BY event_type, day"""
 
+  /** Recency-weighted (time-decay) popularity per event type — the
+    * scoring rule behind trending lists and decayed counters:
+    * each event contributes 2^(−age_days), a one-day half-life.
+    * Choosing base 2 with INTEGER day ages keeps the whole reduction in
+    * exact integers: each event contributes the BIGINT weight
+    * 2^(60 − age) (shiftleft — no libm pow/exp whose last ulp differs
+    * between engines, and no decimal cast of a binary fraction, whose
+    * 2^-13 rounding TIE the engines break differently — measured), the
+    * weights sum exactly in decimal(38,0), and ONE division by 2^60 at
+    * the end converts to the score. Anchored at max(ts) like every
+    * "now"-relative operator here; ages beyond 60 days are dropped
+    * (below 2^-60 they are invisible at the output rounding anyway). */
+  def decayedPopularity(events: DataFrame): DataFrame = {
+    val anchor = events.agg(to_date(max(col("ts"))).as("anchor_day"))
+    val twoTo60 = lit(1152921504606846976L) // 2^60, exact as double too
+    events
+      .crossJoin(broadcast(anchor))
+      .withColumn("age_days",
+        datediff(col("anchor_day"), to_date(col("ts"))))
+      .filter(col("age_days") <= 60)
+      .withColumn("w",
+        expr("shiftleft(CAST(1 AS BIGINT), 60 - age_days)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("w").cast("decimal(38,0)")).cast("double") /
+          twoTo60.cast("double"), 9).as("decayed_score"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[decayedPopularity]] — same integer weights,
+    * same single terminal division. */
+  def decayedPopularityOracleSql: String =
+    """WITH a AS (SELECT CAST(max(ts) AS DATE) AS anchor_day FROM events),
+       x AS (SELECT event_type,
+               CAST(1 AS BIGINT) << (60 - (anchor_day - CAST(ts AS DATE)))
+                 AS w
+             FROM events, a
+             WHERE (anchor_day - CAST(ts AS DATE)) <= 60)
+       SELECT event_type, count(*) AS n_events,
+         round(CAST(sum(w) AS DOUBLE)
+           / CAST(1152921504606846976 AS DOUBLE), 9) AS decayed_score
+       FROM x GROUP BY event_type ORDER BY event_type"""
+
   /** Exact 7-day rolling MEDIAN of the daily count per event type —
     * the robust trend line (median shrugs off the single-day spikes
     * that drag a rolling mean). Exact order statistics over a window

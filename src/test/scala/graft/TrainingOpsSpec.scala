@@ -82,6 +82,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decayed popularity is positive and bounded by the event count") {
+    val out = operators.EventsPipeline
+      .decayedPopularity(Tables.load(spark, sf, "events")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val s = r.getAs[Double]("decayed_score")
+      assert(s > 0.0 && s <= r.getAs[Long]("n_events").toDouble)
+    }
+  }
+
   test("cusum is exactly zero on the last day of every series") {
     val out = operators.EventsPipeline
       .cusumDaily(Tables.load(spark, sf, "events")).collect()
