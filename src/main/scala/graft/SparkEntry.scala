@@ -363,6 +363,8 @@ object SparkEntry {
     "q_md5_fp" -> t("documents")(T.md5Fingerprints),
     "q_rolling_fp" -> t("documents")(T.rollingFingerprints),
     "q_bm25" -> t("documents")(T.bm25Rank(_)),
+    "q_hybrid" ->
+      t2("documents", "embeddings")(operators.Pipeline.hybridSearch(_, _)),
     "q_char_entropy" -> t("documents")(T.charEntropy(_)),
     "q_bigram_lm" -> t("documents")(T.bigramLogProb(_)),
     // ---- deduplication (north star) ----
@@ -2005,51 +2007,11 @@ object SparkEntry {
     // written as the same arithmetic Scala performs ((1.2 + 1.0), not
     // 2.2) so both engines compute identical doubles.
     "q_bm25" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS t
-           FROM documents),
-         stats AS (
-           SELECT t, count(*) AS cf, count(DISTINCT doc_id) AS df
-           FROM toks GROUP BY t),
-         query AS (
-           SELECT * FROM (
-             SELECT t, df, row_number() OVER (ORDER BY cf DESC, t) AS qrk
-             FROM stats) WHERE qrk <= 3),
-         n AS (
-           SELECT count(*) AS n_docs,
-             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_len
-           FROM documents),
-         dl AS (
-           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-           FROM documents),
-         tf AS (
-           SELECT doc_id, t, df, qrk, count(*) AS tf
-           FROM toks JOIN query USING (t) GROUP BY 1, 2, 3, 4),
-         s AS (
-           SELECT tf.doc_id, qrk,
-             round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) /
-                      (CAST(df AS DOUBLE) + 0.5)), 9)
-               * (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
-               (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-                 CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
-                 CAST(tot_len AS DOUBLE))) AS s
-           FROM tf JOIN dl USING (doc_id), n),
-         perdoc AS (
-           SELECT doc_id,
-             max(CASE WHEN qrk = 1 THEN s END) AS s1,
-             max(CASE WHEN qrk = 2 THEN s END) AS s2,
-             max(CASE WHEN qrk = 3 THEN s END) AS s3
-           FROM s GROUP BY doc_id),
-         sc AS (
-           SELECT doc_id,
-             coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0) AS score
-           FROM perdoc),
-         r AS (
-           SELECT doc_id, score,
-             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-               AS INTEGER) AS rk
-           FROM sc)
+      s"""WITH $bm25Ctes
          SELECT doc_id, score, rk FROM r WHERE rk <= 20 ORDER BY rk""",
+    "q_hybrid" ->
+      s"""WITH $bm25Ctes,
+         ${operators.Pipeline.hybridSearchOracleTail()}""",
     // char entropy: per-char terms rounded to 9 decimals then summed as
     // DECIMAL (order-independent) — same contract as the Spark plan.
     "q_char_entropy" ->
@@ -2513,6 +2475,55 @@ object SparkEntry {
     "q_stream_sessions" ->
       sessionWindowOracleSql(validated = true, withLastTs = false)
   )
+
+  /** BM25 oracle CTE chain (ends in `r(doc_id, score, rk)`) — shared
+    * between q_bm25 and the q_hybrid RRF fusion so the scoring formula
+    * has one definition. */
+  private val bm25Ctes: String =
+    """toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         stats AS (
+           SELECT t, count(*) AS cf, count(DISTINCT doc_id) AS df
+           FROM toks GROUP BY t),
+         query AS (
+           SELECT * FROM (
+             SELECT t, df, row_number() OVER (ORDER BY cf DESC, t) AS qrk
+             FROM stats) WHERE qrk <= 3),
+         n AS (
+           SELECT count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_len
+           FROM documents),
+         dl AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         tf AS (
+           SELECT doc_id, t, df, qrk, count(*) AS tf
+           FROM toks JOIN query USING (t) GROUP BY 1, 2, 3, 4),
+         s AS (
+           SELECT tf.doc_id, qrk,
+             round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) /
+                      (CAST(df AS DOUBLE) + 0.5)), 9)
+               * (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+               (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                 CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+                 CAST(tot_len AS DOUBLE))) AS s
+           FROM tf JOIN dl USING (doc_id), n),
+         perdoc AS (
+           SELECT doc_id,
+             max(CASE WHEN qrk = 1 THEN s END) AS s1,
+             max(CASE WHEN qrk = 2 THEN s END) AS s2,
+             max(CASE WHEN qrk = 3 THEN s END) AS s3
+           FROM s GROUP BY doc_id),
+         sc AS (
+           SELECT doc_id,
+             coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0) AS score
+           FROM perdoc),
+         r AS (
+           SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+               AS INTEGER) AS rk
+           FROM sc)"""
 
   /** One source of truth for the native-session-window oracle (the
     * strict-overlap `>=` boundary and the 30-min/1800000000 µs gap live

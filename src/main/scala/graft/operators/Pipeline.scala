@@ -322,6 +322,76 @@ object Pipeline {
         .as("sample_ids"))
       .orderBy(col("lang"))
 
+  /** HYBRID retrieval with reciprocal-rank fusion — the standard RAG
+    * retrieval shape: a lexical ranker (BM25 over the corpus's top
+    * terms) and a dense ranker (cosine against a query embedding,
+    * vec_id 0) each produce a top-20 list; RRF fuses them with
+    * score = Σ 1/(60 + rank). Rank fusion sidesteps score-scale
+    * calibration entirely AND keeps the oracle exact: ranks are
+    * integers with total-order tie-breaks, so the fused score is two
+    * IEEE divisions and one add per doc. The embedding table shares the
+    * document id space (fixture contract). Scale shape: both rankers
+    * are the existing distributed top-k patterns (no global window);
+    * fusion joins two ≤20-row relations. */
+  def hybridSearch(documents: DataFrame, embeddings: DataFrame,
+      topK: Int = 10): DataFrame = {
+    import graft.vector.Similarity
+    val bm = graft.text.TextAnalysis.bm25Rank(documents)
+      .select(col("doc_id"), col("rk").as("rk_bm25"))
+    val q = embeddings.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qe"))
+    val cosr = embeddings.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(
+          col("embedding").cast("array<double>"), col("qe")), 6).as("cos"))
+    val vtop = cosr.orderBy(col("cos").desc, col("doc_id")).limit(20)
+    val vrk = vtop
+      .join(broadcast(vtop.select(col("doc_id").as("b_id"),
+        col("cos").as("b_cos"))),
+        col("b_cos") > col("cos") ||
+          (col("b_cos") === col("cos") && col("b_id") < col("doc_id")),
+        "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("b_id")) + lit(1)).cast("int").as("rk_vec"))
+    bm.join(vrk, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rk_bm25"), col("rk_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("rk_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rk_vec")), lit(0.0)), 9)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle tail for [[hybridSearch]] — appended to the shared
+    * BM25 CTE chain by SparkEntry. */
+  def hybridSearchOracleTail(topK: Int = 10): String =
+    s"""bm AS (SELECT doc_id, rk AS rk_bm25 FROM r WHERE rk <= 20),
+        qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+        cosr AS (SELECT vec_id AS doc_id,
+            round(list_sum(list_transform(range(1, 65), i -> qe[i] * e[i]))
+              / (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> qe[i] * qe[i])))
+                 * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> e[i] * e[i])))), 6) AS cos
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings), qv),
+        vr AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+              AS INTEGER) AS rk_vec
+          FROM cosr),
+        vtop AS (SELECT * FROM vr WHERE rk_vec <= 20),
+        fused AS (
+          SELECT coalesce(bm.doc_id, vtop.doc_id) AS doc_id,
+            rk_bm25, rk_vec,
+            round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rk_bm25), 0.0) +
+              coalesce(CAST(1.0 AS DOUBLE) / (60 + rk_vec), 0.0), 9)
+              AS rrf
+          FROM bm FULL JOIN vtop ON bm.doc_id = vtop.doc_id)
+        SELECT doc_id, rk_bm25, rk_vec, rrf
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT $topK"""
+
   /** Deterministic hash-based negative sampling — the contrastive-
     * training primitive (word2vec/SimCLR/InfoNCE all need "k random
     * non-matches per anchor"): for each document, k pseudo-random

@@ -184,6 +184,27 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"identity $viaIdentity vs brute $brute")
   }
 
+  test("hybrid RRF fusion: members come from a source list, scores bounded") {
+    val out = operators.Pipeline.hybridSearch(docs, emb).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    out.foreach { r =>
+      val rb = Option(r.getAs[Integer]("rk_bm25"))
+      val rv = Option(r.getAs[Integer]("rk_vec"))
+      assert(rb.isDefined || rv.isDefined)
+      rb.foreach(x => assert(x >= 1 && x <= 20))
+      rv.foreach(x => assert(x >= 1 && x <= 20))
+      val rrf = r.getAs[Double]("rrf")
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-9)
+      // fused score recomputable from the two ranks
+      val expect = rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-8)
+    }
+    // descending fused order
+    val scores = out.map(_.getAs[Double]("rrf")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   // ------------------------------------------- negative sampling
 
   test("negative sampling: k per doc, never self, partition-invariant") {
