@@ -385,6 +385,7 @@ object SparkEntry {
     "q_knn_lsh" -> t("embeddings")(V.lshTopK(_)),
     "q_knn_lsh_mp" -> t("embeddings")(V.lshTopKMultiProbe(_)),
     "q_knn_ivf" -> t("embeddings")(V.ivfTopK(_)),
+    "q_knn_ivf_disk" -> ((s, dir) => V.ivfDiskTopK(s, dir)),
     "q_knn_ivf_mp" -> t("embeddings")(V.ivfTopK(_, nprobe = 2)),
     "q_knn_ivf_refined" -> t("embeddings")(V.ivfRefinedTopK(_)),
     "q_ann_recall" -> t("embeddings")(V.annRecall(_)),
@@ -2453,6 +2454,9 @@ object SparkEntry {
     "q_cosine_neardup" -> cosineNearDupOracleSql(bits = 8, threshold = 0.35),
     "q_semdedup" -> semDedupOracleSql(threshold = 0.40),
     "q_knn_ivf" -> ivfOracleSql(nprobe = 1),
+    // identical math to q_knn_ivf — the persisted build/query split and
+    // the parquet double round-trip are what the compare proves
+    "q_knn_ivf_disk" -> ivfOracleSql(nprobe = 1),
     "q_knn_ivf_mp" -> ivfOracleSql(nprobe = 2),
     "q_knn_ivf_refined" -> ivfRefinedOracleSql,
     "q_knn_pq" -> knnPqOracleSql,

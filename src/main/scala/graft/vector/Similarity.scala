@@ -816,6 +816,91 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---- persisted IVF index (build once, query many — the production
+  //      ANN serving shape; the inline q_knn_ivf rebuilds per query) ----
+
+  // WEAK session keys + one shutdown hook, the same lifecycle pattern
+  // as Sources.dppCache (ADVICE r6).
+  private val ivfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]])
+  private val ivfTmpRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val ivfCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ivfTmpRoots.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: java.io.IOException => () }
+      }))
+
+  /** One-time per (session, sfDir): materialize the IVF index to disk —
+    * `centroids/` (label, exact-mean centroid) and `postings/`
+    * label-PARTITIONED (the inverted-list layout: each cluster's
+    * vectors in their own directory, so a probe reads only the probed
+    * lists' files — at 100 TB this directory pruning IS the index). */
+  def ivfIndexDir(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    val perSession = {
+      var m = ivfCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        val prev = ivfCache.putIfAbsent(spark, m)
+        if (prev != null) m = prev
+      }
+      m
+    }
+    perSession.getOrElseUpdate(sfDir, {
+      ivfCleanupHook
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+      ivfTmpRoots.add(root)
+      val corpus = graft.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v"))
+      exactMeans(corpus.select(col("label"), col("v")), "label")
+        .write.mode("overwrite").parquet(root.toString + "/centroids")
+      corpus.repartition(col("label"))
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(root.toString + "/postings")
+      root.toString
+    })
+  }
+
+  /** Query the PERSISTED index: identical probe math to [[ivfTopK]]
+    * (nprobe = 1), so the same oracle pins it — the build/query split
+    * plus exact parquet double round-trip is what's being proven. */
+  def ivfDiskTopK(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val dir = ivfIndexDir(spark, sfDir)
+    val centroids = spark.read.parquet(dir + "/centroids")
+    val postings = spark.read.parquet(dir + "/postings")
+      .select(col("vec_id"), col("label"), col("v"))
+    val queries = postings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val probe = queries.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("q"), col("centroid")))
+      .withColumn("r", row_number().over(wq))
+      .filter(col("r") <= 1)
+      .select(col("query_id"), col("q"), col("label").as("probe_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    postings
+      .join(broadcast(probe),
+        col("label") === col("probe_label") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 3).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** EXACT mean pairwise dot product over ALL N·(N−1) ordered pairs —
     * the corpus-homogeneity statistic behind diversity scoring and
     * near-dup-rate forecasting — WITHOUT the quadratic pair join, via

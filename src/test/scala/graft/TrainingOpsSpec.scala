@@ -184,6 +184,19 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"identity $viaIdentity vs brute $brute")
   }
 
+  test("persisted IVF index returns exactly the inline IVF results") {
+    val disk = vector.Similarity.ivfDiskTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val inline = vector.Similarity.ivfTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(disk.nonEmpty)
+    assert(disk.toSeq == inline.toSeq) // parquet double round-trip exact
+    // second call reuses the session-cached index directory
+    val d1 = vector.Similarity.ivfIndexDir(spark, sf)
+    val d2 = vector.Similarity.ivfIndexDir(spark, sf)
+    assert(d1 == d2)
+  }
+
   test("hybrid RRF fusion: members come from a source list, scores bounded") {
     val out = operators.Pipeline.hybridSearch(docs, emb).collect()
     assert(out.nonEmpty && out.length <= 10)
