@@ -87,6 +87,10 @@ object Bench {
     // single-query profile shouldn't pay an unrelated layout rewrite.
     if (only.forall(_.contains("q_dpp_date")))
       sources.Sources.partitionedEventsDir(spark, sfDir)
+    // Same treatment for the persisted IVF index: the measured
+    // q_knn_ivf_disk should time the probe, not the one-time build.
+    if (only.forall(_.contains("q_knn_ivf_disk")))
+      vector.Similarity.ivfIndexDir(spark, sfDir)
     val loadBefore = loadavg()
     val calBefore = calibrate()
     // A failed query records a NEGATIVE elapsed time (and lands in the
