@@ -195,6 +195,7 @@ object SparkEntry {
     "q_incr_agg" -> t("events")(E.incrementalAggMerge(_)),
     "q_table_diff" -> t("events")(operators.Pipeline.tableDiffSummary),
     "q_salted_agg" -> t("events")(operators.Skew.saltedValueSums(_)),
+    "q_skew_report" -> t("lineitem")(operators.Skew.skewReport),
     "q_salted_join" ->
       t2("lineitem", "orders")(operators.Skew.saltedRevenueByPriority),
     "q_join_card" -> t2("lineitem", "orders")(R.joinCardinality),
@@ -1349,6 +1350,7 @@ object SparkEntry {
       s"""SELECT o_orderpriority, $revenueExpr AS revenue, count(*) AS n_lines
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_skew_report" -> operators.Skew.skewReportOracleSql,
     "q_join_card" ->
       """WITH l AS (SELECT l_orderkey AS k, count(*) AS cl
                     FROM lineitem GROUP BY 1),

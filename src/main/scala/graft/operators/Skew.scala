@@ -129,4 +129,49 @@ object Skew {
           .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderpriority"))
+
+  /** Skew DIAGNOSIS report for a join/agg key — the numbers you read
+    * BEFORE reaching for the salting/AQE toolkit above: key cardinality,
+    * frequency extremes, the max/avg skew ratio, and the derived salt
+    * factor (ceil of the ratio — the fan-out that levels the hottest
+    * key to the average load). One key-grain aggregation (map-side
+    * combinable) plus a 1-row summary; cost is the same counting pass
+    * any shuffle of this key would do anyway. */
+  def skewReport(lineitem: DataFrame): DataFrame = {
+    val freq = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("f"))
+    freq.agg(
+      sum(col("f")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("f")).as("max_freq"),
+      min(col("f")).as("min_freq"))
+      .select(col("n_rows"), col("n_keys"), col("max_freq"),
+        col("min_freq"),
+        round(col("n_rows").cast("double") /
+          col("n_keys").cast("double"), 6).as("avg_freq"),
+        round(col("max_freq").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")),
+          6).as("skew_ratio"),
+        ceil(col("max_freq").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")))
+          .cast("bigint").as("salt_factor"))
+  }
+
+  /** DuckDB oracle for [[skewReport]]. */
+  def skewReportOracleSql: String =
+    """WITH f AS (SELECT l_orderkey, count(*) AS f
+           FROM lineitem GROUP BY 1),
+       s AS (SELECT CAST(sum(f) AS BIGINT) AS n_rows,
+           count(*) AS n_keys, max(f) AS max_freq, min(f) AS min_freq
+         FROM f)
+       SELECT n_rows, n_keys, max_freq, min_freq,
+         round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+           AS avg_freq,
+         round(CAST(max_freq AS DOUBLE) /
+           (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
+           AS skew_ratio,
+         CAST(ceil(CAST(max_freq AS DOUBLE) /
+           (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)))
+           AS BIGINT) AS salt_factor
+       FROM s"""
 }

@@ -184,6 +184,19 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"identity $viaIdentity vs brute $brute")
   }
 
+  test("skew report is internally consistent") {
+    val r = operators.Skew.skewReport(
+      Tables.load(spark, sf, "lineitem")).head()
+    val (nRows, nKeys) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"))
+    val (mx, mn) = (r.getAs[Long]("max_freq"), r.getAs[Long]("min_freq"))
+    assert(nKeys > 0 && nRows >= nKeys && mn >= 1 && mx >= mn)
+    val avg = nRows.toDouble / nKeys.toDouble
+    assert(math.abs(r.getAs[Double]("avg_freq") - avg) < 1e-6)
+    assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9)
+    assert(r.getAs[Long]("salt_factor") ==
+      math.ceil(mx.toDouble / avg).toLong)
+  }
+
   test("persisted IVF index returns exactly the inline IVF results") {
     val disk = vector.Similarity.ivfDiskTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
