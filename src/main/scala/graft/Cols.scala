@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column helpers shared by every operator module.
@@ -33,4 +33,26 @@ object Cols {
     s"CAST(sum(CAST($x AS DECIMAL(28,$scale))) AS DOUBLE)"
   def sqlDecAvg(x: String, scale: Int = 6): String =
     s"CAST(sum(CAST($x AS DECIMAL(28,$scale))) AS DOUBLE) / CAST(count($x) AS DOUBLE)"
+
+  /** Global top-k WITH dense 1..k ranks, window-free: TakeOrderedAndProject
+    * selects the k survivors (`scoreCol` desc, `tieCol` asc), then each
+    * survivor's rank is derived by counting strictly-better survivors
+    * via a k×k broadcast self-join. Correct because (score, tie) is a
+    * TOTAL order over the input: the top-k set is closed under
+    * "strictly better", so within-subset rank equals global rank. This
+    * is the engine's standard "global ranks without a global window"
+    * idiom (BM25 term/doc ranks, hybrid-retrieval dense ranks). Output:
+    * all of `df`'s columns (for the survivors) plus `rankCol`. */
+  def rankTopK(df: DataFrame, scoreCol: String, tieCol: String, k: Int,
+      rankCol: String): DataFrame = {
+    val top = df.orderBy(col(scoreCol).desc, col(tieCol)).limit(k)
+    top.join(broadcast(top.select(col(tieCol).as("__b_tie"),
+        col(scoreCol).as("__b_s"))),
+        col("__b_s") > col(scoreCol) ||
+          (col("__b_s") === col(scoreCol) &&
+            col("__b_tie") < col(tieCol)),
+        "left")
+      .groupBy(top.columns.map(col).toIndexedSeq: _*)
+      .agg((count(col("__b_tie")) + lit(1)).cast("int").as(rankCol))
+  }
 }

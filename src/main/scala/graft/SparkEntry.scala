@@ -1359,10 +1359,10 @@ object SparkEntry {
          m AS (SELECT count(*) AS n_matching_keys,
                  CAST(sum(cl * co) AS BIGINT) AS join_rows
                FROM l JOIN o USING (k)),
-         ls AS (SELECT count(*) AS n_left,
-                  count(DISTINCT l_orderkey) AS n_left_keys FROM lineitem),
-         rs AS (SELECT count(*) AS n_right,
-                  count(DISTINCT o_orderkey) AS n_right_keys FROM orders)
+         ls AS (SELECT CAST(sum(cl) AS BIGINT) AS n_left,
+                  count(*) AS n_left_keys FROM l),
+         rs AS (SELECT CAST(sum(co) AS BIGINT) AS n_right,
+                  count(*) AS n_right_keys FROM o)
          SELECT n_left, n_right, n_left_keys, n_right_keys,
            n_matching_keys, join_rows
          FROM ls, rs, m""",

@@ -344,15 +344,8 @@ object Pipeline {
       .select(col("vec_id").as("doc_id"),
         round(Similarity.cosine(
           col("embedding").cast("array<double>"), col("qe")), 6).as("cos"))
-    val vtop = cosr.orderBy(col("cos").desc, col("doc_id")).limit(20)
-    val vrk = vtop
-      .join(broadcast(vtop.select(col("doc_id").as("b_id"),
-        col("cos").as("b_cos"))),
-        col("b_cos") > col("cos") ||
-          (col("b_cos") === col("cos") && col("b_id") < col("doc_id")),
-        "left")
-      .groupBy(col("doc_id"))
-      .agg((count(col("b_id")) + lit(1)).cast("int").as("rk_vec"))
+    val vrk = graft.Cols.rankTopK(cosr, "cos", "doc_id", 20, "rk_vec")
+      .select(col("doc_id"), col("rk_vec"))
     bm.join(vrk, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("rk_bm25"), col("rk_vec"),
         round(

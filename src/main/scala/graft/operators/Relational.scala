@@ -1046,10 +1046,12 @@ object Relational {
     val matched = l.join(o, Seq("k"))
       .agg(count(lit(1)).as("n_matching_keys"),
         sum(col("cl") * col("co")).as("join_rows"))
-    val lSide = lineitem.agg(count(lit(1)).as("n_left"),
-      countDistinct(col("l_orderkey")).as("n_left_keys"))
-    val rSide = orders.agg(count(lit(1)).as("n_right"),
-      countDistinct(col("o_orderkey")).as("n_right_keys"))
+    // side totals derive from the key-grain aggregates already built —
+    // no second scan, no global distinct pass (review r7)
+    val lSide = l.agg(sum(col("cl")).as("n_left"),
+      count(lit(1)).as("n_left_keys"))
+    val rSide = o.agg(sum(col("co")).as("n_right"),
+      count(lit(1)).as("n_right_keys"))
     lSide.crossJoin(broadcast(rSide)).crossJoin(broadcast(matched))
       .select(col("n_left"), col("n_right"), col("n_left_keys"),
         col("n_right_keys"), col("n_matching_keys"), col("join_rows"))

@@ -50,50 +50,16 @@ object Sources {
   //      partitions — pruning decided at RUNTIME from the dim's rows,
   //      which no static predicate can express) ----
 
-  // WEAK session keys: a static strong map would pin every session (and
-  // its whole executor state) for the life of the JVM (ADVICE r6). The
-  // values are per-session maps sfDir → layout dir.
-  private val dppCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, String]])
-
-  // Temp layout roots live until JVM exit (sessions can share them via
-  // the cache), then are deleted by one shutdown hook — a long-lived
-  // multi-session process no longer accretes orphan directories.
-  private val dppTmpRoots =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
-  private lazy val dppCleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      dppTmpRoots.forEach { root =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: java.io.IOException => () }
-      }))
-
   /** One-time per (session, sfDir): the events fixture rewritten as a
     * Hive-partitioned-by-event_date layout (the layout a 100 TB events
-    * table would actually use). Cached so the ~1-second write happens
+    * table would actually use). Cached via [[graft.SessionDirs]] (weak
+    * session keys + one shutdown hook) so the ~1-second write happens
     * once per Bench/Verify session, not per query — Bench additionally
     * builds it in its UNTIMED warmup so the first measured q_dpp_date
     * times the DPP join, not the fixture rewrite. */
-  def partitionedEventsDir(spark: SparkSession, sfDir: String): String = {
-    val perSession = {
-      var m = dppCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, String]
-        val prev = dppCache.putIfAbsent(spark, m)
-        if (prev != null) m = prev
-      }
-      m
-    }
-    perSession.getOrElseUpdate(sfDir, {
-      dppCleanupHook
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_events_bydate")
-      dppTmpRoots.add(root)
+  def partitionedEventsDir(spark: SparkSession, sfDir: String): String =
+    graft.SessionDirs.getOrBuild(spark, s"dpp:$sfDir",
+      "graft_events_bydate") { root =>
       val dir = root.toString + "/events"
       val ev = graft.Tables.load(spark, sfDir, "events")
         .withColumn("event_date", to_date(col("ts")))
@@ -104,8 +70,7 @@ object Sources {
         .repartition(col("event_date"))
       writeParquetPartitioned(ev, dir, Seq("event_date"))
       dir
-    })
-  }
+    }
 
   /** DPP evidence query: per-type rollup of events restricted to the
     * dates a runtime-computed dim survives (Mondays here — any

@@ -546,15 +546,8 @@ object TextAnalysis {
     // corpus term stats: total freq (query selection) + doc freq (idf)
     val termStats = toks.groupBy(col("t"))
       .agg(count(lit(1)).as("cf"), count_distinct(col("doc_id")).as("df"))
-    // global top-3 terms, distributed (TakeOrderedAndProject); rank by
-    // counting strictly-(cf,t)-better survivors — 3×3 broadcast join
-    val top3 = termStats.orderBy(col("cf").desc, col("t")).limit(3)
-    val query = top3
-      .join(broadcast(top3.select(col("t").as("bt"), col("cf").as("bcf"))),
-        col("bcf") > col("cf") ||
-          (col("bcf") === col("cf") && col("bt") < col("t")), "left")
-      .groupBy(col("t"), col("cf"), col("df"))
-      .agg((count(col("bt")) + lit(1)).cast("int").as("qrk"))
+    // global top-3 terms with ranks — the shared window-free idiom
+    val query = graft.Cols.rankTopK(termStats, "cf", "t", 3, "qrk")
     val nDocs = documents.agg(count(lit(1)).as("n_docs"),
       sum(size(tokens(col("text"))).cast("long")).as("tot_len"))
     val docLen = documents.select(col("doc_id"),
@@ -581,19 +574,8 @@ object TextAnalysis {
       .withColumn("score",
         coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
           coalesce(col("s3"), lit(0.0)))
-    // global top-`topDocs` docs, same distributed shape as the query
-    // terms: TakeOrderedAndProject + broadcast rank-derivation on the
-    // ≤k survivors ((score, doc_id) is unique per doc, so the
-    // strictly-better count + 1 equals the old row_number exactly)
-    val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(topDocs)
-    top
-      .join(broadcast(top.select(
-          col("doc_id").as("b_id"), col("score").as("b_score"))),
-        col("b_score") > col("score") ||
-          (col("b_score") === col("score") && col("b_id") < col("doc_id")),
-        "left")
-      .groupBy(col("doc_id"), col("score"))
-      .agg((count(col("b_id")) + lit(1)).cast("int").as("rk"))
+    // global top-`topDocs` docs with ranks — same shared idiom
+    graft.Cols.rankTopK(perDoc, "score", "doc_id", topDocs, "rk")
       .select(col("doc_id"), col("score"), col("rk"))
       .orderBy(col("rk"))
   }

@@ -819,44 +819,17 @@ object Similarity {
   // ---- persisted IVF index (build once, query many — the production
   //      ANN serving shape; the inline q_knn_ivf rebuilds per query) ----
 
-  // WEAK session keys + one shutdown hook, the same lifecycle pattern
-  // as Sources.dppCache (ADVICE r6).
-  private val ivfCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, String]])
-  private val ivfTmpRoots =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
-  private lazy val ivfCleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      ivfTmpRoots.forEach { root =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: java.io.IOException => () }
-      }))
-
   /** One-time per (session, sfDir): materialize the IVF index to disk —
     * `centroids/` (label, exact-mean centroid) and `postings/`
     * label-PARTITIONED (the inverted-list layout: each cluster's
     * vectors in their own directory, so a probe reads only the probed
-    * lists' files — at 100 TB this directory pruning IS the index). */
+    * lists' files — at 100 TB this directory pruning IS the index).
+    * Cached via [[graft.SessionDirs]] (weak session keys + one
+    * shutdown hook). */
   def ivfIndexDir(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): String = {
-    val perSession = {
-      var m = ivfCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, String]
-        val prev = ivfCache.putIfAbsent(spark, m)
-        if (prev != null) m = prev
-      }
-      m
-    }
-    perSession.getOrElseUpdate(sfDir, {
-      ivfCleanupHook
-      val root = java.nio.file.Files.createTempDirectory("graft_ivf_index")
-      ivfTmpRoots.add(root)
+      sfDir: String): String =
+    graft.SessionDirs.getOrBuild(spark, s"ivf:$sfDir",
+      "graft_ivf_index") { root =>
       val corpus = graft.Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("label"),
           asDouble(col("embedding")).as("v"))
@@ -866,8 +839,7 @@ object Similarity {
         .write.mode("overwrite").partitionBy("label")
         .parquet(root.toString + "/postings")
       root.toString
-    })
-  }
+    }
 
   /** Query the PERSISTED index: identical probe math to [[ivfTopK]]
     * (nprobe = 1), so the same oracle pins it — the build/query split
