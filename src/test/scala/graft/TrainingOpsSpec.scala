@@ -188,6 +188,28 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"identity $viaIdentity vs brute $brute")
   }
 
+  test("rankTopK equals the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial data: heavy score ties (score = id % 7) force the
+    // tie-break path; unique id is the total-order tie column
+    val df = spark.range(0, 500).select(col("id"),
+      (col("id") % 7).cast("double").as("s"),
+      (col("id") * 31 % 11).as("extra"))
+    val viaIdiom = Cols.rankTopK(df, "s", "id", 25, "rk")
+      .select(col("id"), col("s"), col("extra"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getLong(2), r.getInt(3))).sortBy(_._1)
+    val viaWindow = df
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("s").desc, col("id"))))
+      .filter(col("rk") <= 25)
+      .select(col("id"), col("s"), col("extra"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getLong(2), r.getInt(3))).sortBy(_._1)
+    assert(viaIdiom.length == 25)
+    assert(viaIdiom.toSeq == viaWindow.toSeq)
+  }
+
   test("skew report is internally consistent") {
     val r = operators.Skew.skewReport(
       Tables.load(spark, sf, "lineitem")).head()
