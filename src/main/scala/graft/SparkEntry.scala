@@ -266,6 +266,8 @@ object SparkEntry {
     "q_mean_pairwise" -> t("embeddings")(vector.Similarity.meanPairwiseDot),
     "q_pmi" -> t("documents")(T.pmiCollocations(_)),
     "q_lr_quality" -> t("documents")(text.QualityModel.trainAndScore(_)),
+    "q_lr_learnable" ->
+      t("documents")(text.QualityModel.trainAndScoreLength(_)),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
     "q_temperature_resample" ->
       t("documents")(operators.Pipeline.temperatureResample(_)),
@@ -1916,6 +1918,7 @@ object SparkEntry {
     "q_mean_pairwise" -> vector.Similarity.meanPairwiseDotOracleSql,
     "q_pmi" -> T.pmiCollocationsOracleSql(),
     "q_lr_quality" -> text.QualityModel.trainAndScoreOracleSql(),
+    "q_lr_learnable" -> text.QualityModel.trainAndScoreLengthOracleSql(),
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 100),

@@ -46,12 +46,13 @@ object QualityModel {
   /** The four surface features + bias, identically derivable in DuckDB:
     * x1 token count /100, x2 mean chars-per-token /10, x3 stopword
     * ratio, x4 alphabetic-token ratio. Divisions are single IEEE ops on
-    * exactly-represented integer-valued doubles. */
-  private def features(documents: DataFrame): DataFrame = {
+    * exactly-represented integer-valued doubles. The LABEL is a
+    * parameter so the same trainer serves both tasks (lang, length). */
+  private def features(documents: DataFrame, label: Column): DataFrame = {
     val w = split(lower(col("text")), " ")
     documents.select(
       col("doc_id"),
-      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+      label.as("y"),
       (size(w).cast("double") / lit(100.0)).as("x1"),
       (col("n_chars").cast("double") / size(w).cast("double") /
         lit(10.0)).as("x2"),
@@ -60,6 +61,9 @@ object QualityModel {
       (size(filter(w, t => t.rlike(alpha))).cast("double") /
         size(w).cast("double")).as("x4"))
   }
+
+  private def langLabel: Column =
+    when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
 
   private def z(ws: Array[Double]): Column =
     lit(ws(0)) + lit(ws(1)) * col("x1") + lit(ws(2)) * col("x2") +
@@ -76,8 +80,11 @@ object QualityModel {
     * full-batch rounds from w = 0 (exposed for tests to pin the
     * trajectory against analytic values). */
   private[graft] def train(documents: DataFrame, iters: Int,
+      lr: Double): Array[Double] = trainOn(documents, langLabel, iters, lr)
+
+  private def trainOn(documents: DataFrame, label: Column, iters: Int,
       lr: Double): Array[Double] = {
-    val f = features(documents)
+    val f = features(documents, label)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ws = Array(0.0, 0.0, 0.0, 0.0, 0.0)
     try {
@@ -110,10 +117,13 @@ object QualityModel {
     * cross-engine replay, which an informative feature set would reuse
     * unchanged. */
   def trainAndScore(documents: DataFrame, iters: Int = 8,
-      lr: Double = 1.0): DataFrame = {
-    val ws = train(documents, iters, lr)
+      lr: Double = 1.0): DataFrame =
+    scoreWith(documents, langLabel, trainOn(documents, langLabel, iters, lr))
+
+  private def scoreWith(documents: DataFrame, label: Column,
+      ws: Array[Double]): DataFrame = {
     val p = fastSigmoid(z(ws))
-    features(documents).select(
+    features(documents, label).select(
       col("doc_id"),
       col("y").cast("int").as("label"),
       round(p, 6).as("score"),
@@ -121,19 +131,59 @@ object QualityModel {
       .orderBy(col("doc_id"))
   }
 
+  /** The LEARNABLE companion task: predict "longer than the corpus
+    * mean" (label from an exact broadcast scalar — BIGINT sum / count,
+    * one division). x1/x2 carry the signal almost perfectly, so unlike
+    * the honest-but-flat lang task, this one demonstrates the trainer
+    * actually descending to a separating boundary — same machinery,
+    * same oracle generator, different label SQL. */
+  def trainAndScoreLength(documents: DataFrame, iters: Int = 8,
+      lr: Double = 1.0): DataFrame = {
+    val avg = documents.agg(
+      (sum(col("n_chars")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_chars"))
+    val labeled = documents.crossJoin(broadcast(avg))
+    val label = when(col("n_chars").cast("double") >= col("avg_chars"),
+      lit(1.0)).otherwise(lit(0.0))
+    scoreWith(labeled, label, trainOn(labeled, label, iters, lr))
+  }
+
   /** DuckDB oracle for [[trainAndScore]]: the weight trajectory is
     * re-derived round by round as CTEs (r0 = zeros; d_k = gradient
     * aggregate against r_{k-1}; r_k = update), then the final scoring
     * pass replays with r_iters' scalars. */
-  def trainAndScoreOracleSql(iters: Int = 8, lr: Double = 1.0): String = {
+  def trainAndScoreOracleSql(iters: Int = 8, lr: Double = 1.0): String =
+    oracleSqlWith(
+      """CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END""",
+      preCtes = "", innerFrom = "documents",
+      innerCols = "doc_id, lang, n_chars", iters = iters, lr = lr)
+
+  /** Oracle for [[trainAndScoreLength]] — same generator, length label
+    * against the exact corpus-mean scalar. */
+  def trainAndScoreLengthOracleSql(iters: Int = 8,
+      lr: Double = 1.0): String =
+    oracleSqlWith(
+      """CASE WHEN CAST(n_chars AS DOUBLE) >= avg_chars
+                  THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END""",
+      preCtes = """av AS (SELECT CAST(sum(n_chars) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_chars FROM documents),
+        """,
+      innerFrom = "documents, av",
+      innerCols = "doc_id, lang, n_chars, avg_chars",
+      iters = iters, lr = lr)
+
+  private def oracleSqlWith(labelSql: String, preCtes: String,
+      innerFrom: String, innerCols: String, iters: Int,
+      lr: Double): String = {
     val stopList = stop.map(s => s"'$s'").mkString(", ")
     def dec(x: String) =
       s"CAST(sum(CAST($x AS DECIMAL(28,12))) AS DOUBLE)"
     val f =
-      s"""f AS (
+      s"""${preCtes}f AS (
            SELECT doc_id,
-             CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
-                  ELSE CAST(0.0 AS DOUBLE) END AS y,
+             $labelSql AS y,
              CAST(len(w) AS DOUBLE) / 100.0 AS x1,
              CAST(n_chars AS DOUBLE) / CAST(len(w) AS DOUBLE) / 10.0 AS x2,
              CAST(len(list_filter(w, t -> t IN ($stopList))) AS DOUBLE)
@@ -141,8 +191,9 @@ object QualityModel {
              CAST(len(list_filter(w, t ->
                  regexp_matches(t, '^[a-z]+${"$"}'))) AS DOUBLE)
                / CAST(len(w) AS DOUBLE) AS x4
-           FROM (SELECT doc_id, lang, n_chars,
-                   string_split(lower(text), ' ') AS w FROM documents))"""
+           FROM (SELECT $innerCols,
+                   string_split(lower(text), ' ') AS w
+                 FROM $innerFrom))"""
     val r0 =
       """r0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
            CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,

@@ -312,6 +312,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("the learnable task beats its base rate by a wide margin") {
+    // q_lr_quality's lang task is honestly non-separable; this task
+    // (longer than the corpus mean, carried by x1/x2) is separable, so
+    // the SAME trainer must visibly descend to a useful boundary
+    val out = text.QualityModel.trainAndScoreLength(docs).collect()
+    val n = out.length.toDouble
+    val acc = out.count(r =>
+      r.getAs[Int]("pred") == r.getAs[Int]("label")) / n
+    val base = math.max(
+      out.count(_.getAs[Int]("label") == 1) / n,
+      out.count(_.getAs[Int]("label") == 0) / n)
+    assert(acc > base + 0.15, s"acc $acc vs base rate $base")
+    assert(acc > 0.75, s"acc $acc")
+  }
+
   test("first-round weights equal the analytic w=0 gradient exactly") {
     // at w = 0 every p is exactly 0.5, so grad_j = mean((0.5-y)*x_j)
     // and one round with lr = 1 lands on w_j = -grad_j. Recompute every
