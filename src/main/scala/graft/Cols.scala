@@ -42,7 +42,13 @@ object Cols {
     * "strictly better", so within-subset rank equals global rank. This
     * is the engine's standard "global ranks without a global window"
     * idiom (BM25 term/doc ranks, hybrid-retrieval dense ranks). Output:
-    * all of `df`'s columns (for the survivors) plus `rankCol`. */
+    * all of `df`'s columns (for the survivors) plus `rankCol`.
+    *
+    * PRECONDITION (silently violated otherwise): `tieCol` must be
+    * unique per row, so (score, tie) is a total order — duplicates
+    * would collapse in the groupBy and mis-rank. Every production call
+    * site is pinned by TrainingOpsSpec's "total-order precondition"
+    * test; add a clause there for each new call site. */
   def rankTopK(df: DataFrame, scoreCol: String, tieCol: String, k: Int,
       rankCol: String): DataFrame = {
     val top = df.orderBy(col(scoreCol).desc, col(tieCol)).limit(k)

@@ -1070,10 +1070,17 @@ object EventsPipeline {
            / CAST(1152921504606846976 AS DOUBLE), 9) AS decayed_score
        FROM x GROUP BY event_type ORDER BY event_type"""
 
-  /** Exact 7-day rolling MEDIAN of the daily count per event type —
-    * the robust trend line (median shrugs off the single-day spikes
-    * that drag a rolling mean). Exact order statistics over a window
-    * are usually expensive; here the frame is BOUNDED (7 values), so
+  /** Exact rolling MEDIAN over the last `window` OBSERVED days of the
+    * daily count per event type — the robust trend line (median shrugs
+    * off the single-day spikes that drag a rolling mean). The frame is
+    * ROW-based over days-with-events: for an event type with calendar
+    * gaps the 7-row frame spans more than 7 wall-clock days (a
+    * calendar-exact variant would first gap-fill against a generated
+    * calendar — see calendarDimension — zero-filling missing days; the
+    * observed-days form is the one dashboards over sparse series
+    * usually want, since zero-fill drags the median to 0). Exact order
+    * statistics over a window are usually expensive; here the frame is
+    * BOUNDED (`window` values), so
     * collect_list + array_sort inside the windowed projection is O(w
     * log w) per row at day grain — cost independent of corpus size,
     * like every day-grain operator in this module. Early days take the

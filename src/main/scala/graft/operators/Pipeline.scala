@@ -340,7 +340,12 @@ object Pipeline {
       .select(col("doc_id"), col("rk").as("rk_bm25"))
     val q = embeddings.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>").as("qe"))
-    val cosr = embeddings.crossJoin(broadcast(q))
+    // the query vector shares the doc_id space (vec_id 0 IS doc 0), so
+    // exclude it from the candidate set — otherwise the query
+    // self-matches at cos=1.0 and permanently occupies dense rank 1
+    // (the same exclusion ivfDiskTopK applies)
+    val cosr = embeddings.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(Similarity.cosine(
           col("embedding").cast("array<double>"), col("qe")), 6).as("cos"))
@@ -369,7 +374,7 @@ object Pipeline {
                  * sqrt(list_sum(list_transform(range(1, 65),
                      i -> e[i] * e[i])))), 6) AS cos
           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                FROM embeddings), qv),
+                FROM embeddings WHERE vec_id <> 0), qv),
         vr AS (SELECT doc_id,
             CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
               AS INTEGER) AS rk_vec
@@ -392,9 +397,13 @@ object Pipeline {
     * off self-collisions, then joined back for the partners' metadata.
     *
     * Determinism over randomness on purpose: reproducible epochs,
-    * resumable jobs, and an exactly-replayable DuckDB oracle. The
-    * `% 1000003` pre-fold bounds the product under int64 (ANSI mode
-    * would error on wrap, not corrupt). Scale shape: 1-row corpus count
+    * resumable jobs, and an exactly-replayable DuckDB oracle. The hash
+    * splits doc_id into its low/high 31-bit halves and mixes each with
+    * an independent odd multiplier, pre-reducing every product mod 2^32
+    * so int64 never overflows (ANSI mode would error on wrap, not
+    * corrupt); two doc_ids share a sample sequence only if they agree
+    * in BOTH halves, i.e. the aliasing period is 2^62 — beyond any
+    * corpus. Scale shape: 1-row corpus count
     * broadcast, bounded k-fold explode, one shuffle join on the sampled
     * id — no cross join anywhere. Assumes the contiguous [0, n) doc_id
     * index the fixture provides; a sparse-id corpus would first build
@@ -410,7 +419,10 @@ object Pipeline {
       .select(col("doc_id"), col("n_docs"),
         explode(sequence(lit(1L), lit(k.toLong))).as("j"))
       .withColumn("raw_neg",
-        (((col("doc_id") % lit(1000003L)) * lit(2654435761L) +
+        ((((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) %
+            lit(4294967296L) +
+          ((shiftright(col("doc_id"), 31) % lit(2147483648L)) *
+            lit(2246822519L)) % lit(4294967296L) +
           col("j") * lit(40503L)) % lit(4294967296L)) % col("n_docs"))
       .withColumn("neg_id",
         when(col("raw_neg") === col("doc_id"),
@@ -432,7 +444,10 @@ object Pipeline {
         c AS (SELECT doc_id, n_docs, unnest(range(1, $k + 1)) AS j
               FROM documents, n),
         h AS (SELECT doc_id, j, n_docs,
-                (((doc_id % 1000003) * 2654435761 + j * 40503)
+                ((((doc_id % 2147483648) * 2654435761) % 4294967296 +
+                  (((doc_id >> 31) % 2147483648) * 2246822519)
+                    % 4294967296 +
+                  j * 40503)
                   % 4294967296) % n_docs AS raw_neg
               FROM c),
         s AS (SELECT doc_id, j,

@@ -210,6 +210,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(viaIdiom.toSeq == viaWindow.toSeq)
   }
 
+  test("rankTopK call sites satisfy the total-order precondition") {
+    // rankTopK silently collapses rows / mis-ranks when (scoreCol,
+    // tieCol) is not a total order, so every production call site must
+    // have a unique tie column. This pins that for the three current
+    // sites; add a clause here for each NEW call site.
+    def assertUniqueTie(df: org.apache.spark.sql.DataFrame, tie: String,
+        site: String): Unit = {
+      val total = df.count()
+      val dist = df.select(col(tie)).distinct().count()
+      assert(total == dist,
+        s"$site: tie column '$tie' not unique ($dist distinct of $total)")
+    }
+    // TextAnalysis.bm25Rank query side: termStats keyed by term t
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+    val termStats = toks.groupBy(col("t"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+    assertUniqueTie(termStats, "t", "bm25Rank query terms")
+    // TextAnalysis.bm25Rank doc side + Pipeline.hybridSearch dense
+    // side: both keyed by doc_id, unique by fixture contract
+    assertUniqueTie(docs.select(col("doc_id")), "doc_id",
+      "bm25Rank perDoc / hybridSearch cosr")
+  }
+
   test("skew report is internally consistent") {
     val r = operators.Skew.skewReport(
       Tables.load(spark, sf, "lineitem")).head()
