@@ -262,6 +262,7 @@ object SparkEntry {
     "q_power_iter" -> t("embeddings")(vector.Similarity.powerIteration(_)),
     "q_pca_project" -> t("embeddings")(vector.Similarity.pcaProject(_)),
     "q_pca_top2" -> t("embeddings")(vector.Similarity.pcaTop2(_)),
+    "q_pca_topk" -> t("embeddings")(vector.Similarity.pcaTopK(_)),
     "q_rand_proj" -> t("embeddings")(vector.Similarity.randomProjection(_)),
     "q_mean_pairwise" -> t("embeddings")(vector.Similarity.meanPairwiseDot),
     "q_pmi" -> t("documents")(T.pmiCollocations(_)),
@@ -706,10 +707,14 @@ object SparkEntry {
        ORDER BY id_a, id_b"""
 
   /** SemDeDup oracle: same per-label exact-mean centroids as the IVF
-    * oracle, nearest-centroid assignment, within-cluster pairs,
-    * lowest-id keeper per duplicate (unrounded threshold filter,
-    * rounded output — matches Similarity.semDedup). */
-  private def semDedupOracleSql(threshold: Double): String = {
+    * oracle, nearest-centroid assignment, within-cluster pairs under
+    * the same size-derived sub-blocking hash, lowest-id keeper per
+    * duplicate (unrounded threshold filter, rounded output — matches
+    * Similarity.semDedup; at fixture SFs every cluster fits one block
+    * so the blocking is the identity, but the arithmetic is mirrored
+    * so the compare would stay exact on any corpus). */
+  private def semDedupOracleSql(threshold: Double, blockCap: Int = 512)
+      : String = {
     def cos(a: String, b: String): String =
       s"""list_sum(list_transform(range(1, 65), j -> $a[j] * $b[j]))
           / (sqrt(list_sum(list_transform(range(1, 65), j -> $a[j] * $a[j])))
@@ -729,10 +734,17 @@ object SparkEntry {
               row_number() OVER (PARTITION BY v.vec_id ORDER BY
                 ${cos("e", "c")} DESC, cvec.label) AS r
             FROM v CROSS JOIN cvec) WHERE r = 1),
+         sizes AS (SELECT cluster, count(*) AS csz
+           FROM assign GROUP BY cluster),
+         blocked AS (SELECT assign.*,
+              (((vec_id % 2147483648) * 2654435761) % 4294967296)
+                % ((csz + ${blockCap - 1}) // $blockCap) AS blk
+           FROM assign JOIN sizes USING (cluster)),
          p AS (SELECT b.vec_id AS dup_id, a.vec_id AS kept_id,
               a.cluster, ${cos("a.e", "b.e")} AS cos
-           FROM assign a JOIN assign b
-             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           FROM blocked a JOIN blocked b
+             ON a.cluster = b.cluster AND a.blk = b.blk
+               AND a.vec_id < b.vec_id
            WHERE ${cos("a.e", "b.e")} >= $threshold),
          k AS (SELECT dup_id, kept_id, cluster, cos,
               row_number() OVER (PARTITION BY dup_id ORDER BY kept_id)
@@ -1914,6 +1926,7 @@ object SparkEntry {
     "q_power_iter" -> vector.Similarity.powerIterationOracleSql(),
     "q_pca_project" -> vector.Similarity.pcaProjectOracleSql(),
     "q_pca_top2" -> vector.Similarity.pcaTop2OracleSql(),
+    "q_pca_topk" -> vector.Similarity.pcaTopKOracleSql(),
     "q_rand_proj" -> vector.Similarity.randomProjectionOracleSql(),
     "q_mean_pairwise" -> vector.Similarity.meanPairwiseDotOracleSql,
     "q_pmi" -> T.pmiCollocationsOracleSql(),

@@ -429,12 +429,26 @@ object Similarity {
     * the vector is a near-dup (cosine ≥ threshold) of a lower-id
     * cluster-mate, and `kept_id` is the lowest such id (the keeper).
     *
-    * Scale: candidate pairs never cross cluster boundaries — cost is
-    * Σ|cluster|², the SemDeDup contract (centroid count grows with the
-    * corpus so clusters stay bounded); assignment is one corpus scan
-    * against k broadcast centroids. No all-pairs join exists. */
-  def semDedup(embeddings: DataFrame, threshold: Double = 0.40)
-      : DataFrame = {
+    * Scale: real SemDeDup grows the centroid count with the corpus so
+    * clusters stay bounded; the coarse seeds here are fixed (one per
+    * label), so boundedness is enforced explicitly — each cluster is
+    * split into ceil(|cluster|/`blockCap`) hash-assigned SUB-BLOCKS and
+    * pairs form only within a (cluster, block). Effective cluster count
+    * therefore grows linearly with the corpus (the SemDeDup contract),
+    * per-block pair cost is capped at blockCap², and total cost is
+    * Σ blocks × blockCap² ≈ N × blockCap — linear. The block id is a
+    * deterministic multiplicative hash of vec_id (no window, no
+    * single-partition cluster sort), so the split is an unbiased random
+    * sub-clustering and the pair join on (cluster, block) stays fully
+    * shuffle-parallel with ~blockCap-sized groups. At the fixture SFs
+    * every cluster is under blockCap, so the split is the identity;
+    * ScalingProbe measures the capped growth at 64×. When a cluster
+    * splits, the keeper is the lowest-id near-dup within the same
+    * block (bounded-candidate blocking, the suppPerPart/maxDf
+    * precedent). Assignment is one corpus scan against broadcast
+    * centroids. No all-pairs join exists. */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.40,
+      blockCap: Int = 512): DataFrame = {
     val corpus = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val seeds = exactMeans(corpus.select(col("label"), col("v")), "label")
@@ -446,12 +460,24 @@ object Similarity {
       .withColumn("r", row_number().over(wv))
       .filter(col("r") === 1)
       .select(col("vec_id"), col("v"), col("label").as("cluster"))
-    val a = assigned.select(col("cluster").as("ca"), col("vec_id").as("id_a"),
-      col("v").as("va"))
-    val b = assigned.select(col("cluster").as("cb"), col("vec_id").as("id_b"),
-      col("v").as("vb"))
+    // corpus-size-derived sub-blocking: cluster sizes are a tiny
+    // (≤ centroid-count rows) aggregate, broadcast back; block id is
+    // the engine's standard overflow-safe multiplicative hash
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csz"))
+    val blocked = assigned
+      .join(broadcast(sizes), Seq("cluster"))
+      .withColumn("blk",
+        (((col("vec_id") % lit(2147483648L)) * lit(2654435761L)) %
+          lit(4294967296L)) %
+          expr(s"(csz + ${blockCap - 1}) div $blockCap"))
+    val a = blocked.select(col("cluster").as("ca"), col("blk").as("ba"),
+      col("vec_id").as("id_a"), col("v").as("va"))
+    val b = blocked.select(col("cluster").as("cb"), col("blk").as("bb"),
+      col("vec_id").as("id_b"), col("v").as("vb"))
     val wd = Window.partitionBy(col("id_b")).orderBy(col("id_a"))
-    a.join(b, col("ca") === col("cb") && col("id_a") < col("id_b"))
+    a.join(b, col("ca") === col("cb") && col("ba") === col("bb") &&
+        col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .withColumn("rn", row_number().over(wd))
@@ -656,6 +682,169 @@ object Similarity {
       .orderBy(col("k"), col("dim"))
   }
 
+  /** General-k PCA via BLOCK (orthogonal / subspace) iteration — the
+    * production form that subsumes the [[pcaTop2]] deflation special
+    * case: ONE corpus Gram pass ([[gramCov]] — GramMoments, one ~17 KB
+    * buffer per partition crosses the shuffle regardless of corpus
+    * size), then `iters` rounds of W ← C·V run IN-ENGINE over the
+    * model-sized matrix (the iterateRounds precedent) with a
+    * driver-side classical Gram-Schmidt QR re-orthonormalization
+    * between rounds — dimension-sized model math, the k-means-seeds /
+    * bpeTrain precedent; a d×k block for d=64 is ≤ 64·6 doubles.
+    *
+    * Init is the first k Walsh functions (entries ±0.125 — exactly
+    * representable, mutually orthogonal, unit-norm), so round 1's
+    * cov·v products are exactly 12-decimal and tie-free (the pcaTop2
+    * deflation-quantization argument). Determinism: every
+    * order-sensitive reduction is an exact decimal(28,12) sum — the
+    * in-engine matmuls via decSum, the driver-side QR dots and norms
+    * via the same quantize-each-product-then-exact-sum in BigDecimal —
+    * and every vector is re-quantized round(·,12) before it enters the
+    * next multiplication, so Spark, the driver and the DuckDB oracle
+    * iterate bit-identical state. The projection-subtraction chain is
+    * a syntactically left-to-right IEEE expression, identical in Scala
+    * and SQL. Eigenvalues are Rayleigh quotients λ_c = u_cᵀ(C·u_c)
+    * from one final in-engine matmul, rounded to 9 like cov itself.
+    *
+    * Output: (k, dim, component, eigenvalue), k·d rows — [[pcaTop2]]'s
+    * schema generalized to any k. The k index is POSITIONAL (block
+    * column): on a converged run columns sort λ-descending themselves,
+    * but the fixture embeddings are near-isotropic (λ₁..λ₄ within 6%),
+    * where no iteration count separates components — SimilaritySpec
+    * therefore proves convergence on a planted anisotropic corpus
+    * (the q_lr_learnable precedent) and pins orthonormality, which
+    * holds regardless of spectrum. */
+  def pcaTopK(embeddings: DataFrame, k: Int = 4, iters: Int = 4)
+      : DataFrame = {
+    require(k >= 1 && k <= 6, s"Walsh init spans 6 index bits, got k=$k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val d = pcaDim
+    val cov = gramCov(embeddings).toDF("i", "j", "cov")
+    // exact scale-12 dot: quantize each product (HALF_UP, decSum's cast
+    // semantics), sum exactly, one terminal double conversion
+    def decDot(a: Array[Double], b: Array[Double]): Double = {
+      var s = java.math.BigDecimal.ZERO
+      var j = 0
+      while (j < d) {
+        s = s.add(java.math.BigDecimal.valueOf(a(j) * b(j))
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+        j += 1
+      }
+      s.doubleValue
+    }
+    // W = C·V: one in-engine job per round over the broadcast block
+    def matmul(u: Array[Array[Double]]): Array[Array[Double]] = {
+      val block = (for (c <- 0 until k; j <- 0 until d)
+        yield (c, j, u(c)(j))).toDF("c", "j", "v")
+      val w = Array.ofDim[Double](k, d)
+      cov.join(broadcast(block), "j")
+        .groupBy(col("c"), col("i"))
+        .agg(decSum(col("cov") * col("v")).as("w"))
+        .collect()
+        .foreach(r => w(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      w
+    }
+    // classical Gram-Schmidt: project each column off the already
+    // orthonormalized previous ones (left-to-right subtraction chain),
+    // quantize once after the chain and once after normalization
+    def qr(w: Array[Array[Double]]): Array[Array[Double]] = {
+      val u = Array.ofDim[Double](k, d)
+      for (c <- 0 until k) {
+        val dots = (0 until c).map(p => decDot(w(c), u(p)))
+        for (j <- 0 until d) {
+          var r = w(c)(j)
+          for (p <- 0 until c) r = r - dots(p) * u(p)(j)
+          u(c)(j) = roundAt(r, 12)
+        }
+        val n = math.sqrt(decDot(u(c), u(c)))
+        for (j <- 0 until d) u(c)(j) = roundAt(u(c)(j) / n, 12)
+      }
+      u
+    }
+    var u = Array.tabulate(k, d)((c, j) =>
+      if (((j >> c) & 1) == 0) 0.125 else -0.125)
+    for (_ <- 1 to iters) u = qr(matmul(u))
+    val wf = matmul(u)
+    val lam = (0 until k).map(c => roundAt(decDot(u(c), wf(c)), 9))
+    (for (c <- 0 until k; j <- 0 until d)
+      yield (c + 1, j, u(c)(j), lam(c)))
+      .toDF("k", "dim", "component", "eigenvalue")
+      .orderBy(col("k"), col("dim"))
+  }
+
+  /** DuckDB oracle for [[pcaTopK]]: [[covCtes]], the Walsh init block,
+    * then per round an exact-decimal block matmul CTE and the
+    * Gram-Schmidt chain unrolled per column (dots → left-to-right
+    * subtraction → round 12 → norm → round 12), then the Rayleigh
+    * eigenvalues — identical arithmetic to the engine throughout. The
+    * per-round CTEs are AS MATERIALIZED: DuckDB inlines multiply-
+    * referenced CTEs, and each round references the previous ~10×, so
+    * the inlined plan re-expands the corpus scan exponentially (first
+    * run died on file handles); materializing pins one scan total. */
+  def pcaTopKOracleSql(k: Int = 4, iters: Int = 4): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $covCtes,\n")
+    sb.append(s"""b0 AS (
+         SELECT CAST(c AS INTEGER) AS c, CAST(j AS INTEGER) AS j,
+           CASE WHEN ((j >> c) & 1) = 0 THEN CAST(0.125 AS DOUBLE)
+                ELSE CAST(-0.125 AS DOUBLE) END AS v
+         FROM (SELECT unnest(range($k)) AS c),
+              (SELECT unnest(range(64)) AS j))""")
+    for (r <- 1 to iters) {
+      sb.append(s""",
+       w$r AS MATERIALIZED (
+         SELECT b.c, cv.i AS j,
+           CAST(sum(CAST(cv.cov * b.v AS DECIMAL(28,12))) AS DOUBLE) AS w
+         FROM cov cv JOIN b${r - 1} b ON cv.j = b.j GROUP BY b.c, cv.i)""")
+      for (c <- 0 until k) {
+        for (p <- 0 until c)
+          sb.append(s""",
+       d${r}_${c}_$p AS (
+         SELECT CAST(sum(CAST(w.w * u.v AS DECIMAL(28,12))) AS DOUBLE)
+           AS d
+         FROM w$r w JOIN u${r}_$p u ON w.j = u.j WHERE w.c = $c)""")
+        val joins = (0 until c)
+          .map(p => s" JOIN u${r}_$p u$p ON w.j = u$p.j").mkString
+        val crosses = (0 until c)
+          .map(p => s" CROSS JOIN d${r}_${c}_$p dd$p").mkString
+        val subtract = (0 until c)
+          .map(p => s" - dd$p.d * u$p.v").mkString
+        sb.append(s""",
+       r${r}_$c AS MATERIALIZED (
+         SELECT w.j, round(w.w$subtract, 12) AS rv
+         FROM w$r w$joins$crosses WHERE w.c = $c)""")
+        sb.append(s""",
+       n${r}_$c AS (
+         SELECT sqrt(CAST(sum(CAST(rv * rv AS DECIMAL(28,12)))
+           AS DOUBLE)) AS n FROM r${r}_$c)""")
+        sb.append(s""",
+       u${r}_$c AS MATERIALIZED (
+         SELECT j, round(rv / n, 12) AS v
+         FROM r${r}_$c CROSS JOIN n${r}_$c)""")
+      }
+      sb.append(s""",
+       b$r AS MATERIALIZED (${(0 until k).map(c =>
+        s"SELECT $c AS c, j, v FROM u${r}_$c").mkString(" UNION ALL ")})""")
+    }
+    sb.append(s""",
+       wf AS MATERIALIZED (
+         SELECT b.c, cv.i AS j,
+           CAST(sum(CAST(cv.cov * b.v AS DECIMAL(28,12))) AS DOUBLE) AS w
+         FROM cov cv JOIN b$iters b ON cv.j = b.j GROUP BY b.c, cv.i),
+       lam AS (
+         SELECT b.c,
+           round(CAST(sum(CAST(b.v * wf.w AS DECIMAL(28,12)))
+             AS DOUBLE), 9) AS eigenvalue
+         FROM b$iters b JOIN wf ON b.c = wf.c AND b.j = wf.j
+         GROUP BY b.c)
+       SELECT CAST(b.c + 1 AS INTEGER) AS k, b.j AS dim,
+         b.v AS component, lam.eigenvalue
+       FROM b$iters b JOIN lam ON b.c = lam.c
+       ORDER BY k, dim""")
+    sb.toString
+  }
+
   /** DuckDB oracle for [[powerIteration]]: the covariance from the same
     * exact fixed-point moment sums over 1e-6-quantized components
     * (expressed join-shaped — integer-exact, so it agrees bit-for-bit
@@ -672,10 +861,9 @@ object Similarity {
          round(nw.nw / nv.nv, 9) AS eigenvalue
        FROM w CROSS JOIN nw CROSS JOIN nv ORDER BY dim"""
 
-  /** The shared CTE chain behind [[powerIterationOracleSql]] /
-    * [[pcaProjectOracleSql]]: quantize → integer moments → cov →
-    * unrolled rounds → final w and the two norms. */
-  private def powerIterationCtes(iters: Int): String =
+  /** The covariance-matrix CTE prefix shared by every PCA oracle:
+    * quantize → integer moments → 9-decimal cov → symmetrized `cov`. */
+  private val covCtes: String =
     s"""e AS (
          SELECT vec_id, CAST(i AS INTEGER) AS i,
            CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS x
@@ -696,7 +884,13 @@ object Similarity {
          FROM m),
        cov AS (
          SELECT i, j, cov FROM cov9
-         UNION ALL SELECT j AS i, i AS j, cov FROM cov9 WHERE i < j),
+         UNION ALL SELECT j AS i, i AS j, cov FROM cov9 WHERE i < j)"""
+
+  /** The shared CTE chain behind [[powerIterationOracleSql]] /
+    * [[pcaProjectOracleSql]]: [[covCtes]] → unrolled rounds → final w
+    * and the two norms. */
+  private def powerIterationCtes(iters: Int): String =
+    s"""$covCtes,
        ${roundCtes("cov", "", iters)}"""
 
   /** The iteration-round CTEs over matrix CTE `covName`, all CTE names

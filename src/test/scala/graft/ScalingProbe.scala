@@ -125,7 +125,46 @@ object ScalingProbe {
       time("mean_pairwise", k) {
         vector.Similarity.meanPairwiseDot(e).count()
       }
+      // SemDeDup under size-derived sub-blocking: clusters grow with
+      // the corpus (labels are fixed) but per-block pair cost is
+      // capped, so the curve must stay linear-ish — the r7 verdict's
+      // one open scale question
+      time("semdedup", k) {
+        vector.Similarity.semDedup(e, threshold = 0.35).count()
+      }
       e.unpersist()
+    }
+
+    // Heavy dedup family (last: the most expensive rows). The one-word
+    // salt above is far too weak here — a single appended word leaves
+    // cross-copy Jaccard ≈ 0.98, so every copy of a doc pairs with
+    // every other copy and the probe measures the adversarial
+    // all-duplicates case (first run: 611× pairs at 8×), not corpus
+    // growth. Salting EVERY word gives copies disjoint vocabulary —
+    // genuinely new content, the scaling scenario — while each copy
+    // keeps the fixture's own realistic near-dup structure.
+    for (k <- Seq(0, 1, 8, 64)) {
+      val base = scaled(docs, math.max(k, 1), Seq("doc_id"),
+        saltText = false)
+      val d = base.withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("x"),
+            (col("doc_id") / lit(10000000L)).cast("long"))), " "))
+        .persist()
+      d.count()
+      // PPJoin prefix-filtered Jaccard — the heaviest catalog member
+      time("jaccard_prefix", k) {
+        graft.dedup.Dedup.jaccardPrefixPairs(d).count()
+      }
+      // near-dup connected-components fixpoint + canonical selection
+      time("cluster_canonical", k) {
+        operators.Pipeline.clusterCanonical(d).count()
+      }
+      // stride-indexed windowed substring dedup
+      time("substring_dedup", k) {
+        graft.dedup.Dedup.substringDedup(d).count()
+      }
+      d.unpersist()
     }
 
     spark.stop()

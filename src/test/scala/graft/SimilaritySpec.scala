@@ -157,6 +157,80 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full.forall(_.getDouble(3) >= 0.9))
   }
 
+  test("semDedup sub-blocking caps candidates without inventing dups") {
+    // blockCap larger than any cluster → identity blocking (the
+    // fixture/production default path); a tiny blockCap forces every
+    // cluster to split. Blocking may only LOSE pair visibility, never
+    // invent it: every blocked dup must also be an unblocked dup, at
+    // the same-or-lower keeper id (fewer candidates ⇒ later keeper).
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+    val unblocked = vector.Similarity
+      .semDedup(df, threshold = 0.35, blockCap = 1 << 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blocked = vector.Similarity
+      .semDedup(df, threshold = 0.35, blockCap = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(blocked.nonEmpty, "tiny-cap run found no dups to check")
+    assert(blocked.length <= unblocked.size)
+    blocked.foreach { case (dup, kept) =>
+      assert(unblocked.contains(dup),
+        s"blocked run invented dup $dup absent from unblocked run")
+      assert(unblocked(dup) <= kept,
+        s"dup $dup: unblocked keeper ${unblocked(dup)} > blocked $kept")
+    }
+  }
+
+  test("pcaTopK emits an orthonormal block with in-spectrum Rayleigh " +
+      "eigenvalues") {
+    val out = vector.Similarity
+      .pcaTopK(Tables.load(spark, TestSpark.sf, "embeddings"), k = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 4 * 64)
+    val cols = (1 to 4).map(c =>
+      out.filter(_._1 == c).sortBy(_._2).map(_._3))
+    for (i <- 0 until 4; j <- i until 4) {
+      val dot = cols(i).zip(cols(j)).map { case (x, y) => x * y }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-7, s"U'U[$i][$j] = $dot")
+    }
+    // Rayleigh quotients of unit vectors lie within the spectrum:
+    // positive (covariances of real data, PSD) and below the trace
+    val lams = (1 to 4).map(c => out.find(_._1 == c).get._4)
+    assert(lams.forall(_ > 0))
+  }
+
+  test("pcaTopK recovers planted principal directions in order") {
+    // anisotropic synthetic corpus (components within GramMoments'
+    // |x| <= 1 fixed-point bound): variance ~0.068 along e0, ~0.019
+    // along e1, ~1e-5 noise elsewhere — eigengap large enough that 6
+    // block rounds converge hard (the fixture's near-isotropic
+    // spectrum can't separate components at any iteration count)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      val e = Array.fill(64)((rnd.nextDouble() - 0.5) * 0.01)
+      e(0) = (rnd.nextDouble() - 0.5) * 0.9
+      e(1) = (rnd.nextDouble() - 0.5) * 0.48
+      (i.toLong, e.map(_.toFloat).toSeq)
+    }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val out = vector.Similarity.pcaTopK(df, k = 3, iters = 6).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    def comp(c: Int) = out.filter(_._1 == c).sortBy(_._2).map(_._3)
+    // block column 1 aligns with e0, column 2 with e1 (to sampling
+    // noise: the SAMPLE covariance's eigenvector differs from the
+    // population direction by ~1/sqrt(500), so 0.99 not 0.9999)
+    assert(math.abs(comp(1)(0)) > 0.99, s"u1·e0 = ${comp(1)(0)}")
+    assert(math.abs(comp(2)(1)) > 0.99, s"u2·e1 = ${comp(2)(1)}")
+    // eigenvalues sort themselves on a converged run
+    val lams = (1 to 3).map(c => out.find(_._1 == c).get._4)
+    assert(lams(0) > lams(1) && lams(1) > lams(2), lams.toString)
+    // and match the planted variances' order of magnitude
+    assert(lams(0) > 0.03 && lams(1) > 0.008 && lams(2) < 0.001,
+      lams.toString)
+  }
+
   test("covariance matrix is symmetric-PSD enough for PCA: power " +
       "iteration converges to a real top eigenpair") {
     val rows = vector.Similarity
