@@ -419,8 +419,7 @@ object SparkEntry {
   // q_kll_mergeable / q_theta_overlap
   // (approximate by design; SketchSpec pins HLL + KLL + Theta invariants),
   // q_minhash_lsh / q_simhash_pairs (engine-specific hashing — the
-  // neutral-hash variant q_minhash_neutral IS oracled),
-  // q_media_features (stub codec runs in Scala).
+  // neutral-hash variant q_minhash_neutral IS oracled).
   // ---------------------------------------------------------------------
 
   /** Brute-force kNN oracle — also embedded as a subquery in the
@@ -2478,6 +2477,8 @@ object SparkEntry {
     "q_knn_ivf_mp" -> ivfOracleSql(nprobe = 2),
     "q_knn_ivf_refined" -> ivfRefinedOracleSql,
     "q_knn_pq" -> knnPqOracleSql,
+    "q_media_features" -> M.featurePipelineOracleSql,
+    "q_media_frames" -> M.framePipelineOracleSql,
     "q_media_stats" ->
       """SELECT 'image/stub-' || lang AS media_type,
             count(*) AS n_items,

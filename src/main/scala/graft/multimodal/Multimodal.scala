@@ -122,8 +122,8 @@ object Multimodal {
   }
 
   /** Driver-facing frame pipeline: per-media roll-up of sampled-frame
-    * features (rows-only — the stub codec is engine-native by design;
-    * the pooling invariants are pinned in OperatorSpec). */
+    * features, exactly oracled by [[framePipelineOracleSql]] (pooling
+    * invariants additionally pinned in OperatorSpec). */
   def framePipeline(spark: SparkSession, documents: DataFrame): DataFrame = {
     val ff = frameFeatures(spark, mediaTable(spark, documents))
     ff.toDF()
@@ -162,4 +162,70 @@ object Multimodal {
         sum(col("frameCount")).as("total_frames"))
       .orderBy(col("mediaType"))
   }
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles: StubCodec.decode is deterministic integer
+  // arithmetic over the payload bytes, and the fixture text is pure
+  // ASCII (FixtureContractSpec would surface drift), so byte p of the
+  // payload is ascii(substring(text, p+1, 1)) — fully replayable in
+  // SQL, the bpeTrain / z-value bit-interleave precedent.
+  // -------------------------------------------------------------------
+
+  /** Oracle for [[featurePipeline]]: the 4-frame decode visits payload
+    * bytes (0..255) % len; entropy over that 256-value histogram uses
+    * the identical -(c/256)·ln(c/256)/ln(2) term per bucket (dyadic p,
+    * so both engines feed ln the same double; the ≤1-ulp libm noise is
+    * 1e-13 against the 5e-4 milli-rounding granularity). */
+  def featurePipelineOracleSql: String =
+    """WITH d AS (
+         SELECT doc_id, 'image/stub-' || lang AS "mediaType", text,
+           octet_length(encode(text)) AS len
+         FROM documents),
+       b AS (
+         SELECT doc_id, "mediaType",
+           ascii(substring(text, CAST(p % len AS INTEGER) + 1, 1)) AS v
+         FROM d, (SELECT unnest(range(256)) AS p)),
+       h AS (
+         SELECT doc_id, "mediaType", v, count(*) AS c
+         FROM b GROUP BY 1, 2, 3),
+       ent AS (
+         SELECT doc_id, "mediaType",
+           CAST(round(sum(-(c / 256.0) * ln(c / 256.0) / ln(2.0)) * 1000)
+             AS BIGINT) AS em
+         FROM h GROUP BY 1, 2)
+       SELECT "mediaType", count(*) AS n_items,
+         CAST(sum(em) AS BIGINT) AS sum_entropy_milli,
+         CAST(count(*) * 4 AS BIGINT) AS total_frames
+       FROM ent GROUP BY 1 ORDER BY 1"""
+
+  /** Oracle for [[framePipeline]]: sampled frames {0,2,5} (= i·8/3),
+    * frame f's 64 bytes at (f·64+i) % len, the same truncating-divide
+    * 2×2 pool, and milli-means as pure integers — math.round(S·1000/64)
+    * on a dyadic-exact double equals (S·1000+32)//64, so no float
+    * enters the compare at all. */
+  def framePipelineOracleSql: String =
+    """WITH d AS (
+         SELECT doc_id, text, octet_length(encode(text)) AS len
+         FROM documents),
+       fr AS (SELECT doc_id, text, len, unnest([0, 2, 5]) AS f FROM d),
+       px AS (
+         SELECT doc_id, f,
+           list_transform(range(0, 64), i ->
+             ascii(substring(text,
+               CAST((f * 64 + i) % len AS INTEGER) + 1, 1))) AS frame
+         FROM fr),
+       m AS (
+         SELECT doc_id, f,
+           (list_sum(frame) * 1000 + 32) // 64 AS mean_milli,
+           (list_sum(list_transform(range(0, 16), p ->
+              (frame[(p // 4) * 16 + (p % 4) * 2 + 1]
+               + frame[(p // 4) * 16 + (p % 4) * 2 + 2]
+               + frame[(p // 4) * 16 + (p % 4) * 2 + 9]
+               + frame[(p // 4) * 16 + (p % 4) * 2 + 10]) // 4))
+            * 1000 + 8) // 16 AS pooled_milli
+         FROM px)
+       SELECT doc_id AS "mediaId", count(*) AS n_frames_sampled,
+         CAST(sum(mean_milli) AS BIGINT) AS sum_mean_milli,
+         CAST(sum(pooled_milli) AS BIGINT) AS sum_pooled_milli
+       FROM m GROUP BY 1 ORDER BY 1"""
 }

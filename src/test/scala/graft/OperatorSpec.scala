@@ -35,9 +35,7 @@ class OperatorSpec extends AnyFunSuite {
       "q_kll_mergeable",     // KLL quantiles (SketchSpec bound)
       "q_theta_overlap",     // theta sketch set ops (SketchSpec bound)
       "q_minhash_lsh",       // xxhash64 bands (oracled twin: q_minhash_neutral)
-      "q_simhash_pairs",     // xxhash64 64-bit (twin: q_simhash_neutral)
-      "q_media_features",    // stub codec output (documented)
-      "q_media_frames")      // stub codec output (documented)
+      "q_simhash_pairs")     // xxhash64 64-bit (twin: q_simhash_neutral)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnlyByDesign,
       s"undocumented rows-only queries: ${noOracle -- rowsOnlyByDesign}; " +
