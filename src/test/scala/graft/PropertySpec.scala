@@ -252,6 +252,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: BPE trainer sustains 256 merges on a vocab-rich corpus") {
+    // the fixture's own vocabulary saturates around 64 merges; an 8×
+    // disjoint-vocab synthesis (per-copy letter suffixes) carries the
+    // pair diversity a production corpus has, proving the trainer holds
+    // at real-tokenizer merge counts rather than toy k
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val big = (0 until 8).map { c =>
+      val sfx = s"x${('a' + c).toChar}"
+      docs.withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(sfx))), " "))
+    }.reduce(_ unionAll _)
+    val merges = graft.text.TextAnalysis.bpeTrain(big, k = 256).collect()
+    assert(merges.length == 256, s"saturated at ${merges.length}")
+    // ranks contiguous, the greedy max is non-increasing, and merges
+    // COMPOSE (later rounds consume earlier rounds' output symbols)
+    assert(merges.map(_.getInt(0)).toSeq == (1 to 256))
+    val freqs = merges.map(_.getLong(3))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    assert(merges.exists(r =>
+      r.getString(1).length + r.getString(2).length >= 4),
+      "no composed (length >= 4) merge in 256 rounds")
+  }
+
   test("property: zvalue is monotonic in each coordinate (box-query safety)") {
     // z(x1,y1) <= z(x2,y2) whenever x1<=x2 && y1<=y2 — the property that
     // makes `z BETWEEN z(corner_lo) AND z(corner_hi)` a correct superset
