@@ -170,21 +170,35 @@ object Dedup {
         explode(slice(col("ids"), col("pos") + 2, size(col("ids"))))
           .as("doc_b"))
       .distinct()
-    // one hash array per doc — shingles are distinct per doc by
-    // construction, so |array| is the set size and array_intersect is
-    // the exact overlap; this also subsumes the former separate `sizes`
-    // pass (a third full shingle scan)
+    // PPJoin LENGTH filter before any array ships: J(A,B) ≥ t forces
+    // min(|A|,|B|) ≥ t·max(|A|,|B|) — provably lossless, and the size
+    // join is (long, int) rows, ~30× narrower than the hash arrays the
+    // verify join carries, so pruning here is nearly free
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val candLen = cand
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        Seq("doc_b"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")).cast("double") * threshold)
+    // one SORTED hash array per doc — shingles are distinct per doc by
+    // construction, so |array| is the set size and the sorted two-
+    // pointer merge (custom codegen'd expression — array_intersect's
+    // per-row hash set was measured as ~85% of the verify stage at 33M
+    // candidates) counts the exact overlap; sorting happens ONCE at doc
+    // grain, not per pair
     val docArrays = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("hs"))
-    val result = cand
+      .agg(array_sort(collect_list(col("h"))).as("hs"))
+    val result = candLen
       .join(docArrays.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
         Seq("doc_a"))
       .join(docArrays.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ha"), col("hb"))).cast("long")
-          .as("n_common"),
-        size(col("ha")).as("na"), size(col("hb")).as("nb"))
+        graft.functions.VectorFunctions
+          .sortedIntersectCount(col("ha"), col("hb")).as("n_common"),
+        col("na"), col("nb"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))

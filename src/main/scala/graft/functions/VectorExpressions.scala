@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two
   * array<double> columns, with whole-stage-codegen support.
@@ -89,6 +89,76 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: exact |A ∩ B| over two SORTED
+  * array<bigint> columns as a fused two-pointer merge, with
+  * whole-stage-codegen support.
+  *
+  * Rationale: `array_intersect` builds a per-row hash set — measured as
+  * ~85% of the PPJoin verify stage's cost at 33M candidate pairs (the
+  * shuffle of the arrays was only 14 s of 95 s; the intersect compute
+  * was the rest). Sorting once at BUILD grain (one `sort_array` per
+  * document) converts every per-pair intersection into an
+  * allocation-free linear merge emitted straight into the generated
+  * Java. Measured ~3× on the verify stage.
+  *
+  * PRECONDITION: both arrays ascending-sorted with DISTINCT elements
+  * (the count is of matching positions, not multiset overlap); callers
+  * own the sort — `sort_array(collect_list(...))` at build grain. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires array<bigint> inputs, got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1L; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        int $n = $a.numElements();
+        int $m = $b.numElements();
+        int $i = 0; int $j = 0; long $c = 0L;
+        while ($i < $n && $j < $m) {
+          long $xv = $a.getLong($i);
+          long $yv = $b.getLong($j);
+          if ($xv == $yv) { $c++; $i++; $j++; }
+          else if ($xv < $yv) { $i++; } else { $j++; }
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API + SQL registration for the custom expressions. */
 object VectorFunctions {
 
@@ -97,6 +167,12 @@ object VectorFunctions {
     Shim.column(CosineSimilarity(
       Shim.expression(a.cast("array<double>")),
       Shim.expression(b.cast("array<double>"))))
+
+  /** sorted_intersect_count(a, b) as a Column — exact |A ∩ B| of two
+    * ASCENDING-SORTED distinct array<bigint> columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Shim.column(SortedIntersectCount(Shim.expression(a),
+      Shim.expression(b)))
 
   /** Register cosine_sim for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -117,6 +193,9 @@ object VectorFunctions {
         }), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_tokens", exprs => BpeTokensExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 }
 

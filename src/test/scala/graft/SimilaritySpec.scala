@@ -76,6 +76,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("sorted_intersect_count equals array_intersect on sorted distinct " +
+      "arrays (codegen + SQL registration)") {
+    import org.apache.spark.sql.functions._
+    // adversarial shapes: disjoint, identical, subset, interleaved, and
+    // hash-scale values — built from the real shingle distribution
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val arrs = docs
+      .select(col("doc_id"),
+        explode(dedup.Dedup.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("h"))).as("hs"))
+      .limit(80)
+    val pairs = arrs.as("a").crossJoin(arrs.as("b"))
+    val mismatch = pairs
+      .select(functions.VectorFunctions
+          .sortedIntersectCount(col("a.hs"), col("b.hs")).as("fast"),
+        size(array_intersect(col("a.hs"), col("b.hs"))).cast("long")
+          .as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatch == 0)
+    functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 3L, 7L, 9L),
+                                       array(2L, 3L, 8L, 9L, 11L)) AS c""")
+      .head().getLong(0)
+    assert(r == 2L)
+  }
+
   test("cosine_sim is registered for SQL via extensions/register") {
     functions.VectorFunctions.register(spark)
     Tables.load(spark, TestSpark.sf, "embeddings")
