@@ -245,6 +245,8 @@ object SparkEntry {
       Tables.load(s, dir, "lineitem"))),
     "q_mad_outliers" -> t("events")(R.madOutliers(_)),
     "q_dedup_clusters" -> t("documents")(operators.Pipeline.dedupClusters(_)),
+    "q_dedup_weights" -> t("documents")(operators.Pipeline.dedupWeights(_)),
+    "q_budget_select" -> t("documents")(operators.Pipeline.budgetSelect(_)),
     "q_cluster_canonical" ->
       t("documents")(operators.Pipeline.clusterCanonical(_)),
     "q_heavy_hitters" -> t("documents")(T.heavyHitters(_)),
@@ -400,6 +402,7 @@ object SparkEntry {
     "q_cosine_neardup" ->
       t("embeddings")(V.cosineNearDupPairs(_, threshold = 0.35)),
     "q_semdedup" -> t("embeddings")(V.semDedup(_)),
+    "q_domain_assign" -> t("embeddings")(V.domainAssign),
     // ---- multimodal plumbing (north star) ----
     "q_media_stats" -> t("documents")(M.payloadStats),
     "q_media_features" -> ((s, dir) =>
@@ -751,6 +754,34 @@ object SparkEntry {
            FROM p)
        SELECT dup_id, kept_id, cluster, round(cos, 3) AS cos
        FROM k WHERE rn = 1 ORDER BY dup_id"""
+  }
+
+  /** Domain-assignment oracle: the semDedup assignment CTEs with the
+    * centroid label exposed as `domain` and the self-assignment flag. */
+  private def domainAssignOracleSql: String = {
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, 65), j -> $a[j] * $b[j]))
+          / (sqrt(list_sum(list_transform(range(1, 65), j -> $a[j] * $a[j])))
+             * sqrt(list_sum(list_transform(range(1, 65), j -> $b[j] * $b[j]))))"""
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+         dims AS (SELECT label, CAST(unnest(range(64)) AS INTEGER) AS pos,
+            unnest(e) AS x FROM v),
+         cent AS (SELECT label, pos,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS m
+           FROM dims GROUP BY label, pos),
+         cvec AS (SELECT label AS domain, list(m ORDER BY pos) AS c
+           FROM cent GROUP BY label)
+       SELECT vec_id, label, domain, round(scos, 6) AS cos,
+         domain = label AS is_home
+       FROM (
+         SELECT v.vec_id, v.label, cvec.domain,
+           ${cos("e", "c")} AS scos,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             ${cos("e", "c")} DESC, cvec.domain) AS r
+         FROM v CROSS JOIN cvec)
+       WHERE r = 1 ORDER BY vec_id"""
   }
 
   private val decSumQty = Cols.sqlDecSum("l_quantity", 2)
@@ -2277,6 +2308,52 @@ object SparkEntry {
            least(src, min(dst)) AS cluster_id,
            least(src, min(dst)) = src AS is_canonical
          FROM reach GROUP BY src ORDER BY doc_id""",
+    // Same pair/closure CTE as q_dedup_clusters, then cluster sizes and
+    // the 1/|cluster| soft-dedup weight (singletons weigh 1.0).
+    "q_dedup_weights" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         cnt AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jp AS (
+           SELECT doc_a, doc_b FROM cnt
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE CAST(n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM jp
+           UNION SELECT doc_b, doc_a FROM jp),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         lab AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+         csz AS (SELECT cluster_id, count(*) AS cluster_size
+           FROM lab GROUP BY cluster_id),
+         w2 AS (
+           SELECT l.doc_id, l.cluster_id, c.cluster_size
+           FROM lab l JOIN csz c USING (cluster_id)
+           UNION ALL
+           SELECT doc_id, doc_id AS cluster_id,
+             CAST(1 AS BIGINT) AS cluster_size
+           FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM lab))
+         SELECT doc_id, cluster_id, cluster_size,
+           round(CAST(1.0 AS DOUBLE) / CAST(cluster_size AS DOUBLE), 9)
+             AS weight
+         FROM w2 ORDER BY doc_id""",
+    "q_budget_select" -> operators.Pipeline.budgetSelectOracleSql(),
     // Same pair/closure CTE as q_dedup_clusters, then the split gate
     // hashed on the CLUSTER id (singletons keep their own id) — the
     // leakage-safety property verified is exactly the oracle's.
@@ -2470,6 +2547,7 @@ object SparkEntry {
     "q_knn_lsh_mp" -> lshMultiProbeOracleSql(bits = 6, nQueries = 5, k = 10),
     "q_cosine_neardup" -> cosineNearDupOracleSql(bits = 8, threshold = 0.35),
     "q_semdedup" -> semDedupOracleSql(threshold = 0.40),
+    "q_domain_assign" -> domainAssignOracleSql,
     "q_knn_ivf" -> ivfOracleSql(nprobe = 1),
     // identical math to q_knn_ivf — the persisted build/query split and
     // the parquet double round-trip are what the compare proves

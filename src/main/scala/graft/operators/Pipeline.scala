@@ -100,6 +100,97 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplication-aware sampling weights — the SOFT alternative to
+    * dropping duplicates (the D4 / SoftDeDup idea): each document
+    * weighs 1/|its near-dup cluster|, so a family of n copies
+    * contributes one document's worth of training mass in expectation
+    * instead of n (or instead of 0 for all-but-one, which throws away
+    * the family's internal variation). Singletons weigh 1.0.
+    *
+    * Composition: [[dedupClusters]] (the CC fixpoint over the near-dup
+    * pair graph) + one cluster-grain count + a left join back to the
+    * corpus — the weight column is one IEEE division of a small
+    * integer, identical in both engines. Scale: the cluster label set
+    * is minority-sized (only edge-connected docs), the corpus join is
+    * the same one leakageSafeSplits does. */
+  def dedupWeights(documents: DataFrame, threshold: Double = 0.5)
+      : DataFrame = {
+    val clusters = dedupClusters(documents, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    documents.select(col("doc_id"))
+      .join(clusters.join(sizes, Seq("cluster_id")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight",
+        round(lit(1.0) / col("cluster_size").cast("double"), 9))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget data selection — "give me the best `budget` tokens":
+    * documents ranked by an integer diversity score (distinct-token
+    * ratio scaled to ppm — rational, engine-identical), selected while
+    * the running token total stays within budget. Token counts are
+    * nonnegative, so prefix sums are monotone and `cum ≤ budget` IS the
+    * greedy while-loop semantics.
+    *
+    * Scale (the no-global-window idiom, same family as strictRank's
+    * bucket machinery): per-doc cumulative sums run in a window
+    * PARTITIONED by score bucket (≤1001 buckets), offset by each
+    * bucket's broadcast running total — the only global pass is over
+    * the bucket grain. A score-skewed corpus concentrates one bucket;
+    * the bucket width is the knob (ppm/1000 here). */
+  def budgetSelect(documents: DataFrame, budget: Long = 10000L)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val perDoc = documents.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("iscore",
+        expr("n_distinct * 1000000 div n_tokens"))
+      .withColumn("bucket", expr("iscore div 1000"))
+    val wb = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bcum = perDoc.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("cum_before", coalesce(sum(col("btok")).over(wb), lit(0L)))
+      .select(col("bucket"), col("cum_before"))
+    val wInB = Window.partitionBy(col("bucket"))
+      .orderBy(col("iscore").desc, col("doc_id"))
+    perDoc.join(broadcast(bcum), Seq("bucket"))
+      .withColumn("cum_tokens",
+        col("cum_before") + sum(col("n_tokens")).over(wInB))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("iscore"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[budgetSelect]] — the same greedy as ONE global
+    * window (the oracle may globally sort; the engine may not). */
+  def budgetSelectOracleSql(budget: Long = 10000L): String =
+    s"""WITH q AS (
+         SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_distinct
+         FROM documents),
+       s AS (
+         SELECT doc_id, n_tokens,
+           (n_distinct * 1000000) // n_tokens AS iscore
+         FROM q),
+       c AS (
+         SELECT doc_id, iscore, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY iscore DESC, doc_id)
+             AS BIGINT) AS cum_tokens
+         FROM s)
+       SELECT doc_id, iscore, n_tokens, cum_tokens
+       FROM c WHERE cum_tokens <= $budget ORDER BY doc_id"""
+
   /** Leakage-safe train/val/test assignment: near-duplicate documents
     * MUST land in the same split, or evaluation leaks training data
     * through paraphrase-level copies the doc-id hash split can't see.

@@ -487,6 +487,32 @@ object Similarity {
       .orderBy(col("dup_id"))
   }
 
+  /** Nearest-centroid DOMAIN CLASSIFICATION — the corpus-curation step
+    * that routes each document to a domain mixture (and the assignment
+    * half of SemDeDup/IVF exposed first-class): every vector against
+    * the per-label exact-mean centroid profiles, assigned to the
+    * highest-cosine domain (label tiebreak), with the self-assignment
+    * flag that makes the output a confusion audit of the embedding
+    * space. One corpus scan against |labels| broadcast centroids; no
+    * shuffle beyond the centroid build. */
+  def domainAssign(embeddings: DataFrame): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val seeds = exactMeans(corpus.select(col("label"), col("v")), "label")
+      .select(col("label").as("domain"), col("centroid"))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("scos").desc, col("domain"))
+    corpus
+      .crossJoin(broadcast(seeds))
+      .withColumn("scos", cosine(col("v"), col("centroid")))
+      .withColumn("r", row_number().over(wv))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("label"), col("domain"),
+        round(col("scos"), 6).as("cos"),
+        (col("domain") === col("label")).as("is_home"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact embedding covariance matrix (upper triangle) — the
     * distributed half of PCA / whitening / decorrelation: every entry is
     * cov(X_i, X_j) over the corpus, from EXACT decimal moment sums (the

@@ -42,6 +42,50 @@ class OperatorSpec extends AnyFunSuite {
         s"stale allowlist entries: ${rowsOnlyByDesign -- noOracle}")
   }
 
+  test("dedup weights: every doc weighted, each cluster contributes " +
+      "one doc of mass") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = operators.Pipeline.dedupWeights(docs).collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall { r =>
+      val w = r.getDouble(3); w > 0.0 && w <= 1.0
+    })
+    // soft-dedup contract: Σ weight over a cluster == 1 (one document's
+    // worth of training mass per near-dup family)
+    rows.groupBy(_.getLong(1)).foreach { case (c, rs) =>
+      val mass = rs.map(_.getDouble(3)).sum
+      assert(math.abs(mass - 1.0) < 1e-6, s"cluster $c mass $mass")
+      assert(rs.forall(_.getLong(2) == rs.length.toLong))
+    }
+    // singletons weigh exactly 1.0
+    assert(rows.filter(_.getLong(2) == 1L).forall(_.getDouble(3) == 1.0))
+  }
+
+  test("budget select is the exact greedy prefix under the token budget") {
+    val docs = Tables.load(spark, sf, "documents")
+    val budget = 10000L
+    val sel = operators.Pipeline.budgetSelect(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sel.nonEmpty && sel.forall(_._4 <= budget))
+    // recompute the greedy on the driver from scratch
+    val all = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2) * 1000000L / r.getLong(1)))
+    val ordered = all.sortBy { case (id, _, s) => (-s, id) }
+    var cum = 0L
+    val expect = ordered.takeWhile { case (_, n, _) =>
+      cum += n; cum <= budget
+    }.map(_._1).toSet
+    assert(sel.map(_._1).toSet == expect)
+    // maximality: the next doc in greedy order would overflow
+    val selected = sel.map(_._1).toSet
+    ordered.find(t => !selected.contains(t._1)).foreach { next =>
+      assert(sel.map(_._3).sum + next._2 > budget)
+    }
+  }
+
   test("leakage-safe splits: no near-dup cluster straddles two splits") {
     val rows = operators.Pipeline
       .leakageSafeSplits(Tables.load(spark, sf, "documents")).collect()

@@ -187,6 +187,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full.forall(_.getDouble(3) >= 0.9))
   }
 
+  test("domainAssign picks the argmax centroid for every vector") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+    val out = vector.Similarity.domainAssign(df).collect()
+    assert(out.length == df.count())
+    assert(out.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    // recompute the winner for a handful of vectors from scratch
+    val centroids = df
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .collect().groupBy(_.get(0).toString)
+    val some = df.filter(col("vec_id") < 5).collect()
+    some.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      val best = centroids.map { case (lab, rows) =>
+        val c = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        val dot = v.zip(c).map { case (a, b) => a * b }.sum
+        val cos = dot / (math.sqrt(v.map(x => x * x).sum) *
+          math.sqrt(c.map(x => x * x).sum))
+        (lab, cos)
+      }.maxBy { case (lab, cos) => (cos, -lab.toLong) }
+      val vid = r.getLong(r.fieldIndex("vec_id"))
+      val assigned = out.find(_.getLong(0) == vid).get
+      assert(assigned.get(assigned.fieldIndex("domain")).toString ==
+        best._1, s"vec $vid")
+    }
+  }
+
   test("semDedup sub-blocking caps candidates without inventing dups") {
     // blockCap larger than any cluster → identity blocking (the
     // fixture/production default path); a tiny blockCap forces every
