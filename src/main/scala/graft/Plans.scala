@@ -84,9 +84,12 @@ object Plans {
       "accumulation as a partial-agg'd d²-group aggregate over " +
       "narrow exploded rows — linear in the corpus, d is a model " +
       "constant"),
-    "q_jaccard_prefix" -> ("PPJoin verification by per-doc hash ARRAYS: " +
-      "candidates join two array-carrying rows and intersect inside " +
-      "codegen — no candidate × per-shingle row blowup"),
+    "q_jaccard_prefix" -> ("PPJoin verification by per-doc SORTED hash " +
+      "arrays: the lossless length filter prunes on narrow int rows " +
+      "before any array ships, then candidates join two array-carrying " +
+      "rows and the codegen'd sorted_intersect_count two-pointer merge " +
+      "(no per-row hash set) counts the overlap — no candidate × " +
+      "per-shingle row blowup"),
     "q_pca_project" -> ("corpus statistics via ONE GramMoments buffer " +
       "per partition (no self-join, no N·d shuffle), then one " +
       "projection pass: 64 components broadcast, decimal-quantized " +
@@ -107,7 +110,19 @@ object Plans {
       "fact-fact shuffle never appears in the plan"),
     "q_mean_pairwise" -> ("Gram-identity mean pairwise dot: the N^2 " +
       "pair join is absent - one dim-grain aggregate (64 keys) + one " +
-      "per-row fold aggregate, combined by broadcast of 1-row relations"))
+      "per-row fold aggregate, combined by broadcast of 1-row relations"),
+    "q_budget_select" -> ("token-budget greedy WITHOUT a global window: " +
+      "per-doc cumulative sums run in bucket-PARTITIONED windows, " +
+      "offset by broadcast bucket running totals — the only " +
+      "whole-corpus ordering lives at the ≤1001-bucket grain"),
+    "q_semdedup" -> ("SemDeDup pair join keyed on (cluster, sub-block): " +
+      "the block id is a hash expression (no cluster-sized sort or " +
+      "window), so hot clusters split into capped shuffle-parallel " +
+      "groups and the pair explosion stays linear in the corpus"),
+    "q_domain_assign" -> ("corpus routed against broadcast exact-mean " +
+      "centroid profiles: one scan, cosine + argmax window at vec " +
+      "grain — the only shuffle builds the |labels|-row centroid " +
+      "table"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
