@@ -109,10 +109,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
+      // containsNull arrays are REJECTED, not tolerated: both eval
+      // paths read slots with getLong, which would silently decode a
+      // NULL element as 0L and count spurious matches against genuine
+      // zeros — a wrong COUNT, worse than a type error
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count requires array<bigint> inputs, got ($l, $r)")
+        "sorted_intersect_count requires array<bigint> inputs with " +
+          s"non-nullable elements, got ($l, $r)")
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"

@@ -70,9 +70,24 @@ object Multimodal {
         val hist = new Array[Long](256)
         all.foreach(b => hist(b) += 1)
         val n = math.max(all.length, 1).toDouble
-        val entropy = hist.filter(_ > 0).map { c =>
-          val p = c / n; -p * math.log(p) / math.log(2.0)
-        }.sum
+        // entropy terms quantized to scale 12 and summed EXACTLY (the
+        // decSum convention): a plain double sum is addition-order-
+        // dependent, and the DuckDB oracle's sum() carries no order —
+        // the exact-decimal reduction is what makes the compare
+        // order-free on both sides
+        var eSum = java.math.BigDecimal.ZERO
+        var b = 0
+        while (b < 256) {
+          val c = hist(b)
+          if (c > 0) {
+            val p = c / n
+            eSum = eSum.add(
+              java.math.BigDecimal.valueOf(-p * math.log(p) / math.log(2.0))
+                .setScale(12, java.math.RoundingMode.HALF_UP))
+          }
+          b += 1
+        }
+        val entropy = eSum.doubleValue
         MediaFeatures(rec.mediaId, rec.meta.mediaType, rec.meta.nBytes,
           mean, math.round(entropy * 1000), decoded.length)
       }
@@ -166,8 +181,10 @@ object Multimodal {
   // -------------------------------------------------------------------
   // DuckDB oracles: StubCodec.decode is deterministic integer
   // arithmetic over the payload bytes, and the fixture text is pure
-  // ASCII (FixtureContractSpec would surface drift), so byte p of the
-  // payload is ascii(substring(text, p+1, 1)) — fully replayable in
+  // ASCII — a CONTENT precondition the schema contract can't see, so
+  // FixtureContractSpec's "documents.text is pure ASCII" canary pins it
+  // by counting octet_length != length rows. While it holds, byte p of
+  // the payload is ascii(substring(text, p+1, 1)) — fully replayable in
   // SQL, the bpeTrain / z-value bit-interleave precedent.
   // -------------------------------------------------------------------
 
@@ -175,7 +192,9 @@ object Multimodal {
     * bytes (0..255) % len; entropy over that 256-value histogram uses
     * the identical -(c/256)·ln(c/256)/ln(2) term per bucket (dyadic p,
     * so both engines feed ln the same double; the ≤1-ulp libm noise is
-    * 1e-13 against the 5e-4 milli-rounding granularity). */
+    * 1e-13 against the 5e-4 milli-rounding granularity), each term
+    * quantized to DECIMAL(28,12) and summed exactly so neither engine's
+    * aggregation ORDER can move the sum (the decSum convention). */
   def featurePipelineOracleSql: String =
     """WITH d AS (
          SELECT doc_id, 'image/stub-' || lang AS "mediaType", text,
@@ -190,7 +209,8 @@ object Multimodal {
          FROM b GROUP BY 1, 2, 3),
        ent AS (
          SELECT doc_id, "mediaType",
-           CAST(round(sum(-(c / 256.0) * ln(c / 256.0) / ln(2.0)) * 1000)
+           CAST(round(CAST(sum(CAST(-(c / 256.0) * ln(c / 256.0) / ln(2.0)
+               AS DECIMAL(28,12))) AS DOUBLE) * 1000)
              AS BIGINT) AS em
          FROM h GROUP BY 1, 2)
        SELECT "mediaType", count(*) AS n_items,

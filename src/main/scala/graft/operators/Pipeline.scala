@@ -492,9 +492,13 @@ object Pipeline {
     * splits doc_id into its low/high 31-bit halves and mixes each with
     * an independent odd multiplier, pre-reducing every product mod 2^32
     * so int64 never overflows (ANSI mode would error on wrap, not
-    * corrupt); two doc_ids share a sample sequence only if they agree
-    * in BOTH halves, i.e. the aliasing period is 2^62 — beyond any
-    * corpus. Scale shape: 1-row corpus count
+    * corrupt). Aliasing: for doc_id < 2^31 (corpora to 2 billion docs)
+    * the map is INJECTIVE — an odd multiplier is a unit mod 2^32, so
+    * lo·C1 is distinct for distinct lo; beyond that, two ids share a
+    * sequence only when Δlo·C1 ≡ −Δhi·C2 (mod 2^32), an exact modular
+    * coincidence at ~2^-32 per pair — unlike the former % 1000003
+    * pre-fold, which made every id and id+1000003 collide
+    * SYSTEMATICALLY. Scale shape: 1-row corpus count
     * broadcast, bounded k-fold explode, one shuffle join on the sampled
     * id — no cross join anywhere. Assumes the contiguous [0, n) doc_id
     * index the fixture provides; a sparse-id corpus would first build

@@ -446,7 +446,12 @@ object Similarity {
     * splits, the keeper is the lowest-id near-dup within the same
     * block (bounded-candidate blocking, the suppPerPart/maxDf
     * precedent). Assignment is one corpus scan against broadcast
-    * centroids. No all-pairs join exists. */
+    * centroids. No all-pairs join exists.
+    *
+    * NOTE: construction is EAGER (the bpeTrain-documented pattern) —
+    * the assignment cache materializes, the decision table persists,
+    * and the assignment cache is released before returning; callers
+    * that drop results in a long-lived session own `.unpersist()`. */
   def semDedup(embeddings: DataFrame, threshold: Double = 0.40,
       blockCap: Int = 512): DataFrame = {
     val corpus = embeddings
@@ -454,12 +459,18 @@ object Similarity {
     val seeds = exactMeans(corpus.select(col("label"), col("v")), "label")
     val wv = Window.partitionBy(col("vec_id"))
       .orderBy(col("scos").desc, col("label"))
+    // assigned feeds FOUR subtrees (the sizes aggregate + both pair-join
+    // sides, each joined back to sizes) — persist so the centroid
+    // crossJoin + assignment window run once, not up to four times;
+    // released after the result materializes (the jaccardPrefixPairs
+    // cache-swap pattern)
     val assigned = corpus.select(col("vec_id"), col("v"))
       .crossJoin(broadcast(seeds))
       .withColumn("scos", cosine(col("v"), col("centroid")))
       .withColumn("r", row_number().over(wv))
       .filter(col("r") === 1)
       .select(col("vec_id"), col("v"), col("label").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-size-derived sub-blocking: cluster sizes are a tiny
     // (≤ centroid-count rows) aggregate, broadcast back; block id is
     // the engine's standard overflow-safe multiplicative hash
@@ -476,7 +487,8 @@ object Similarity {
     val b = blocked.select(col("cluster").as("cb"), col("blk").as("bb"),
       col("vec_id").as("id_b"), col("v").as("vb"))
     val wd = Window.partitionBy(col("id_b")).orderBy(col("id_a"))
-    a.join(b, col("ca") === col("cb") && col("ba") === col("bb") &&
+    val result = a
+      .join(b, col("ca") === col("cb") && col("ba") === col("bb") &&
         col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
@@ -485,6 +497,13 @@ object Similarity {
       .select(col("id_b").as("dup_id"), col("id_a").as("kept_id"),
         col("ca").as("cluster"), round(col("cos"), 3).as("cos"))
       .orderBy(col("dup_id"))
+      // cache swap (caller contract as in Dedup.jaccardPrefixPairs):
+      // materialize the small decision table while `assigned` is hot,
+      // then release the corpus-sized assignment cache
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    assigned.unpersist()
+    result
   }
 
   /** Nearest-centroid DOMAIN CLASSIFICATION — the corpus-curation step

@@ -19,6 +19,26 @@ class FixtureContractSpec extends AnyFunSuite {
         "StreamingPipeline.eventsStream).")
   }
 
+  test("documents.text is pure ASCII (the media-oracle byte==char " +
+      "precondition)") {
+    // The q_media_features / q_media_frames oracles index payload BYTES
+    // as ascii(substring(text, p+1, 1)) — valid only while every char
+    // is one byte. A regenerated fixture with any multi-byte character
+    // would keep the schema contract green but silently diverge the
+    // engines, so the content precondition gets its own named canary.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val nonAscii = docs
+      .filter(length(col("text").cast("binary")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text: the media oracles' " +
+        "byte-indexing arithmetic no longer matches Spark's UTF-8 " +
+        "payload bytes — rework Multimodal.*OracleSql byte extraction")
+    assert(docs.filter(length(col("text")) === 0).count() == 0,
+      "empty documents would crash StubCodec.decode's payload(0) read")
+  }
+
   test("normalizeTs canonicalizes every known events.ts vintage") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

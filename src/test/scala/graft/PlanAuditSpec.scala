@@ -39,6 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // bucket-grid rewrite instead (see bm25Rank, giniRevenue).
   private val globalWindowAllowed = Set(
     "q_benford",         // 9 leading-digit rows post-agg
+    "q_budget_select",   // ≤1001 score-bucket rows (the per-doc
+                         // cumulative windows ARE partitioned; only
+                         // the bucket running total is global)
     "q_contingency",     // |event_types|·7 grid rows post-agg
     "q_equidepth_hist",  // strictRankViaBuckets bucket grid
     "q_gini",            // cent-bucket grid (value-range / $1000)
