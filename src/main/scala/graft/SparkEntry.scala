@@ -756,6 +756,44 @@ object SparkEntry {
        FROM k WHERE rn = 1 ORDER BY dup_id"""
   }
 
+  /** The near-dup pair graph -> connected-components closure shared by
+    * the q_dedup_clusters / q_split_leakage / q_cluster_canonical /
+    * q_dedup_weights oracles: word-3-gram shingles, Jaccard >= 0.5
+    * pairs, both edge directions, recursive transitive closure,
+    * min-reachable-id label. Ends in lab(doc_id, cluster_id) — member
+    * (edge-connected) docs only; each oracle handles singletons its
+    * own way. */
+  private val nearDupClusterCtes: String =
+    """tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         cnt AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jp AS (
+           SELECT doc_a, doc_b FROM cnt
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE CAST(n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM jp
+           UNION SELECT doc_b, doc_a FROM jp),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         lab AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src)"""
+
   /** Domain-assignment oracle: the semDedup assignment CTEs with the
     * centroid label exposed as `domain` and the self-assignment flag. */
   private def domainAssignOracleSql: String = {
@@ -2278,68 +2316,13 @@ object SparkEntry {
     // Connected components = min reachable id via recursive CTE over the
     // same jaccard pair graph the Spark side propagates labels on.
     "q_dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id,
-             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(len(w) - 2),
-                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
-           FROM tok),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         cnt AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         jp AS (
-           SELECT doc_a, doc_b FROM cnt
-           JOIN sizes sa ON doc_a = sa.doc_id
-           JOIN sizes sb ON doc_b = sb.doc_id
-           WHERE CAST(n_common AS DOUBLE)
-             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
-         edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM jp
-           UNION SELECT doc_b, doc_a FROM jp),
-         reach(src, dst) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         SELECT src AS doc_id,
-           least(src, min(dst)) AS cluster_id,
-           least(src, min(dst)) = src AS is_canonical
-         FROM reach GROUP BY src ORDER BY doc_id""",
+      s"""WITH RECURSIVE $nearDupClusterCtes
+         SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
+         FROM lab ORDER BY doc_id""",
     // Same pair/closure CTE as q_dedup_clusters, then cluster sizes and
     // the 1/|cluster| soft-dedup weight (singletons weigh 1.0).
     "q_dedup_weights" ->
-      """WITH RECURSIVE tok AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id,
-             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(len(w) - 2),
-                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
-           FROM tok),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         cnt AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         jp AS (
-           SELECT doc_a, doc_b FROM cnt
-           JOIN sizes sa ON doc_a = sa.doc_id
-           JOIN sizes sb ON doc_b = sb.doc_id
-           WHERE CAST(n_common AS DOUBLE)
-             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
-         edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM jp
-           UNION SELECT doc_b, doc_a FROM jp),
-         reach(src, dst) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         lab AS (
-           SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-           FROM reach GROUP BY src),
+      s"""WITH RECURSIVE $nearDupClusterCtes,
          csz AS (SELECT cluster_id, count(*) AS cluster_size
            FROM lab GROUP BY cluster_id),
          w2 AS (
@@ -2358,35 +2341,7 @@ object SparkEntry {
     // hashed on the CLUSTER id (singletons keep their own id) — the
     // leakage-safety property verified is exactly the oracle's.
     "q_split_leakage" ->
-      """WITH RECURSIVE tok AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id,
-             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(len(w) - 2),
-                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
-           FROM tok),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         cnt AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         jp AS (
-           SELECT doc_a, doc_b FROM cnt
-           JOIN sizes sa ON doc_a = sa.doc_id
-           JOIN sizes sb ON doc_b = sb.doc_id
-           WHERE CAST(n_common AS DOUBLE)
-             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
-         edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM jp
-           UNION SELECT doc_b, doc_a FROM jp),
-         reach(src, dst) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         lab AS (
-           SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-           FROM reach GROUP BY src),
+      s"""WITH RECURSIVE $nearDupClusterCtes,
          alldocs AS (
            SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
            FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
@@ -2401,35 +2356,7 @@ object SparkEntry {
     // Same pair/closure CTE as q_dedup_clusters, then survivor pick:
     // largest doc per cluster (tie → lowest id) + all singletons.
     "q_cluster_canonical" ->
-      """WITH RECURSIVE tok AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id,
-             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(len(w) - 2),
-                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
-           FROM tok),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         cnt AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         jp AS (
-           SELECT doc_a, doc_b FROM cnt
-           JOIN sizes sa ON doc_a = sa.doc_id
-           JOIN sizes sb ON doc_b = sb.doc_id
-           WHERE CAST(n_common AS DOUBLE)
-             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
-         edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM jp
-           UNION SELECT doc_b, doc_a FROM jp),
-         reach(src, dst) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         lab AS (
-           SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-           FROM reach GROUP BY src),
+      s"""WITH RECURSIVE $nearDupClusterCtes,
          cl AS (
            SELECT l.doc_id, l.cluster_id, d.n_chars,
              row_number() OVER (PARTITION BY l.cluster_id

@@ -446,31 +446,20 @@ object Similarity {
     * splits, the keeper is the lowest-id near-dup within the same
     * block (bounded-candidate blocking, the suppPerPart/maxDf
     * precedent). Assignment is one corpus scan against broadcast
-    * centroids. No all-pairs join exists.
-    *
-    * NOTE: construction is EAGER (the bpeTrain-documented pattern) —
-    * the assignment cache materializes, the decision table persists,
-    * and the assignment cache is released before returning; callers
-    * that drop results in a long-lived session own `.unpersist()`. */
+    * centroids. No all-pairs join exists. */
   def semDedup(embeddings: DataFrame, threshold: Double = 0.40,
       blockCap: Int = 512): DataFrame = {
-    val corpus = embeddings
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val seeds = exactMeans(corpus.select(col("label"), col("v")), "label")
-    val wv = Window.partitionBy(col("vec_id"))
-      .orderBy(col("scos").desc, col("label"))
-    // assigned feeds FOUR subtrees (the sizes aggregate + both pair-join
-    // sides, each joined back to sizes) — persist so the centroid
-    // crossJoin + assignment window run once, not up to four times;
-    // released after the result materializes (the jaccardPrefixPairs
-    // cache-swap pattern)
-    val assigned = corpus.select(col("vec_id"), col("v"))
-      .crossJoin(broadcast(seeds))
-      .withColumn("scos", cosine(col("v"), col("centroid")))
-      .withColumn("r", row_number().over(wv))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("v"), col("label").as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // assigned feeds FOUR plan subtrees (the sizes aggregate + both
+    // pair-join sides, each joined back to sizes). Deliberately LAZY:
+    // the subtrees are identical up to their exchanges, so AQE's
+    // ReusedExchange dedups them at runtime — measured both ways, the
+    // persist-and-release alternative cost +1.0 s in-bench (cache
+    // write + eager job) vs the lazy form's 1.3 s total, and the 64×
+    // ScalingProbe curve (sublinear) was measured on the lazy form.
+    val assigned = nearestCentroid(embeddings
+        .select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v")))
+      .select(col("vec_id"), col("v"), col("domain").as("cluster"))
     // corpus-size-derived sub-blocking: cluster sizes are a tiny
     // (≤ centroid-count rows) aggregate, broadcast back; block id is
     // the engine's standard overflow-safe multiplicative hash
@@ -487,8 +476,7 @@ object Similarity {
     val b = blocked.select(col("cluster").as("cb"), col("blk").as("bb"),
       col("vec_id").as("id_b"), col("v").as("vb"))
     val wd = Window.partitionBy(col("id_b")).orderBy(col("id_a"))
-    val result = a
-      .join(b, col("ca") === col("cb") && col("ba") === col("bb") &&
+    a.join(b, col("ca") === col("cb") && col("ba") === col("bb") &&
         col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
@@ -497,26 +485,14 @@ object Similarity {
       .select(col("id_b").as("dup_id"), col("id_a").as("kept_id"),
         col("ca").as("cluster"), round(col("cos"), 3).as("cos"))
       .orderBy(col("dup_id"))
-      // cache swap (caller contract as in Dedup.jaccardPrefixPairs):
-      // materialize the small decision table while `assigned` is hot,
-      // then release the corpus-sized assignment cache
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    assigned.unpersist()
-    result
   }
 
-  /** Nearest-centroid DOMAIN CLASSIFICATION — the corpus-curation step
-    * that routes each document to a domain mixture (and the assignment
-    * half of SemDeDup/IVF exposed first-class): every vector against
-    * the per-label exact-mean centroid profiles, assigned to the
-    * highest-cosine domain (label tiebreak), with the self-assignment
-    * flag that makes the output a confusion audit of the embedding
-    * space. One corpus scan against |labels| broadcast centroids; no
-    * shuffle beyond the centroid build. */
-  def domainAssign(embeddings: DataFrame): DataFrame = {
-    val corpus = embeddings
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+  /** Shared nearest-centroid assignment: corpus (vec_id, label, v) →
+    * one row per vector at its winning per-label exact-mean centroid
+    * (cosine desc, domain tiebreak), columns (vec_id, label, v, domain,
+    * scos). The assignment half of SemDeDup / IVF / domain routing —
+    * one corpus scan against \|labels\| broadcast centroids. */
+  private def nearestCentroid(corpus: DataFrame): DataFrame = {
     val seeds = exactMeans(corpus.select(col("label"), col("v")), "label")
       .select(col("label").as("domain"), col("centroid"))
     val wv = Window.partitionBy(col("vec_id"))
@@ -526,11 +502,23 @@ object Similarity {
       .withColumn("scos", cosine(col("v"), col("centroid")))
       .withColumn("r", row_number().over(wv))
       .filter(col("r") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("domain"),
+        col("scos"))
+  }
+
+  /** Nearest-centroid DOMAIN CLASSIFICATION — the corpus-curation step
+    * that routes each document to a domain mixture (and
+    * [[nearestCentroid]] exposed first-class): highest-cosine domain
+    * with the self-assignment flag that makes the output a confusion
+    * audit of the embedding space. */
+  def domainAssign(embeddings: DataFrame): DataFrame =
+    nearestCentroid(embeddings
+        .select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v")))
       .select(col("vec_id"), col("label"), col("domain"),
         round(col("scos"), 6).as("cos"),
         (col("domain") === col("label")).as("is_home"))
       .orderBy(col("vec_id"))
-  }
 
   /** Exact embedding covariance matrix (upper triangle) — the
     * distributed half of PCA / whitening / decorrelation: every entry is
