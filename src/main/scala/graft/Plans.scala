@@ -122,7 +122,11 @@ object Plans {
     "q_domain_assign" -> ("corpus routed against broadcast exact-mean " +
       "centroid profiles: one scan, cosine + argmax window at vec " +
       "grain — the only shuffle builds the |labels|-row centroid " +
-      "table"))
+      "table"),
+    "q_range_bands" -> ("custom BroadcastRangeJoinExec: interval dim " +
+      "broadcast (the exchange is visible below the exec), fact side " +
+      "probes by binary search + running-max-hi walk — the plan a " +
+      "naive BETWEEN join would render as BroadcastNestedLoopJoin"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -188,6 +188,7 @@ object SparkEntry {
     "q_trailing_1h" -> t("events")(E.trailingHourSum),
     "q_scd2" -> t("events")(E.scd2Build),
     "q_cdc_apply" -> t("events")(E.cdcApply),
+    "q_range_bands" -> t("events")(E.rangeBandCounts),
     "q_ewma" -> t("events")(E.ewma),
     "q_transitions" -> t("events")(E.transitions),
     "q_skyline" -> t("part")(operators.Extended.skylineParts),
@@ -943,6 +944,7 @@ object SparkEntry {
            lead(ts, 1) OVER (PARTITION BY user_id
              ORDER BY ts, event_id) IS NULL AS is_current
          FROM events ORDER BY user_id, valid_from, event_id""",
+    "q_range_bands" -> E.rangeBandCountsOracleSql,
     "q_cdc_apply" ->
       """WITH c AS (
            SELECT user_id, ts, event_id, value,

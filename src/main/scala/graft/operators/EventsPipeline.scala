@@ -540,6 +540,59 @@ object EventsPipeline {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** Interval-containment lookup via the custom BROADCAST RANGE JOIN
+    * physical operator ([[graft.plans.RangeJoin]]): events routed into
+    * OVERLAPPING data-anchored time bands — a 12-hour grid (8 bands)
+    * and a 24-hour grid (4 bands) over the trailing 4 days, so every
+    * in-range event matches exactly TWO intervals (the multi-match
+    * case the operator exists for; a single grid would be expressible
+    * as a plain bucket equi-join). Bounds are exact integer micros
+    * with inclusive [lo, hi] = (anchor−(i+1)·W, anchor−i·W] per band,
+    * adjacent bands non-overlapping within a grid.
+    *
+    * Scale: the band table is dimension-sized and broadcast; the fact
+    * side never shuffles for the join (the broadcast-hash-join shape,
+    * for intervals); each probe is a binary search + O(matches) walk —
+    * never the BroadcastNestedLoopJoin O(N·M) sweep a naive BETWEEN
+    * join plans as. The residual aggregation is map-side-combining at
+    * band grain. */
+  def rangeBandCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val h12 = 12L * 3600L * 1000000L
+    val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor"))
+    def grid(tag: Int, n: Int, w: Long) =
+      spark.range(n).crossJoin(broadcast(anchor))
+        .select((lit(tag) + col("id")).as("band_id"),
+          (col("anchor") - (col("id") + 1) * lit(w) + 1).as("lo"),
+          (col("anchor") - col("id") * lit(w)).as("hi"))
+    val bands = grid(1200, 8, h12).unionAll(grid(2400, 4, 2 * h12))
+    val probe = events.select(unix_micros(col("ts")).as("x"), col("value"))
+    graft.plans.RangeJoin
+      .broadcastRangeJoin(probe, bands, "x", "lo", "hi")
+      .groupBy(col("r_band_id").as("band_id"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .orderBy(col("band_id"))
+  }
+
+  /** DuckDB oracle for [[rangeBandCounts]] — the same bands from the
+    * same integer-micros arithmetic, joined as a literal BETWEEN. */
+  def rangeBandCountsOracleSql: String =
+    s"""WITH a AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+       b12 AS (SELECT 1200 + i AS band_id,
+           anchor - (i + 1) * 43200000000 + 1 AS lo,
+           anchor - i * 43200000000 AS hi
+         FROM (SELECT unnest(range(8)) AS i), a),
+       b24 AS (SELECT 2400 + i AS band_id,
+           anchor - (i + 1) * 86400000000 + 1 AS lo,
+           anchor - i * 86400000000 AS hi
+         FROM (SELECT unnest(range(4)) AS i), a),
+       bands AS (SELECT * FROM b12 UNION ALL SELECT * FROM b24),
+       j AS (SELECT band_id, value FROM events e JOIN bands b
+         ON epoch_us(e.ts) BETWEEN b.lo AND b.hi)
+       SELECT band_id, count(*) AS n,
+         ${graft.Cols.sqlDecSum("value")} AS sum_value
+       FROM j GROUP BY band_id ORDER BY band_id"""
+
   /** lag/lead inter-arrival gaps per user (SURVEY.md §2.6 extension) in
     * exact integer microseconds. */
   def interArrival(events: DataFrame): DataFrame = {
