@@ -69,6 +69,11 @@ object ScalingProbe {
       time("sessionize", k) {
         operators.EventsPipeline.sessionize(ev).count()
       }
+      // custom broadcast range join: fixed 12-band dim broadcast, fact
+      // side probes in place — must stay scan-bound (near-linear)
+      time("range_bands", k) {
+        operators.EventsPipeline.rangeBandCounts(ev).count()
+      }
       ev.unpersist()
     }
 
