@@ -379,6 +379,12 @@ object SparkEntry {
     "q_dedup_digest" -> t("documents")(D.exactDedupByDigest),
     "q_jaccard_pairs" -> t("documents")(D.jaccardPairs(_)),
     "q_jaccard_prefix" -> t("documents")(D.jaccardPrefixPairs(_)),
+    // Production threshold (t=0.8): the prefix is |d|−⌈0.8|d|⌉+1 ≈ 0.2|d|
+    // (vs 0.6|d| at the 0.4 demo threshold), so the index holds only the
+    // rare tail and the verify join's candidate volume collapses — the
+    // selectivity regime PPJoin exists for (SCALING.md measures the drop).
+    "q_jaccard_prefix_hi" ->
+      t("documents")(D.jaccardPrefixPairs(_, threshold = 0.8)),
     "q_minhash_lsh" -> t("documents")(D.minhashLshPairs(_)),
     "q_minhash_neutral" -> t("documents")(D.minhashLshPairsNeutral(_)),
     "q_minhash_est" -> t("documents")(D.minhashEstimate(_)),
@@ -395,6 +401,10 @@ object SparkEntry {
     "q_knn_ivf_disk" -> ((s, dir) => V.ivfDiskTopK(s, dir)),
     "q_knn_ivf_mp" -> t("embeddings")(V.ivfTopK(_, nprobe = 2)),
     "q_knn_ivf_refined" -> t("embeddings")(V.ivfRefinedTopK(_)),
+    // Multi-round Lloyd trainer (R=3): per-(round, cluster) member
+    // counts + inertia; total inertia non-increasing pinned in
+    // SimilaritySpec.
+    "q_kmeans" -> t("embeddings")(V.kmeansTrain(_)),
     "q_ann_recall" -> t("embeddings")(V.annRecall(_)),
     "q_pq_recall" -> t("embeddings")(V.pqRecall(_)),
     // fixture embeddings are near-random (max within-cluster cos ≈0.5),
@@ -576,6 +586,35 @@ object SparkEntry {
          SELECT query_id, rank, vec_id, round(cos, 3) AS cos
          FROM r2 WHERE rank <= 10 ORDER BY query_id, rank"""
   }
+
+  /** Exact quadratic shingle-Jaccard self-join at `threshold` — the
+    * shared oracle for q_jaccard_pairs and both jaccardPrefixPairs
+    * variants (prefix filtering is lossless, so the sub-quadratic
+    * plans must match this all-pairs form bit-for-bit). */
+  private def jaccardAllPairsOracleSql(threshold: Double): String =
+    s"""WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_common,
+            CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $threshold
+         ORDER BY doc_a, doc_b"""
 
   /** IVF + one Lloyd refinement: re-assign to nearest seed, exact-mean
     * the new clusters, probe the refined index. */
@@ -2264,57 +2303,13 @@ object SparkEntry {
     "q_dpp_date" -> sources.Sources.dppDateRollupOracleSql,
     "q_bpe_tokens" -> T.bpeTokenStatsOracleSql,
     "q_bpe_train" -> T.bpeTrainOracleSql(),
-    "q_jaccard_pairs" ->
-      """WITH tok AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id,
-             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(len(w) - 2),
-                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
-           FROM tok),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-           FROM sh a JOIN sh b
-             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b, n_common,
-            CAST(n_common AS DOUBLE)
-              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
-         FROM pairs
-         JOIN sizes sa ON doc_a = sa.doc_id
-         JOIN sizes sb ON doc_b = sb.doc_id
-         WHERE CAST(n_common AS DOUBLE)
-              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
-         ORDER BY doc_a, doc_b""",
-    // Same exact all-pairs oracle at the prefix variant's threshold —
-    // prefix filtering is lossless, so the sub-quadratic plan must
-    // reproduce the quadratic self-join bit-for-bit.
-    "q_jaccard_prefix" ->
-      """WITH tok AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id,
-             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(len(w) - 2),
-                 i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
-           FROM tok),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-           FROM sh a JOIN sh b
-             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b, n_common,
-            CAST(n_common AS DOUBLE)
-              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
-         FROM pairs
-         JOIN sizes sa ON doc_a = sa.doc_id
-         JOIN sizes sb ON doc_b = sb.doc_id
-         WHERE CAST(n_common AS DOUBLE)
-              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
-         ORDER BY doc_a, doc_b""",
+    "q_jaccard_pairs" -> jaccardAllPairsOracleSql(0.5),
+    // Same exact all-pairs oracle at the prefix variants' thresholds —
+    // prefix filtering is lossless, so the sub-quadratic plans must
+    // reproduce the quadratic self-join bit-for-bit at BOTH the loose
+    // demo threshold and the production one.
+    "q_jaccard_prefix" -> jaccardAllPairsOracleSql(0.4),
+    "q_jaccard_prefix_hi" -> jaccardAllPairsOracleSql(0.8),
     // Connected components = min reachable id via recursive CTE over the
     // same jaccard pair graph the Spark side propagates labels on.
     "q_dedup_clusters" ->
@@ -2483,6 +2478,7 @@ object SparkEntry {
     "q_knn_ivf_disk" -> ivfOracleSql(nprobe = 1),
     "q_knn_ivf_mp" -> ivfOracleSql(nprobe = 2),
     "q_knn_ivf_refined" -> ivfRefinedOracleSql,
+    "q_kmeans" -> V.kmeansOracleSql(),
     "q_knn_pq" -> knnPqOracleSql,
     "q_media_features" -> M.featurePipelineOracleSql,
     "q_media_frames" -> M.framePipelineOracleSql,

@@ -174,7 +174,11 @@ object Dedup {
     // min(|A|,|B|) ≥ t·max(|A|,|B|) — provably lossless, and the size
     // join is (long, int) rows, ~30× narrower than the hash arrays the
     // verify join carries, so pruning here is nearly free
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // int cast: keep n_sh (and the na/nb it feeds) IntegerType, matching
+    // the size()-derived schema this relation replaced (ADVICE r8 — the
+    // grouped count is LongType and silently widened downstream columns)
+    val sizes = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_sh"))
     val candLen = cand
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
         Seq("doc_a"))

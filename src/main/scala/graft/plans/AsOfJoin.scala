@@ -174,9 +174,7 @@ object AsOfJoin {
       ordCols: Seq[String], prefix: String = "r_"): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    Strategies.ensureRegistered(spark, AsOfJoinStrategy)
     // Fresh exprIds + collision-free names on the right side.
     val renamed = right.select(
       right.columns.toIndexedSeq.map(c => col(c).as(prefix + c)): _*)

@@ -52,48 +52,101 @@ case class RangeJoinPlan(probeExpr: Expression, loExpr: Expression,
       r: LogicalPlan): RangeJoinPlan = copy(left = l, right = r)
 }
 
+object BroadcastRangeJoinExec {
+  /** The per-executor built index: intervals with non-null bounds
+    * sorted by lo, plus the running max of hi in lo-order. Immutable
+    * after construction (UnsafeRow copies), safe to share across the
+    * executor's task threads. */
+  private[plans] final case class BuiltIndex(lo: Array[InternalRow],
+      hi: Array[InternalRow], rows: Array[InternalRow],
+      maxHi: Array[InternalRow]) {
+    def isEmpty: Boolean = lo.isEmpty
+  }
+
+  /** Executor-side build cache (ADVICE r8: the O(M log M) sort and the
+    * three InternalRow copies per interval ran once PER TASK; they are
+    * a property of the broadcast value, so build once per executor and
+    * share). Keyed by (broadcast id, exec node id) — the exec id
+    * disambiguates two range joins reusing one broadcast exchange with
+    * different bound expressions. The whole get-or-build is under one
+    * lock: concurrent first tasks would otherwise duplicate exactly
+    * the work the cache exists to dedup, and the critical section is
+    * the dimension-sized build, entered once per key. Bounded LRU so
+    * long-lived sessions running many distinct range joins don't pin
+    * dead broadcast indexes. */
+  private val cache =
+    new java.util.LinkedHashMap[(Long, Int), BuiltIndex](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Int), BuiltIndex]): Boolean =
+        size() > 8
+    }
+
+  private[plans] def getOrBuild(key: (Long, Int))(build: => BuiltIndex)
+      : BuiltIndex = cache.synchronized {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else { val b = build; cache.put(key, b); b }
+  }
+}
+
 case class BroadcastRangeJoinExec(probeExpr: Expression, loExpr: Expression,
     hiExpr: Expression, left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
+  import BroadcastRangeJoinExec.BuiltIndex
+
   override def output: Seq[Attribute] = left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution ::
       BroadcastDistribution(IdentityBroadcastMode) :: Nil
 
+  /** Probe-side rows pass through in place and in order (each emits its
+    * matches consecutively), so the streamed side's partitioning and
+    * ordering survive — forwarding them lets downstream operators reuse
+    * the probe side's distribution instead of inserting an exchange
+    * (the BroadcastHashJoinExec shape; ADVICE r8). */
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lSchema = left.output
     val rSchema = right.output
     val pExpr = probeExpr; val loE = loExpr; val hiE = hiExpr
     val outAttrs = output
+    val execId = this.id
     val bc = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { lIter =>
       // single-column dummy schema for cross-row value comparisons,
       // compared with a generated (codegen'd) ordering — the
-      // AsOfJoinExec pattern
+      // AsOfJoinExec pattern. Generated per task (orderings are cheap
+      // after the first codegen-cache hit and not provably
+      // thread-safe); the built ARRAYS are shared via the cache.
       val vAttr = AttributeReference("v", pExpr.dataType,
         nullable = true)() :: Nil
       val cmp = GenerateOrdering.generate(
         vAttr.map(SortOrder(_, Ascending)), vAttr)
       val probeProj = UnsafeProjection.create(pExpr :: Nil, lSchema)
-      val loProj = UnsafeProjection.create(loE :: Nil, rSchema)
-      val hiProj = UnsafeProjection.create(hiE :: Nil, rSchema)
-      // build once per partition from the broadcast value: intervals
-      // with non-null bounds, sorted by lo, plus the running max of hi
-      val built = bc.value.flatMap { row =>
-        val lo = loProj(row).copy()
-        val hi = hiProj(row).copy()
-        if (lo.isNullAt(0) || hi.isNullAt(0)) None
-        else Some((lo, hi, row.copy()))
-      }.sortWith((a, b) => cmp.compare(a._1, b._1) < 0)
-      val maxHi = new Array[InternalRow](built.length)
-      var m = 0
-      while (m < built.length) {
-        maxHi(m) =
-          if (m == 0) built(0)._2
-          else if (cmp.compare(built(m)._2, maxHi(m - 1)) >= 0) built(m)._2
-          else maxHi(m - 1)
-        m += 1
+      val built = BroadcastRangeJoinExec.getOrBuild((bc.id, execId)) {
+        val loProj = UnsafeProjection.create(loE :: Nil, rSchema)
+        val hiProj = UnsafeProjection.create(hiE :: Nil, rSchema)
+        val ivs = bc.value.flatMap { row =>
+          val lo = loProj(row).copy()
+          val hi = hiProj(row).copy()
+          if (lo.isNullAt(0) || hi.isNullAt(0)) None
+          else Some((lo, hi, row.copy()))
+        }.sortWith((a, b) => cmp.compare(a._1, b._1) < 0)
+        val maxHi = new Array[InternalRow](ivs.length)
+        var m = 0
+        while (m < ivs.length) {
+          maxHi(m) =
+            if (m == 0) ivs(0)._2
+            else if (cmp.compare(ivs(m)._2, maxHi(m - 1)) >= 0) ivs(m)._2
+            else maxHi(m - 1)
+          m += 1
+        }
+        BuiltIndex(ivs.map(_._1), ivs.map(_._2), ivs.map(_._3), maxHi)
       }
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
@@ -102,10 +155,10 @@ case class BroadcastRangeJoinExec(probeExpr: Expression, loExpr: Expression,
         if (x.isNullAt(0) || built.isEmpty) Iterator.empty
         else {
           // binary search: last index with lo <= x
-          var a = 0; var b = built.length - 1; var ub = -1
+          var a = 0; var b = built.lo.length - 1; var ub = -1
           while (a <= b) {
             val mid = (a + b) >>> 1
-            if (cmp.compare(built(mid)._1, x) <= 0) { ub = mid; a = mid + 1 }
+            if (cmp.compare(built.lo(mid), x) <= 0) { ub = mid; a = mid + 1 }
             else b = mid - 1
           }
           if (ub < 0) Iterator.empty
@@ -117,11 +170,11 @@ case class BroadcastRangeJoinExec(probeExpr: Expression, loExpr: Expression,
               private var idx = ub
               private var nextRow: InternalRow = advance()
               private def advance(): InternalRow = {
-                while (idx >= 0 && cmp.compare(maxHi(idx), x) >= 0) {
-                  val (_, hi, rRow) = built(idx)
+                while (idx >= 0 && cmp.compare(built.maxHi(idx), x) >= 0) {
+                  val i = idx
                   idx -= 1
-                  if (cmp.compare(hi, x) >= 0)
-                    return outProj(joined(lCopy, rRow)).copy()
+                  if (cmp.compare(built.hi(i), x) >= 0)
+                    return outProj(joined(lCopy, built.rows(i))).copy()
                 }
                 null
               }
@@ -159,9 +212,7 @@ object RangeJoin {
       prefix: String = "r_"): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = probe.sparkSession
-    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ RangeJoinStrategy
+    Strategies.ensureRegistered(spark, RangeJoinStrategy)
     val renamed = build.select(
       build.columns.toIndexedSeq.map(c => col(c).as(prefix + c)): _*)
     val lPlan = probe.queryExecution.analyzed

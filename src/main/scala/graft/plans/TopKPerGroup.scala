@@ -103,9 +103,7 @@ object TopKPerGroup {
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    Strategies.ensureRegistered(spark, TopKStrategy)
     val child = df.queryExecution.analyzed
     val byName = child.output.map(a => a.name -> a).toMap
     def attr(n: String): Attribute = byName.getOrElse(n,

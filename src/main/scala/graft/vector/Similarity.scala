@@ -384,6 +384,140 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Squared Euclidean distance — sequential double fold (zip_with +
+    * aggregate), mirrored bit-for-bit by list_sum/list_transform in the
+    * DuckDB oracles (the cosine precedent). */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Multi-round Lloyd k-means trainer — the full iterative-ML job shape
+    * that [[ivfRefinedTopK]]'s single refinement round is one step of
+    * (generalized the way pcaTopK generalized pcaTop2): R rounds of
+    * assign → exact-decimal re-mean, with a per-(round, cluster) inertia
+    * report. Seeds are the per-label exact means (the deterministic
+    * stand-in every index here uses). Classic Euclidean Lloyd, so TOTAL
+    * inertia is non-increasing round over round (each assignment step
+    * can only lower Σd² against the old centroids, each re-mean step
+    * minimizes Σd² for the new assignment) — pinned in SimilaritySpec.
+    *
+    * Scale: per round, assignment is ONE corpus scan against the
+    * broadcast centroid block (k·d doubles) with a per-vector window
+    * (partitioned by vec_id — fully shuffle-parallel, the ivfRefined
+    * precedent), and re-meaning is one map-side-combining aggregation of
+    * (cluster, pos) partial sums. The corpus is persisted once and
+    * scanned R times — the canonical iterative-ML plan; centroids cross
+    * the driver between rounds as model values (k·d ≤ 640 doubles, the
+    * pcaTopK / k-means-seeds precedent). No all-pairs join, nothing
+    * corpus-sized ever collects.
+    *
+    * Determinism (oracle bit-parity): means are exact decimal(28,12)
+    * sums / counts; d² is a sequential double fold over identical
+    * centroid doubles; assignment ties break by cluster id; inertia is
+    * an exact decimal sum of d² against the ROUND'S OWN re-mean (so the
+    * reported sequence is E(a_r, m_r), the classically monotone one),
+    * rounded to 6 on output. Clusters that lose every member simply
+    * drop out of later rounds (both engines derive that from the same
+    * assignment). Output: (round, cluster, n_members, inertia). */
+  def kmeansTrain(embeddings: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .persist()
+    def collectCent(df: DataFrame): Seq[(Int, Seq[Double])] =
+      df.orderBy(col("cluster")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    var cent = collectCent(
+      exactMeans(corpus.select(col("label"), col("v")), "label")
+        .withColumnRenamed("label", "cluster"))
+    val assignedFrames = Seq.newBuilder[DataFrame]
+    val perRound = (1 to rounds).map { r =>
+      val centDf = cent.toDF("cluster", "centroid")
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cluster").asc)
+      val assigned = corpus.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(centDf))
+        .withColumn("d2", dist2(col("v"), col("centroid")))
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cluster"))
+        .persist()
+      assignedFrames += assigned
+      cent = collectCent(exactMeans(
+        assigned.select(col("cluster"), col("v")), "cluster"))
+      val mDf = cent.toDF("cluster", "centroid")
+      assigned.join(broadcast(mDf), "cluster")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          round(decSum(dist2(col("v"), col("centroid"))), 6).as("inertia"))
+        .select(lit(r).as("round"), col("cluster"),
+          col("n_members"), col("inertia"))
+    }
+    // materialize the tiny (R·k-row) deliverable while the per-round
+    // assignments are hot, then release the corpus-sized caches — the
+    // jaccardPrefixPairs cache-swap contract
+    val result = perRound.reduce(_ unionAll _)
+      .orderBy(col("round"), col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    assignedFrames.result().foreach(_.unpersist())
+    corpus.unpersist()
+    result
+  }
+
+  /** DuckDB oracle for [[kmeansTrain]]: the seed CTE and per-round
+    * assign / re-mean / inertia CTEs unrolled (AS MATERIALIZED — each
+    * round references the previous one several times, and inlining
+    * would re-expand the corpus scan exponentially, the pcaTopK
+    * lesson), with identical arithmetic throughout. */
+  def kmeansOracleSql(rounds: Int = 3): String = {
+    val d2 = "list_sum(list_transform(range(1, 65), " +
+      "j -> (a.e[j] - c.c[j]) * (a.e[j] - c.c[j])))"
+    val sb = new StringBuilder
+    sb.append("""WITH v AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         FROM embeddings),
+       dims0 AS (SELECT label AS cluster,
+           CAST(unnest(range(64)) AS INTEGER) AS pos, unnest(e) AS x
+         FROM v),
+       cent0 AS (SELECT cluster, pos,
+           CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS m
+         FROM dims0 GROUP BY cluster, pos),
+       c0 AS MATERIALIZED (SELECT cluster, list(m ORDER BY pos) AS c
+         FROM cent0 GROUP BY cluster)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+       asg$r AS MATERIALIZED (
+         SELECT vec_id, e, cluster FROM (
+           SELECT a.vec_id, a.e, c.cluster,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY $d2 ASC, c.cluster) AS rn
+           FROM v a CROSS JOIN c${r - 1} c) WHERE rn = 1),
+       dims$r AS (SELECT cluster,
+           CAST(unnest(range(64)) AS INTEGER) AS pos, unnest(e) AS x
+         FROM asg$r),
+       cent$r AS (SELECT cluster, pos,
+           CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS m
+         FROM dims$r GROUP BY cluster, pos),
+       c$r AS MATERIALIZED (SELECT cluster, list(m ORDER BY pos) AS c
+         FROM cent$r GROUP BY cluster),
+       i$r AS (
+         SELECT $r AS round, a.cluster, count(*) AS n_members,
+           round(CAST(sum(CAST($d2 AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS inertia
+         FROM asg$r a JOIN c$r c USING (cluster) GROUP BY a.cluster)""")
+    }
+    val union = (1 to rounds).map(r => s"SELECT * FROM i$r")
+      .mkString(" UNION ALL ")
+    sb.append(s"""
+       SELECT round, cluster, n_members, inertia FROM ($union)
+       ORDER BY round, cluster""")
+    sb.toString
+  }
+
   /** ANN index evaluation: per-query recall of the multi-probe LSH index
     * against the exact brute-force top-k — the in-engine metric that
     * justifies (or rejects) an index's recall/cost trade-off. Composes

@@ -239,6 +239,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansTrain: total inertia is non-increasing and every round " +
+      "partitions the corpus") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val n = emb.count()
+    val out = vector.Similarity.kmeansTrain(emb, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byRound = out.groupBy(_._1)
+    assert(byRound.keySet == Set(1, 2, 3, 4))
+    // each round's clusters partition the corpus exactly
+    byRound.values.foreach(rows => assert(rows.map(_._3).sum == n))
+    // Lloyd's guarantee: E(a_r, m_r) <= E(a_{r-1}, m_{r-1}); the
+    // per-cluster inertias are 6-dec rounded, so allow that quantum
+    val totals = (1 to 4).map(r => byRound(r).map(_._4).sum)
+    totals.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-5, s"inertia increased: $totals")
+    }
+    // the fixture's label seeds are not a fixpoint: round 2 must
+    // actually move (strict decrease), or the trainer degenerated to
+    // a no-op
+    assert(totals(1) < totals(0) - 1e-4, s"no movement: $totals")
+  }
+
   test("pcaTopK emits an orthonormal block with in-spectrum Rayleigh " +
       "eigenvalues") {
     val out = vector.Similarity
