@@ -405,6 +405,9 @@ object SparkEntry {
     // counts + inertia; total inertia non-increasing pinned in
     // SimilaritySpec.
     "q_kmeans" -> t("embeddings")(V.kmeansTrain(_)),
+    // IVF serving the trained quantizer: lists = final-round Lloyd
+    // assignment, probe = d²-nearest trained centroid.
+    "q_knn_ivf_trained" -> t("embeddings")(V.ivfTrainedTopK(_)),
     "q_ann_recall" -> t("embeddings")(V.annRecall(_)),
     "q_pq_recall" -> t("embeddings")(V.pqRecall(_)),
     // fixture embeddings are near-random (max within-cluster cos ≈0.5),
@@ -2479,6 +2482,7 @@ object SparkEntry {
     "q_knn_ivf_mp" -> ivfOracleSql(nprobe = 2),
     "q_knn_ivf_refined" -> ivfRefinedOracleSql,
     "q_kmeans" -> V.kmeansOracleSql(),
+    "q_knn_ivf_trained" -> V.ivfTrainedOracleSql(),
     "q_knn_pq" -> knnPqOracleSql,
     "q_media_features" -> M.featurePipelineOracleSql,
     "q_media_frames" -> M.framePipelineOracleSql,

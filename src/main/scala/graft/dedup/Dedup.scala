@@ -138,16 +138,20 @@ object Dedup {
     * instead of materializing candidate × per-doc-shingle rows (the
     * row-form join measured ~20M intermediate rows on a 260k-shingle
     * corpus — Σ|A| per candidate, for nothing). */
-  def jaccardPrefixPairs(documents: DataFrame, n: Int = 3,
-      threshold: Double = 0.4): DataFrame = {
-    // sh is referenced three times (df count, prefix ranking, doc-array
-    // build); it is a narrow (long, long) relation post-hash, so one
-    // materialization beats three shingle+hash recomputes — unlike the
-    // string-heavy exploded relations where persist measured slower.
-    val sh = documents
+  /** The narrow (doc_id, shingle-hash) relation every prefix-join stage
+    * reads — callers persist it (it is referenced three times: df count,
+    * prefix ranking, doc-array build). */
+  private def shingleHashes(documents: DataFrame, n: Int): DataFrame =
+    documents
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .persist()
+
+  /** Length-filtered candidate pairs from the prefix index over a
+    * (persisted) shingle-hash relation — the verify join's input:
+    * (doc_a, doc_b, na, nb). Factored out so the candidate VOLUME at a
+    * threshold is measurable on its own (SCALING.md's selectivity
+    * curve) without running the verify join. */
+  private def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     // df via a grouped count joined back (a list-free shuffle of (h,
     // count) pairs — building collect_list postings only to re-explode
     // them allocates every list twice for nothing); one shuffle by doc
@@ -179,13 +183,34 @@ object Dedup {
     // grouped count is LongType and silently widened downstream columns)
     val sizes = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_sh"))
-    val candLen = cand
+    cand
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
         Seq("doc_b"))
       .filter(least(col("na"), col("nb")).cast("double") >=
         greatest(col("na"), col("nb")).cast("double") * threshold)
+  }
+
+  /** Diagnostic (ScalingProbe / SCALING.md): how many candidate pairs
+    * survive prefix + length filtering at `threshold` — the verify
+    * join's input volume, the quantity PPJoin's selectivity argument is
+    * about. Bounded driver read (one count). */
+  def jaccardPrefixCandidateCount(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.4): Long = {
+    val sh = shingleHashes(documents, n).persist()
+    val c = prefixCandidates(sh, threshold).count()
+    sh.unpersist()
+    c
+  }
+
+  def jaccardPrefixPairs(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.4): DataFrame = {
+    // sh is a narrow (long, long) relation post-hash, so one
+    // materialization beats three shingle+hash recomputes — unlike the
+    // string-heavy exploded relations where persist measured slower.
+    val sh = shingleHashes(documents, n).persist()
+    val candLen = prefixCandidates(sh, threshold)
     // one SORTED hash array per doc — shingles are distinct per doc by
     // construction, so |array| is the set size and the sorted two-
     // pointer merge (custom codegen'd expression — array_intersect's

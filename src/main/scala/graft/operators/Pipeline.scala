@@ -71,20 +71,34 @@ object Pipeline {
     var cur = persisted
     var iter = 0
     var converged = false
+    // Lineage: each round's logical plan embeds the whole previous
+    // chain — ReusedExchange dedups the RUNTIME cost, but analysis/
+    // planning grows with round count (148 exchanges in the unrolled
+    // sf0.1 plan). GRAFT_CC_CHECKPOINT=1 swaps the per-round persist
+    // for an eager localCheckpoint (O(1) lineage per round). Measured
+    // r9 at sf0.1 (idle, solo in a warmed bench session): persist
+    // 5.09 s vs localCheckpoint 5.22 s — a WASH at the fixture's few
+    // rounds, because ReusedExchange already absorbs the unrolled
+    // plan's runtime and planning is a small slice of the total. KEPT
+    // DEFAULT-OFF: checkpointing costs recompute-on-executor-loss
+    // safety; flip it only if a corpus needs deep fixpoints (rounds =
+    // log component diameter), where plan growth is multiplicative.
+    val useCkpt = sys.env.contains("GRAFT_CC_CHECKPOINT")
     while (!converged && iter < 25) {
       val nbrMin = edges
         .join(cur, edges("dst") === cur("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
         .select(col("src").as("id"), col("nbr_min"))
-      val next = cur.as("l")
+      val nextRaw = cur.as("l")
         .join(nbrMin.as("n"), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("l.label"), coalesce(col("n.nbr_min"), col("l.label")))
             .as("label"),
           col("l.label").as("prev"))
-        .persist()
+      val next = if (useCkpt) nextRaw.localCheckpoint(true)
+        else nextRaw.persist()
       val changed = next.filter(col("label") =!= col("prev")).count()
-      persisted.unpersist()
+      if (!useCkpt) persisted.unpersist()
       persisted = next
       cur = next.select(col("id"), col("label"))
       converged = changed == 0

@@ -419,30 +419,46 @@ object Similarity {
     * rounded to 6 on output. Clusters that lose every member simply
     * drop out of later rounds (both engines derive that from the same
     * assignment). Output: (round, cluster, n_members, inertia). */
+  /** Assignment step shared by the Lloyd trainer and the trained-IVF
+    * probe: every corpus vector to its d²-nearest centroid (ties break
+    * by cluster id). The centroids are driver-held model values, so the
+    * argmin is a MAP-ONLY fold over a literal centroid array — score
+    * each centroid once with `transform`, take the lexicographic
+    * `array_min` over (d², cluster) structs (= d² asc, cluster asc, the
+    * exact tie-break the oracle's row_number replays). Zero shuffle,
+    * zero join: the cross-join + per-vector-window form this replaced
+    * shuffled |corpus|·k full rows per round (measured: q_kmeans warm
+    * 3.38 → 2.36 s, the delta being three per-round exchange+sorts).
+    * At 100 TB the only per-round shuffle left is the (cluster, pos)
+    * re-mean partial-sum — corpus-size-independent. */
+  private def assignToCentroids(corpus: DataFrame,
+      cent: Seq[(Int, Seq[Double])]): DataFrame = {
+    val centArr = array(cent.map { case (c, m) =>
+      struct(typedLit(m).as("m"), lit(c).as("cl")) }: _*)
+    val scored = transform(centArr, e =>
+      struct(dist2(col("v"), e.getField("m")).as("d"),
+        e.getField("cl").as("cl")))
+    corpus.select(col("vec_id"), col("v"),
+      array_min(scored).getField("cl").as("cluster"))
+  }
+
+  /** Per-label exact-mean seed centroids, collected as model values. */
+  private def collectCent(df: DataFrame): Seq[(Int, Seq[Double])] =
+    df.orderBy(col("cluster")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+
   def kmeansTrain(embeddings: DataFrame, rounds: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val corpus = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .persist()
-    def collectCent(df: DataFrame): Seq[(Int, Seq[Double])] =
-      df.orderBy(col("cluster")).collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     var cent = collectCent(
       exactMeans(corpus.select(col("label"), col("v")), "label")
         .withColumnRenamed("label", "cluster"))
     val assignedFrames = Seq.newBuilder[DataFrame]
     val perRound = (1 to rounds).map { r =>
-      val centDf = cent.toDF("cluster", "centroid")
-      val wv = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2").asc, col("cluster").asc)
-      val assigned = corpus.select(col("vec_id"), col("v"))
-        .crossJoin(broadcast(centDf))
-        .withColumn("d2", dist2(col("v"), col("centroid")))
-        .withColumn("rn", row_number().over(wv))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cluster"))
-        .persist()
+      val assigned = assignToCentroids(corpus, cent).persist()
       assignedFrames += assigned
       cent = collectCent(exactMeans(
         assigned.select(col("cluster"), col("v")), "cluster"))
@@ -466,16 +482,21 @@ object Similarity {
     result
   }
 
-  /** DuckDB oracle for [[kmeansTrain]]: the seed CTE and per-round
-    * assign / re-mean / inertia CTEs unrolled (AS MATERIALIZED — each
-    * round references the previous one several times, and inlining
-    * would re-expand the corpus scan exponentially, the pcaTopK
-    * lesson), with identical arithmetic throughout. */
-  def kmeansOracleSql(rounds: Int = 3): String = {
-    val d2 = "list_sum(list_transform(range(1, 65), " +
-      "j -> (a.e[j] - c.c[j]) * (a.e[j] - c.c[j])))"
+  /** The squared-distance SQL fragment over aliased (vector, centroid)
+    * list columns — the oracle twin of [[dist2]]. */
+  private def d2Sql(vec: String, cen: String): String =
+    s"list_sum(list_transform(range(1, 65), " +
+      s"j -> ($vec[j] - $cen[j]) * ($vec[j] - $cen[j])))"
+
+  /** The unrolled Lloyd CTE prefix shared by the kmeans and trained-IVF
+    * oracles: v → seed means (c0) → per round asg$r / re-mean c$r. AS
+    * MATERIALIZED — each round references the previous one several
+    * times, and DuckDB's CTE inlining would re-expand the corpus scan
+    * exponentially (the pcaTopK lesson). */
+  private def lloydCtes(rounds: Int): String = {
+    val d2 = d2Sql("a.e", "c.c")
     val sb = new StringBuilder
-    sb.append("""WITH v AS (
+    sb.append("""v AS (
          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
          FROM embeddings),
        dims0 AS (SELECT label AS cluster,
@@ -503,19 +524,103 @@ object Similarity {
              / CAST(count(*) AS DOUBLE) AS m
          FROM dims$r GROUP BY cluster, pos),
        c$r AS MATERIALIZED (SELECT cluster, list(m ORDER BY pos) AS c
-         FROM cent$r GROUP BY cluster),
-       i$r AS (
+         FROM cent$r GROUP BY cluster)""")
+    }
+    sb.toString
+  }
+
+  /** DuckDB oracle for [[kmeansTrain]]: [[lloydCtes]] + per-round
+    * inertia CTEs, identical arithmetic throughout. */
+  def kmeansOracleSql(rounds: Int = 3): String = {
+    val d2 = d2Sql("a.e", "c.c")
+    val is = (1 to rounds).map { r =>
+      s"""i$r AS (
          SELECT $r AS round, a.cluster, count(*) AS n_members,
            round(CAST(sum(CAST($d2 AS DECIMAL(28,12))) AS DOUBLE), 6)
              AS inertia
-         FROM asg$r a JOIN c$r c USING (cluster) GROUP BY a.cluster)""")
-    }
+         FROM asg$r a JOIN c$r c USING (cluster) GROUP BY a.cluster)"""
+    }.mkString(",\n       ")
     val union = (1 to rounds).map(r => s"SELECT * FROM i$r")
       .mkString(" UNION ALL ")
-    sb.append(s"""
+    s"""WITH ${lloydCtes(rounds)},
+       $is
        SELECT round, cluster, n_members, inertia FROM ($union)
-       ORDER BY round, cluster""")
-    sb.toString
+       ORDER BY round, cluster"""
+  }
+
+  /** IVF over the TRAINED coarse quantizer — [[kmeansTrain]]'s R-round
+    * Lloyd centroids as the serving index (the trainer feeding the
+    * index, closing the train→serve loop): inverted lists are the final
+    * round's assignment (the one that produced the final means — the
+    * [[ivfRefinedTopK]] shape generalized to R rounds), each query
+    * probes its d²-nearest trained centroid and ranks that list by
+    * exact cosine. Same scale shape as every IVF variant: R broadcast
+    * assignment scans to train, one list scan per query to serve. */
+  def ivfTrainedTopK(embeddings: DataFrame, rounds: Int = 2,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    var cent = collectCent(
+      exactMeans(corpus.select(col("label"), col("v")), "label")
+        .withColumnRenamed("label", "cluster"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to rounds) {
+      assigned = assignToCentroids(corpus, cent)
+      cent = collectCent(exactMeans(
+        assigned.select(col("cluster"), col("v")), "cluster"))
+    }
+    val mDf = cent.toDF("cluster", "centroid")
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd2").asc, col("cluster").asc)
+    val probe = queries.crossJoin(broadcast(mDf))
+      .withColumn("qd2", dist2(col("q"), col("centroid")))
+      .withColumn("r", row_number().over(wq))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("q"), col("cluster").as("probe_cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .join(broadcast(probe),
+        col("cluster") === col("probe_cluster") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 3).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[ivfTrainedTopK]]: [[lloydCtes]] + the probe /
+    * rank tail over the final round's lists and means. */
+  def ivfTrainedOracleSql(rounds: Int = 2, nQueries: Int = 5,
+      k: Int = 10): String = {
+    def cosSql(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, 65), j -> $a[j] * $b[j]))
+            / (sqrt(list_sum(list_transform(range(1, 65), j -> $a[j] * $a[j])))
+               * sqrt(list_sum(list_transform(range(1, 65), j -> $b[j] * $b[j]))))"""
+    s"""WITH ${lloydCtes(rounds)},
+       q AS (SELECT vec_id AS query_id, e AS qe FROM v
+         WHERE vec_id < $nQueries),
+       probe AS (SELECT query_id, qe, cluster AS probe_cluster FROM (
+           SELECT q.query_id, q.qe, c.cluster,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY ${d2Sql("qe", "c.c")} ASC, c.cluster) AS rn
+           FROM q CROSS JOIN c$rounds c) WHERE rn = 1),
+       cand AS (SELECT probe.query_id, a.vec_id,
+           round(${cosSql("qe", "a.e")}, 6) AS cos
+         FROM asg$rounds a JOIN probe
+           ON a.cluster = probe.probe_cluster
+          AND a.vec_id <> probe.query_id),
+       r2 AS (SELECT query_id, vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM cand)
+       SELECT query_id, rank, vec_id, round(cos, 3) AS cos
+       FROM r2 WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
   /** ANN index evaluation: per-query recall of the multi-probe LSH index

@@ -140,6 +140,90 @@ object ScalingProbe {
       e.unpersist()
     }
 
+    // --- BroadcastRangeJoinExec vs the native BNLJ plan (A/B) ---
+    // Same query, growing BUILD side over a fixed 6.4M-row probe:
+    // disjoint band grids of B intervals spanning the ts range. Spark
+    // plans the BETWEEN theta join as BroadcastNestedLoopJoin — B
+    // predicate evaluations per probe row, O(N·B) — while the custom
+    // exec binary-searches the sorted broadcast index, O(N·log B).
+    // The custom curve must stay ~flat in B; the BNLJ one grows ~B.
+    locally {
+      val ev64 = scaled(events, 64, Seq("event_id", "user_id"),
+        saltText = false).persist()
+      ev64.count()
+      val span = ev64.agg(min(unix_micros(col("ts"))).as("l"),
+        max(unix_micros(col("ts"))).as("h")).head()
+      val (lo0, hi0) = (span.getLong(0), span.getLong(1))
+      val probe = ev64.select(unix_micros(col("ts")).as("x"))
+      for (b <- Seq(0, 16, 128, 1024, 8192)) {
+        val nb = math.max(b, 16)
+        val w = (hi0 - lo0) / nb + 1
+        val bands = spark.range(nb).select(col("id").as("band_id"),
+          (lit(lo0) + col("id") * w).as("lo"),
+          (lit(lo0) + (col("id") + 1) * w - 1).as("hi"))
+        time("range_ab_custom", b) {
+          graft.plans.RangeJoin
+            .broadcastRangeJoin(probe, bands, "x", "lo", "hi")
+            .groupBy(col("r_band_id")).agg(count(lit(1))).count()
+        }
+        time("range_ab_bnlj", b) {
+          probe.join(broadcast(bands),
+              col("x").between(col("lo"), col("hi")))
+            .groupBy(col("band_id")).agg(count(lit(1))).count()
+        }
+      }
+      ev64.unpersist()
+    }
+
+    // --- Streaming drain (state-store path) ---
+    // The synthetic DSv2 streaming source drained under AvailableNow:
+    // (a) per-micro-batch floor — fixed 320k rows split into 1/4/32
+    // batches; the time delta across batch counts IS the fixed
+    // per-batch cost; (b) drain volume — 1×/8×/64× rows at a fixed 4
+    // batches, which must be linear; (c) the session-window drain
+    // (state store merging session fragments per user across batches)
+    // at the same volumes.
+    locally {
+      import org.apache.spark.sql.streaming.Trigger
+      def drain(tag: String, n: Long, rpb: Long,
+          sessions: Boolean): Long = {
+        val name = s"probe_${tag}_out"
+        val src = spark.readStream
+          .format("graft.sources.SyntheticEventsSource")
+          .option("n", n).option("slices", 4).option("rowsPerBatch", rpb)
+          .load()
+          .withWatermark("ts", "10 minutes")
+        val agg =
+          if (sessions)
+            src.groupBy(session_window(col("ts"), "30 minutes"),
+                col("user_id"))
+              .agg(count(lit(1)).as("n_events"))
+          else
+            src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(name).count()
+      }
+      drain("warmup", 1000, 1000, sessions = false)
+      drain("warmup2", 1000, 1000, sessions = true)
+      for ((batches, rpb) <- Seq((1, 320000L), (4, 80000L), (32, 10000L)))
+        time("stream_floor", batches) {
+          drain(s"floor$batches", 320000L, rpb, sessions = false)
+        }
+      for (kk <- Seq(1, 8, 64)) {
+        val n = 50000L * kk
+        time("stream_drain", kk) {
+          drain(s"drain$kk", n, n / 4, sessions = false)
+        }
+        time("stream_sessions", kk) {
+          drain(s"sess$kk", n, n / 4, sessions = true)
+        }
+      }
+    }
+
     // Heavy dedup family (last: the most expensive rows). The one-word
     // salt above is far too weak here — a single appended word leaves
     // cross-copy Jaccard ≈ 0.98, so every copy of a doc pairs with
@@ -149,17 +233,29 @@ object ScalingProbe {
     // genuinely new content, the scaling scenario — while each copy
     // keeps the fixture's own realistic near-dup structure.
     for (k <- Seq(0, 1, 8, 64)) {
-      val base = scaled(docs, math.max(k, 1), Seq("doc_id"),
-        saltText = false)
-      val d = base.withColumn("text",
-        array_join(transform(split(col("text"), " "),
-          w => concat(w, lit("x"),
-            (col("doc_id") / lit(10000000L)).cast("long"))), " "))
-        .persist()
+      val d = ScaledFixtures.saltedDocs(docs, math.max(k, 1)).persist()
       d.count()
+      // the PPJoin at the production threshold FIRST (t=0.8, prefix =
+      // the rare ~20% tail — the selectivity regime PPJoin is designed
+      // for): running it after the t=0.4 job measured 56 s where the
+      // isolated number (ProfileScaled) is 16.5 s — the heavy
+      // predecessor's spill/GC pressure bleeds forward, so the small
+      // job runs first
+      time("jaccard_prefix_hi", k) {
+        graft.dedup.Dedup.jaccardPrefixPairs(d, threshold = 0.8).count()
+      }
       // PPJoin prefix-filtered Jaccard — the heaviest catalog member
       time("jaccard_prefix", k) {
         graft.dedup.Dedup.jaccardPrefixPairs(d).count()
+      }
+      // verify-join input volume at both thresholds: the t=0.8
+      // candidate count must drop superlinearly vs t=0.4 (r8 verdict's
+      // named concern — the t=0.4 verify shuffle constant)
+      if (k > 0) {
+        val c4 = graft.dedup.Dedup.jaccardPrefixCandidateCount(d)
+        val c8 = graft.dedup.Dedup
+          .jaccardPrefixCandidateCount(d, threshold = 0.8)
+        println(s"PROBE op=prefix_candidates scale=$k t04=$c4 t08=$c8")
       }
       // near-dup connected-components fixpoint + canonical selection
       time("cluster_canonical", k) {
