@@ -126,7 +126,18 @@ object Plans {
     "q_range_bands" -> ("custom BroadcastRangeJoinExec: interval dim " +
       "broadcast (the exchange is visible below the exec), fact side " +
       "probes by binary search + running-max-hi walk — the plan a " +
-      "naive BETWEEN join would render as BroadcastNestedLoopJoin"))
+      "naive BETWEEN join would render as BroadcastNestedLoopJoin"),
+    "q_kmeans" -> ("multi-round Lloyd trainer, final-round inertia " +
+      "plan: assignment is a MAP-ONLY array_min fold over the literal " +
+      "centroid block (no cross join, no per-vector window), so the " +
+      "only shuffles are the (cluster, pos) re-mean partial-sum and " +
+      "the k-row inertia aggregate — per-round state crosses the " +
+      "driver as ≤640 doubles"),
+    "q_knn_ivf_trained" -> ("IVF probe over the TRAINED quantizer: the " +
+      "final Lloyd assignment (map-only, literal centroids) feeds a " +
+      "broadcast probe join at list grain — train rounds are separate " +
+      "fixed-width jobs of the q_kmeans shape, the serve plan itself " +
+      "is one scan + one broadcast join + per-query top-k window"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

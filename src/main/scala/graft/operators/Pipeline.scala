@@ -98,7 +98,13 @@ object Pipeline {
       val next = if (useCkpt) nextRaw.localCheckpoint(true)
         else nextRaw.persist()
       val changed = next.filter(col("label") =!= col("prev")).count()
-      if (!useCkpt) persisted.unpersist()
+      // the previous round is a persist() in persist mode AND on round
+      // 1 of checkpoint mode (the seed labels persist above) — release
+      // it either way (r9 review: checkpoint mode leaked the seed
+      // cache); checkpointed intermediates are LogicalRDDs whose
+      // blocks the ContextCleaner reclaims as the loop drops their
+      // references, so they need no explicit release here
+      if (!useCkpt || iter == 0) persisted.unpersist()
       persisted = next
       cur = next.select(col("id"), col("label"))
       converged = changed == 0

@@ -68,24 +68,33 @@ object BroadcastRangeJoinExec {
     * a property of the broadcast value, so build once per executor and
     * share). Keyed by (broadcast id, exec node id) — the exec id
     * disambiguates two range joins reusing one broadcast exchange with
-    * different bound expressions. The whole get-or-build is under one
-    * lock: concurrent first tasks would otherwise duplicate exactly
-    * the work the cache exists to dedup, and the critical section is
-    * the dimension-sized build, entered once per key. Bounded LRU so
-    * long-lived sessions running many distinct range joins don't pin
-    * dead broadcast indexes. */
-  private val cache =
-    new java.util.LinkedHashMap[(Long, Int), BuiltIndex](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Long, Int), BuiltIndex]): Boolean =
-        size() > 8
-    }
+    * different bound expressions. Design (r9 review):
+    *  - values are SoftReferences, so a finished query's index (a full
+    *    deep copy of its broadcast build side) is GC-reclaimable under
+    *    memory pressure instead of pinned until eviction;
+    *  - get-or-build is per-key (`compute` holds only the key's bin
+    *    lock), so a slow build — including the broadcast fetch — never
+    *    blocks hits or builds on UNRELATED keys;
+    *  - a crude size backstop clears the whole map past 16 entries
+    *    (rebuild is cheap relative to any query that needs it; order
+    *    tracking isn't worth the locking it would reintroduce). */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Int), java.lang.ref.SoftReference[BuiltIndex]]()
 
   private[plans] def getOrBuild(key: (Long, Int))(build: => BuiltIndex)
-      : BuiltIndex = cache.synchronized {
-    val hit = cache.get(key)
-    if (hit != null) hit
-    else { val b = build; cache.put(key, b); b }
+      : BuiltIndex = {
+    val ref = cache.get(key)
+    val hit = if (ref != null) ref.get else null
+    if (hit != null) return hit
+    if (cache.size > 16) cache.clear()
+    val out = cache.compute(key, (_, old) => {
+      val prev = if (old != null) old.get else null
+      if (prev != null) old
+      else new java.lang.ref.SoftReference(build)
+    }).get
+    // GC cleared the SoftReference between compute and get (rare):
+    // serve this task a private build rather than loop
+    if (out != null) out else build
   }
 }
 

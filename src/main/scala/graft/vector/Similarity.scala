@@ -456,28 +456,29 @@ object Similarity {
     var cent = collectCent(
       exactMeans(corpus.select(col("label"), col("v")), "label")
         .withColumnRenamed("label", "cluster"))
-    val assignedFrames = Seq.newBuilder[DataFrame]
+    // each round's tiny (k-row) inertia frame is cached and counted
+    // IN-LOOP so the round's corpus-sized assignment cache can be
+    // released immediately — peak storage stays corpus + ONE
+    // assignment regardless of R (r9 review: the lazy union held all
+    // R assignment caches alive until the final count)
     val perRound = (1 to rounds).map { r =>
       val assigned = assignToCentroids(corpus, cent).persist()
-      assignedFrames += assigned
       cent = collectCent(exactMeans(
         assigned.select(col("cluster"), col("v")), "cluster"))
       val mDf = cent.toDF("cluster", "centroid")
-      assigned.join(broadcast(mDf), "cluster")
+      val inertia = assigned.join(broadcast(mDf), "cluster")
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"),
           round(decSum(dist2(col("v"), col("centroid"))), 6).as("inertia"))
         .select(lit(r).as("round"), col("cluster"),
           col("n_members"), col("inertia"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      inertia.count()
+      assigned.unpersist()
+      inertia
     }
-    // materialize the tiny (R·k-row) deliverable while the per-round
-    // assignments are hot, then release the corpus-sized caches — the
-    // jaccardPrefixPairs cache-swap contract
     val result = perRound.reduce(_ unionAll _)
       .orderBy(col("round"), col("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    assignedFrames.result().foreach(_.unpersist())
     corpus.unpersist()
     result
   }
@@ -560,8 +561,14 @@ object Similarity {
       nQueries: Int = 5, k: Int = 10): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // persisted for the training loop's rounds+1 eager collect actions
+    // (the kmeansTrain access pattern — without it each collect rescans
+    // and re-casts the base table); released before returning, so the
+    // lazily-evaluated serve query below re-reads the table once per
+    // action instead of holding a corpus-sized cache for the session
     val corpus = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .persist()
     var cent = collectCent(
       exactMeans(corpus.select(col("label"), col("v")), "label")
         .withColumnRenamed("label", "cluster"))
@@ -571,6 +578,7 @@ object Similarity {
       cent = collectCent(exactMeans(
         assigned.select(col("cluster"), col("v")), "cluster"))
     }
+    corpus.unpersist()
     val mDf = cent.toDF("cluster", "centroid")
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("q"))

@@ -41,6 +41,13 @@ object ProfileScaled {
         (d => graft.dedup.Dedup.substringDedup(d).count()))
     val docs = Tables.load(spark, sfDir, "documents")
     args.drop(1).foreach { op =>
+      // untimed 1× warmup pass first — same methodology as
+      // ScalingProbe's k=0 pass, so the timed number measures data,
+      // not first-compile codegen, and the two tools' numbers compare
+      locally {
+        val w = ScaledFixtures.saltedDocs(docs, 1).persist()
+        w.count(); ops(op)(w); w.unpersist()
+      }
       val d = ScaledFixtures.saltedDocs(docs, k).persist()
       d.count()
       val t0 = System.nanoTime()

@@ -26,20 +26,6 @@ object ScalingProbe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
 
-    def scaled(df: DataFrame, k: Int, idCols: Seq[String],
-        saltText: Boolean): DataFrame = {
-      val n = 10000000L
-      (0 until k).map { c =>
-        var d = df
-        idCols.foreach(ic =>
-          d = d.withColumn(ic, col(ic) + lit(c * n)))
-        if (saltText && d.columns.contains("text"))
-          d = d.withColumn("text",
-            concat(col("text"), lit(" copyword" + c)))
-        d
-      }.reduce(_ unionAll _)
-    }
-
     // k = 0 marks the untimed codegen/JIT warmup pass so the curve
     // measures data scaling, not first-compile cost
     def time(op: String, k: Int)(f: => Long): Unit = {
@@ -56,8 +42,8 @@ object ScalingProbe {
     val orders = Tables.load(spark, sfDir, "orders")
 
     for (k <- Seq(0, 1, 8, 64)) {
-      val ev = scaled(events, math.max(k, 1),
-        Seq("event_id", "user_id"), saltText = false)
+      val ev = ScaledFixtures.scaled(events, k,
+        Seq("event_id", "user_id"))
         .persist()
       ev.count()
       // grouped aggregation (map-side partial -> tiny shuffle)
@@ -78,10 +64,10 @@ object ScalingProbe {
     }
 
     for (k <- Seq(0, 1, 8, 32)) {
-      val li = scaled(lineitem, math.max(k, 1), Seq("l_orderkey"),
-        saltText = false).persist()
-      val ord = scaled(orders, math.max(k, 1), Seq("o_orderkey", "o_custkey"),
-        saltText = false).persist()
+      val li = ScaledFixtures.scaled(lineitem, k, Seq("l_orderkey"))
+        .persist()
+      val ord = ScaledFixtures
+        .scaled(orders, k, Seq("o_orderkey", "o_custkey")).persist()
       li.count(); ord.count()
       // fact-fact shuffle join at growing both-side scale
       time("join_priority", k) {
@@ -93,7 +79,10 @@ object ScalingProbe {
     }
 
     for (k <- Seq(0, 1, 8, 64)) {
-      val d = scaled(docs, math.max(k, 1), Seq("doc_id"), saltText = true)
+      val d = ScaledFixtures.scaled(docs, math.max(k, 1), Seq("doc_id"))
+        .withColumn("text", concat(col("text"),
+          lit(" copyword"), (col("doc_id") / ScaledFixtures.idShift)
+            .cast("long").cast("string")))
         .persist()
       d.count()
       // shingle explosion + signature build (the dedup workhorse)
@@ -112,8 +101,7 @@ object ScalingProbe {
     }
 
     for (k <- Seq(0, 1, 16, 64)) {
-      val e = scaled(emb, math.max(k, 1), Seq("vec_id"), saltText = false)
-        .persist()
+      val e = ScaledFixtures.scaled(emb, k, Seq("vec_id")).persist()
       e.count()
       // one-pass Gram moment accumulation (PCA corpus pass)
       time("gram_moments", k) {
@@ -148,8 +136,8 @@ object ScalingProbe {
     // exec binary-searches the sorted broadcast index, O(N·log B).
     // The custom curve must stay ~flat in B; the BNLJ one grows ~B.
     locally {
-      val ev64 = scaled(events, 64, Seq("event_id", "user_id"),
-        saltText = false).persist()
+      val ev64 = ScaledFixtures
+        .scaled(events, 64, Seq("event_id", "user_id")).persist()
       ev64.count()
       val span = ev64.agg(min(unix_micros(col("ts"))).as("l"),
         max(unix_micros(col("ts"))).as("h")).head()
