@@ -189,6 +189,9 @@ object SparkEntry {
     "q_scd2" -> t("events")(E.scd2Build),
     "q_cdc_apply" -> t("events")(E.cdcApply),
     "q_range_bands" -> t("events")(E.rangeBandCounts),
+    // custom operator #4: key equality + range containment in one
+    // probe (the SCD2 / per-category-grid lookup shape).
+    "q_range_bands_keyed" -> t("events")(E.keyedRangeBandCounts),
     "q_ewma" -> t("events")(E.ewma),
     "q_transitions" -> t("events")(E.transitions),
     "q_skyline" -> t("part")(operators.Extended.skylineParts),
@@ -378,6 +381,9 @@ object SparkEntry {
     "q_dedup_exact" -> t("documents")(D.exactDedup),
     "q_dedup_digest" -> t("documents")(D.exactDedupByDigest),
     "q_jaccard_pairs" -> t("documents")(D.jaccardPairs(_)),
+    // Broder's asymmetric companion: |A∩B|/|A| ≥ 0.9 — flags subset
+    // duplication (quote inclusion) symmetric Jaccard misses.
+    "q_containment" -> t("documents")(D.containmentPairs(_)),
     "q_jaccard_prefix" -> t("documents")(D.jaccardPrefixPairs(_)),
     // Production threshold (t=0.8): the prefix is |d|−⌈0.8|d|⌉+1 ≈ 0.2|d|
     // (vs 0.6|d| at the 0.4 demo threshold), so the index holds only the
@@ -987,6 +993,7 @@ object SparkEntry {
              ORDER BY ts, event_id) IS NULL AS is_current
          FROM events ORDER BY user_id, valid_from, event_id""",
     "q_range_bands" -> E.rangeBandCountsOracleSql,
+    "q_range_bands_keyed" -> E.keyedRangeBandCountsOracleSql,
     "q_cdc_apply" ->
       """WITH c AS (
            SELECT user_id, ts, event_id, value,
@@ -2307,6 +2314,7 @@ object SparkEntry {
     "q_bpe_tokens" -> T.bpeTokenStatsOracleSql,
     "q_bpe_train" -> T.bpeTrainOracleSql(),
     "q_jaccard_pairs" -> jaccardAllPairsOracleSql(0.5),
+    "q_containment" -> D.containmentOracleSql(),
     // Same exact all-pairs oracle at the prefix variants' thresholds —
     // prefix filtering is lossless, so the sub-quadratic plans must
     // reproduce the quadratic self-join bit-for-bit at BOTH the loose

@@ -250,6 +250,89 @@ object Dedup {
     result
   }
 
+  /** Set-CONTAINMENT near-dup pairs (Broder's asymmetric companion to
+    * Jaccard): C(A→B) = |A∩B| / |A| — flags a document whose shingle
+    * set is mostly contained in another's, the quote-inclusion /
+    * subset-duplication case symmetric Jaccard MISSES when the
+    * container is much larger (J = |A∩B|/|A∪B| shrinks with |B| while
+    * C(A→B) stays high). One row per DIRECTED containment ≥
+    * `threshold`: (doc_id, container_id, n_common, containment).
+    *
+    * Scale: identical machinery to [[jaccardPairs]] — candidate pairs
+    * from df-capped inverted posting lists (never all-pairs), one
+    * grouped intersection count per unordered pair, then BOTH
+    * directions evaluated from the same (n_common, |A|, |B|) row, so
+    * asymmetry costs zero extra joins. */
+  def containmentPairs(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.9, maxDf: Int = 1000): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val sizes = documents
+      .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
+    val postings = sh.groupBy(col("h"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    val pairs = postings
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("doc_a"),
+        explode(slice(col("ids"), col("pos") + 2, size(col("ids"))))
+          .as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        Seq("doc_b"))
+      // both directions from one pair row: (contained, container, |A|)
+      .select(col("n_common"), explode(array(
+        struct(col("doc_a").as("d"), col("doc_b").as("c"),
+          col("na").as("sz")),
+        struct(col("doc_b").as("d"), col("doc_a").as("c"),
+          col("nb").as("sz")))).as("e"))
+      .select(col("e.d").as("doc_id"), col("e.c").as("container_id"),
+        col("n_common"),
+        (col("n_common").cast("double") / col("e.sz").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("doc_id"), col("container_id"))
+  }
+
+  /** DuckDB oracle for [[containmentPairs]]. */
+  def containmentOracleSql(threshold: Double = 0.9,
+      maxDf: Int = 1000): String =
+    s"""WITH tok AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(len(w) - 2),
+               i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+         FROM tok),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       df AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) BETWEEN 2 AND $maxDf),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         WHERE a.shingle IN (SELECT shingle FROM df)
+         GROUP BY 1, 2),
+       dirs AS (
+         SELECT doc_a AS doc_id, doc_b AS container_id, n_common,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE)
+             AS containment
+         FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+         UNION ALL
+         SELECT doc_b AS doc_id, doc_a AS container_id, n_common,
+           CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)
+             AS containment
+         FROM pairs JOIN sizes sb ON doc_b = sb.doc_id)
+       SELECT doc_id, container_id, n_common, containment
+       FROM dirs WHERE containment >= $threshold
+       ORDER BY doc_id, container_id"""
+
   /** MinHash signature: k independent hash functions realized as salted
     * xxhash64 (`xxhash64(salt_i, s)`) with min over shingles — no 64-bit
     * arithmetic, so it is safe under ANSI mode (Spark 4 default) and each

@@ -574,6 +574,61 @@ object EventsPipeline {
       .orderBy(col("band_id"))
   }
 
+  /** SCD2-style KEYED temporal lookup via the keyed broadcast range
+    * join (plans.KeyedRangeJoin — custom operator #4): each event_type
+    * carries its OWN band grid (band width grows with the type's rank,
+    * so the grids genuinely differ per key), and the natural plan is
+    * key equality + interval containment in ONE probe — the shape of
+    * every SCD2 dimension lookup (business key + effective-date
+    * range). Spark's native plan is BroadcastHashJoin on the key with
+    * the BETWEEN as a post-join filter: O(per-key intervals) per probe
+    * row; the custom exec probes its key's lo-sorted group in
+    * O(log G + matches). Bands are anchored integer-micros arithmetic,
+    * so the oracle replays them exactly. */
+  def keyedRangeBandCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val h6 = 6L * 3600L * 1000000L
+    val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor"))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val bands = types.zipWithIndex.toDF("etype", "ti")
+      .crossJoin(spark.range(6))
+      .crossJoin(broadcast(anchor))
+      .select(col("etype"),
+        (lit(100) * (col("ti") + 1) + col("id")).as("band_id"),
+        (col("anchor") - (col("id") + 1) * (lit(h6) * (col("ti") + 1)) + 1)
+          .as("lo"),
+        (col("anchor") - col("id") * (lit(h6) * (col("ti") + 1))).as("hi"))
+    val probe = events.select(col("event_type"),
+      unix_micros(col("ts")).as("x"), col("value"))
+    graft.plans.KeyedRangeJoin
+      .broadcastKeyedRangeJoin(probe, bands,
+        "event_type", "x", "etype", "lo", "hi")
+      .groupBy(col("event_type"), col("r_band_id").as("band_id"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"), col("band_id"))
+  }
+
+  /** DuckDB oracle for [[keyedRangeBandCounts]] — same per-type grids
+    * from the same integer arithmetic, joined as equality + BETWEEN. */
+  def keyedRangeBandCountsOracleSql: String =
+    s"""WITH a AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+       t(etype, ti) AS (VALUES ('click', 0), ('error', 1),
+         ('purchase', 2), ('signup', 3), ('view', 4)),
+       bands AS (SELECT etype,
+           CAST(100 * (ti + 1) + i AS BIGINT) AS band_id,
+           anchor - (i + 1) * (21600000000 * (ti + 1)) + 1 AS lo,
+           anchor - i * (21600000000 * (ti + 1)) AS hi
+         FROM t, (SELECT unnest(range(6)) AS i), a),
+       j AS (SELECT e.event_type, b.band_id, e.value
+         FROM events e JOIN bands b
+           ON e.event_type = b.etype
+          AND epoch_us(e.ts) BETWEEN b.lo AND b.hi)
+       SELECT event_type, band_id, count(*) AS n,
+         ${graft.Cols.sqlDecSum("value")} AS sum_value
+       FROM j GROUP BY event_type, band_id
+       ORDER BY event_type, band_id"""
+
   /** DuckDB oracle for [[rangeBandCounts]] — the same bands from the
     * same integer-micros arithmetic, joined as a literal BETWEEN. */
   def rangeBandCountsOracleSql: String =

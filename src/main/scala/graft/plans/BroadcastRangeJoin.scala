@@ -52,56 +52,9 @@ case class RangeJoinPlan(probeExpr: Expression, loExpr: Expression,
       r: LogicalPlan): RangeJoinPlan = copy(left = l, right = r)
 }
 
-object BroadcastRangeJoinExec {
-  /** The per-executor built index: intervals with non-null bounds
-    * sorted by lo, plus the running max of hi in lo-order. Immutable
-    * after construction (UnsafeRow copies), safe to share across the
-    * executor's task threads. */
-  private[plans] final case class BuiltIndex(lo: Array[InternalRow],
-      hi: Array[InternalRow], rows: Array[InternalRow],
-      maxHi: Array[InternalRow]) {
-    def isEmpty: Boolean = lo.isEmpty
-  }
-
-  /** Executor-side build cache (ADVICE r8: the O(M log M) sort and the
-    * three InternalRow copies per interval ran once PER TASK; they are
-    * a property of the broadcast value, so build once per executor and
-    * share). Keyed by (broadcast id, exec node id) — the exec id
-    * disambiguates two range joins reusing one broadcast exchange with
-    * different bound expressions. Design (r9 review):
-    *  - values are SoftReferences, so a finished query's index (a full
-    *    deep copy of its broadcast build side) is GC-reclaimable under
-    *    memory pressure instead of pinned until eviction;
-    *  - get-or-build is per-key (`compute` holds only the key's bin
-    *    lock), so a slow build — including the broadcast fetch — never
-    *    blocks hits or builds on UNRELATED keys;
-    *  - a crude size backstop clears the whole map past 16 entries
-    *    (rebuild is cheap relative to any query that needs it; order
-    *    tracking isn't worth the locking it would reintroduce). */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (Long, Int), java.lang.ref.SoftReference[BuiltIndex]]()
-
-  private[plans] def getOrBuild(key: (Long, Int))(build: => BuiltIndex)
-      : BuiltIndex = {
-    val ref = cache.get(key)
-    val hit = if (ref != null) ref.get else null
-    if (hit != null) return hit
-    if (cache.size > 16) cache.clear()
-    val out = cache.compute(key, (_, old) => {
-      val prev = if (old != null) old.get else null
-      if (prev != null) old
-      else new java.lang.ref.SoftReference(build)
-    }).get
-    // GC cleared the SoftReference between compute and get (rare):
-    // serve this task a private build rather than loop
-    if (out != null) out else build
-  }
-}
-
 case class BroadcastRangeJoinExec(probeExpr: Expression, loExpr: Expression,
     hiExpr: Expression, left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
-  import BroadcastRangeJoinExec.BuiltIndex
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -137,63 +90,27 @@ case class BroadcastRangeJoinExec(probeExpr: Expression, loExpr: Expression,
       val cmp = GenerateOrdering.generate(
         vAttr.map(SortOrder(_, Ascending)), vAttr)
       val probeProj = UnsafeProjection.create(pExpr :: Nil, lSchema)
-      val built = BroadcastRangeJoinExec.getOrBuild((bc.id, execId)) {
+      // build-once per executor via the shared cache; the index build,
+      // probe walk, and cache design live in RangeIndexSupport (one
+      // copy for both range-join execs)
+      val built = RangeIndexSupport.getOrBuild((bc.id, execId)) {
         val loProj = UnsafeProjection.create(loE :: Nil, rSchema)
         val hiProj = UnsafeProjection.create(hiE :: Nil, rSchema)
-        val ivs = bc.value.flatMap { row =>
-          val lo = loProj(row).copy()
-          val hi = hiProj(row).copy()
-          if (lo.isNullAt(0) || hi.isNullAt(0)) None
-          else Some((lo, hi, row.copy()))
-        }.sortWith((a, b) => cmp.compare(a._1, b._1) < 0)
-        val maxHi = new Array[InternalRow](ivs.length)
-        var m = 0
-        while (m < ivs.length) {
-          maxHi(m) =
-            if (m == 0) ivs(0)._2
-            else if (cmp.compare(ivs(m)._2, maxHi(m - 1)) >= 0) ivs(m)._2
-            else maxHi(m - 1)
-          m += 1
-        }
-        BuiltIndex(ivs.map(_._1), ivs.map(_._2), ivs.map(_._3), maxHi)
+        RangeIndexSupport.buildIndex(
+          bc.value.flatMap { row =>
+            val lo = loProj(row).copy()
+            val hi = hiProj(row).copy()
+            if (lo.isNullAt(0) || hi.isNullAt(0)) None
+            else Some((lo, hi, row.copy()))
+          }, cmp)
       }
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       lIter.flatMap { lRow =>
         val x = probeProj(lRow)
         if (x.isNullAt(0) || built.isEmpty) Iterator.empty
-        else {
-          // binary search: last index with lo <= x
-          var a = 0; var b = built.lo.length - 1; var ub = -1
-          while (a <= b) {
-            val mid = (a + b) >>> 1
-            if (cmp.compare(built.lo(mid), x) <= 0) { ub = mid; a = mid + 1 }
-            else b = mid - 1
-          }
-          if (ub < 0) Iterator.empty
-          else {
-            val lCopy = lRow.copy()
-            // walk left while some interval at-or-before idx can still
-            // reach x (running max hi >= x)
-            new Iterator[InternalRow] {
-              private var idx = ub
-              private var nextRow: InternalRow = advance()
-              private def advance(): InternalRow = {
-                while (idx >= 0 && cmp.compare(built.maxHi(idx), x) >= 0) {
-                  val i = idx
-                  idx -= 1
-                  if (cmp.compare(built.hi(i), x) >= 0)
-                    return outProj(joined(lCopy, built.rows(i))).copy()
-                }
-                null
-              }
-              override def hasNext: Boolean = nextRow != null
-              override def next(): InternalRow = {
-                val r = nextRow; nextRow = advance(); r
-              }
-            }
-          }
-        }
+        else RangeIndexSupport.probe(built, cmp, x, lRow.copy(), joined,
+          outProj)
       }
     }
   }

@@ -21,6 +21,25 @@ class DedupSpec extends AnyFunSuite {
   private val base = "the quick brown fox jumps over the lazy dog " +
     "while the cat sleeps on the warm mat near the door"
 
+  test("containment flags subset duplication that symmetric Jaccard " +
+      "misses, in the right direction only") {
+    // doc 0 is a verbatim quote inside the much larger doc 1: every
+    // shingle of 0 appears in 1, but 1 has ~4x the shingles
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val container = quote + " iota kappa lambda mu nu xi omicron pi " +
+      "rho sigma tau upsilon phi chi psi omega one two three four " +
+      "five six seven eight nine ten"
+    val df = docs(Seq(quote, container, "totally unrelated words here"))
+    val cont = dedup.Dedup.containmentPairs(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // exactly one directed row: 0 contained in 1, containment 1.0
+    assert(cont.toSeq == Seq((0L, 1L, 1.0)))
+    // the symmetric Jaccard of the same pair is far below any usable
+    // near-dup threshold — this is the case the operator exists for
+    val jac = dedup.Dedup.jaccardPairs(df, threshold = 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
   test("exact dedup keeps min doc_id per identical text") {
     val df = docs(Seq(base, base, "something else entirely here", base))
     val out = dedup.Dedup.exactDedup(df).collect()

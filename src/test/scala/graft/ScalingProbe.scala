@@ -160,6 +160,40 @@ object ScalingProbe {
             .groupBy(col("band_id")).agg(count(lit(1))).count()
         }
       }
+      // KEYED variant A/B over the same probe: per-key grids of G
+      // intervals (5 event types → 5·G build rows). The native plan is
+      // BroadcastHashJoin on the key + BETWEEN post-filter — every
+      // probe row materializes its key's FULL G intervals before
+      // filtering, O(G)/row; the keyed exec is one hash lookup + a
+      // binary search in the key's lo-sorted group, O(log G)/row.
+      locally {
+        val sq = spark; import sq.implicits._
+        val kProbe = ev64.select(col("event_type"),
+          unix_micros(col("ts")).as("x"))
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        for (g <- Seq(0, 16, 128, 1024)) {
+          val ng = math.max(g, 16)
+          val w = (hi0 - lo0) / ng + 1
+          val bands = types.toDF("etype").crossJoin(spark.range(ng))
+            .select(col("etype"), col("id").as("band_id"),
+              (lit(lo0) + col("id") * w).as("lo"),
+              (lit(lo0) + (col("id") + 1) * w - 1).as("hi"))
+          time("keyed_ab_custom", g) {
+            graft.plans.KeyedRangeJoin
+              .broadcastKeyedRangeJoin(kProbe, bands,
+                "event_type", "x", "etype", "lo", "hi")
+              .groupBy(col("r_etype"), col("r_band_id"))
+              .agg(count(lit(1))).count()
+          }
+          time("keyed_ab_bhj", g) {
+            kProbe.join(broadcast(bands),
+                col("event_type") === col("etype") &&
+                  col("x").between(col("lo"), col("hi")))
+              .groupBy(col("etype"), col("band_id"))
+              .agg(count(lit(1))).count()
+          }
+        }
+      }
       ev64.unpersist()
     }
 
