@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The graftshim Java sources implement JVM-public Spark interfaces that
+// are `sealed` at the Scala level (HashedRelation — see
+// DriverBuiltRelation.java for why). javac must compile them first so
+// scalac links against the classfile instead of joint-compiling the
+// .java source (where it would enforce the Scala-only sealed check).
+compileOrder := CompileOrder.JavaThenScala
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

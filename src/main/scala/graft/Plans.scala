@@ -137,7 +137,16 @@ object Plans {
       "final Lloyd assignment (map-only, literal centroids) feeds a " +
       "broadcast probe join at list grain — train rounds are separate " +
       "fixed-width jobs of the q_kmeans shape, the serve plan itself " +
-      "is one scan + one broadcast join + per-query top-k window"))
+      "is one scan + one broadcast join + per-query top-k window"),
+    "q_overlap_join" -> ("custom BroadcastOverlapJoinExec: BOTH overlap " +
+      "inequalities reference both sides, so no equi-key rewrite " +
+      "exists and the native plan is BroadcastNestedLoopJoin — here " +
+      "the window dim broadcasts and each session probes the " +
+      "lo-sorted index in O(log W + matches)"),
+    "q_scd2_lookup" -> ("LEFT OUTER keyed range lookup: key equality + " +
+      "validity-range containment in ONE probe with misses surviving " +
+      "null-padded (the SCD2 contract) — no BroadcastHashJoin, no " +
+      "post-join filter re-dropping outer rows"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -192,6 +192,12 @@ object SparkEntry {
     // custom operator #4: key equality + range containment in one
     // probe (the SCD2 / per-category-grid lookup shape).
     "q_range_bands_keyed" -> t("events")(E.keyedRangeBandCounts),
+    // custom operator #4 LEFT OUTER: SCD2 lookup where facts outside
+    // every version's validity window survive as version -1.
+    "q_scd2_lookup" -> t("events")(E.scd2RateLookup),
+    // custom operator #5: interval x interval OVERLAP join (sessions
+    // vs maintenance windows) - no equi key exists, native plan is BNLJ.
+    "q_overlap_join" -> t("events")(E.sessionOverlapWindows),
     "q_ewma" -> t("events")(E.ewma),
     "q_transitions" -> t("events")(E.transitions),
     "q_skyline" -> t("part")(operators.Extended.skylineParts),
@@ -994,6 +1000,8 @@ object SparkEntry {
          FROM events ORDER BY user_id, valid_from, event_id""",
     "q_range_bands" -> E.rangeBandCountsOracleSql,
     "q_range_bands_keyed" -> E.keyedRangeBandCountsOracleSql,
+    "q_scd2_lookup" -> E.scd2RateLookupOracleSql,
+    "q_overlap_join" -> E.sessionOverlapWindowsOracleSql,
     "q_cdc_apply" ->
       """WITH c AS (
            SELECT user_id, ts, event_id, value,

@@ -609,6 +609,139 @@ object EventsPipeline {
       .orderBy(col("event_type"), col("band_id"))
   }
 
+  /** Session×window OVERLAP join via the custom broadcast overlap
+    * operator (plans.OverlapJoin — custom operator #5): user sessions
+    * (the [[sessionize]] gaps-and-islands intervals) matched against
+    * every maintenance window their [start, end] span touches — two
+    * overlapping data-anchored grids (12×6 h + 6×12 h over the
+    * trailing 3 days), so an in-range session overlaps windows at BOTH
+    * resolutions and a long session spans several adjacent windows.
+    * Both overlap inequalities reference both sides, so Spark's native
+    * plan is a BroadcastNestedLoopJoin O(N·M) sweep; the custom exec
+    * probes the lo-sorted window index in O(log W + matches) per
+    * session. Bounds are exact integer micros, so the oracle replays
+    * the grids and the inclusive overlap predicate literally. */
+  def sessionOverlapWindows(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val h6 = 6L * 3600L * 1000000L
+    val sessions = sessionize(events)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"))
+    val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor"))
+    def grid(tag: Int, n: Int, w: Long) =
+      spark.range(n).crossJoin(broadcast(anchor))
+        .select((lit(tag) + col("id")).as("window_id"),
+          (col("anchor") - (col("id") + 1) * lit(w) + 1).as("lo"),
+          (col("anchor") - col("id") * lit(w)).as("hi"))
+    val wins = grid(600, 12, h6).unionAll(grid(1200, 6, 2 * h6))
+    graft.plans.OverlapJoin
+      .broadcastOverlapJoin(sessions, wins, "s", "e", "lo", "hi")
+      .groupBy(col("r_window_id").as("window_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("sum_events"))
+      .orderBy(col("window_id"))
+  }
+
+  /** DuckDB oracle for [[sessionOverlapWindows]] — the q_sessionize
+    * gaps-and-islands CTE reduced to per-session [s, e] micros, the
+    * same two grids, and the literal inclusive overlap predicate. */
+  def sessionOverlapWindowsOracleSql: String =
+    """WITH x AS (
+         SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         FROM events),
+       y AS (
+         SELECT user_id, ts, event_id, us,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+         FROM x),
+       z AS (
+         SELECT user_id, us,
+           CAST(sum(new_session) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+         FROM y),
+       sess AS (
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(us) AS s, max(us) AS e
+         FROM z GROUP BY user_id, session_id),
+       a AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+       g1 AS (SELECT 600 + i AS window_id,
+           anchor - (i + 1) * 21600000000 + 1 AS lo,
+           anchor - i * 21600000000 AS hi
+         FROM (SELECT unnest(range(12)) AS i), a),
+       g2 AS (SELECT 1200 + i AS window_id,
+           anchor - (i + 1) * 43200000000 + 1 AS lo,
+           anchor - i * 43200000000 AS hi
+         FROM (SELECT unnest(range(6)) AS i), a),
+       w AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+       j AS (SELECT w.window_id, sess.n_events
+         FROM sess JOIN w ON w.lo <= sess.e AND w.hi >= sess.s)
+       SELECT window_id, count(*) AS n_sessions,
+         CAST(sum(n_events) AS BIGINT) AS sum_events
+       FROM j GROUP BY window_id ORDER BY window_id"""
+
+  /** SCD2 dimension LOOKUP via the LEFT-OUTER keyed broadcast range
+    * join: every event resolved against a versioned per-type rate
+    * dimension (type ti carries ti+2 versions of 12 h validity each,
+    * so coverage depth differs per key), with facts outside every
+    * version's window SURVIVING as version −1 — the SCD2 contract a
+    * plain inner lookup silently violates. Spark's native plan for the
+    * outer form is BroadcastHashJoin(LeftOuter) on the key + post
+    * filter — which is WRONG under composition (the filter re-drops
+    * null-padded rows) unless rewritten with the range predicate
+    * inside the join condition; the custom exec keeps the lookup
+    * one-probe and emits exactly one null-padded row per miss. */
+  def scd2RateLookup(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val h12 = 12L * 3600L * 1000000L
+    val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor"))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val dim = types.zipWithIndex.toDF("etype", "ti")
+      .select(col("etype"),
+        explode(sequence(lit(0), col("ti") + 1)).as("v"))
+      .crossJoin(broadcast(anchor))
+      .select(col("etype"), col("v").cast("long").as("version"),
+        (col("anchor") - (col("v") + 1) * lit(h12) + 1).as("valid_from"),
+        (col("anchor") - col("v") * lit(h12)).as("valid_to"))
+    val probe = events.select(col("event_type"),
+      unix_micros(col("ts")).as("x"), col("value"))
+    graft.plans.KeyedRangeJoin
+      .broadcastKeyedRangeJoin(probe, dim,
+        "event_type", "x", "etype", "valid_from", "valid_to",
+        leftOuter = true)
+      .groupBy(col("event_type"),
+        coalesce(col("r_version"), lit(-1L)).as("version"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"), col("version"))
+  }
+
+  /** DuckDB oracle for [[scd2RateLookup]] — the same versioned
+    * dimension from the same integer arithmetic, LEFT JOIN with the
+    * range predicate INSIDE the join condition, COALESCE(version, −1). */
+  def scd2RateLookupOracleSql: String =
+    s"""WITH a AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+       t(etype, ti) AS (VALUES ('click', 0), ('error', 1),
+         ('purchase', 2), ('signup', 3), ('view', 4)),
+       d AS (SELECT etype, v AS version,
+           anchor - (v + 1) * 43200000000 + 1 AS valid_from,
+           anchor - v * 43200000000 AS valid_to
+         FROM t, (SELECT unnest(range(6)) AS v), a
+         WHERE v <= ti + 1),
+       j AS (SELECT e.event_type,
+           COALESCE(d.version, -1) AS version, e.value
+         FROM events e LEFT JOIN d
+           ON e.event_type = d.etype
+          AND epoch_us(e.ts) BETWEEN d.valid_from AND d.valid_to)
+       SELECT event_type, version, count(*) AS n,
+         ${graft.Cols.sqlDecSum("value")} AS sum_value
+       FROM j GROUP BY event_type, version
+       ORDER BY event_type, version"""
+
   /** DuckDB oracle for [[keyedRangeBandCounts]] — same per-type grids
     * from the same integer arithmetic, joined as equality + BETWEEN. */
   def keyedRangeBandCountsOracleSql: String =

@@ -3,10 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.Shim
 
@@ -25,15 +24,16 @@ import org.apache.spark.sql.graftshim.Shim
   * row:
   *
   *  - `requiredChildDistribution`: probe side unconstrained, build
-  *    side `BroadcastDistribution(IdentityBroadcastMode)` — Catalyst
-  *    inserts the BroadcastExchange; at 100 TB the fact side never
-  *    moves, exactly the broadcast-hash-join shape but for intervals;
-  *  - per partition, the broadcast intervals are sorted by `lo` once,
-  *    with a running max of `hi` in lo-order; a probe binary-searches
-  *    the last interval with lo ≤ x, then walks left emitting
-  *    containing intervals, stopping as soon as the running-max-hi
-  *    drops below x — for non/moderately-overlapping bands the walk is
-  *    O(matches), never O(|build|);
+  *    side `BroadcastDistribution(RangeIndexBroadcastMode)` — Catalyst
+  *    inserts the BroadcastExchange, whose `transform` builds the
+  *    lo-sorted index (with a running max of `hi` in lo-order) ONCE on
+  *    the driver, the HashedRelationBroadcastMode precedent; at 100 TB
+  *    the fact side never moves and every executor receives the ready
+  *    structure, exactly the broadcast-hash-join shape for intervals;
+  *  - a probe binary-searches the last interval with lo ≤ x, then
+  *    walks left emitting containing intervals, stopping as soon as
+  *    the running-max-hi drops below x — for non/moderately-
+  *    overlapping bands the walk is O(matches), never O(|build|);
   *  - INNER semantics: null probe values and null bounds match
   *    nothing (SQL UNKNOWN), unmatched probe rows are dropped.
   *
@@ -58,9 +58,15 @@ case class BroadcastRangeJoinExec(probeExpr: Expression, loExpr: Expression,
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  /** The build side's BroadcastExchange runs the custom mode's
+    * `transform` ON THE DRIVER, so executors receive the READY
+    * lo-sorted index — the HashedRelationBroadcastMode precedent
+    * (ADVICE r8 closed as suggested; this replaces the r9 interim
+    * per-executor SoftReference cache). */
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution ::
-      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+      BroadcastDistribution(RangeIndexSupport.RangeIndexBroadcastMode(
+        loExpr, hiExpr, right.output)) :: Nil
 
   /** Probe-side rows pass through in place and in order (each emits its
     * matches consecutively), so the streamed side's partitioning and
@@ -74,36 +80,19 @@ case class BroadcastRangeJoinExec(probeExpr: Expression, loExpr: Expression,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lSchema = left.output
-    val rSchema = right.output
-    val pExpr = probeExpr; val loE = loExpr; val hiE = hiExpr
+    val pExpr = probeExpr
     val outAttrs = output
-    val execId = this.id
-    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val bc = right.executeBroadcast[
+      org.apache.spark.sql.execution.graftshim.DriverBuiltRelation]()
     left.execute().mapPartitions { lIter =>
-      // single-column dummy schema for cross-row value comparisons,
-      // compared with a generated (codegen'd) ordering — the
-      // AsOfJoinExec pattern. Generated per task (orderings are cheap
-      // after the first codegen-cache hit and not provably
-      // thread-safe); the built ARRAYS are shared via the cache.
-      val vAttr = AttributeReference("v", pExpr.dataType,
-        nullable = true)() :: Nil
-      val cmp = GenerateOrdering.generate(
-        vAttr.map(SortOrder(_, Ascending)), vAttr)
+      // the probe-side comparator is generated per task (generated
+      // orderings are cheap after the first codegen-cache hit and not
+      // provably thread-safe); RangeIndexSupport.ordering is the same
+      // construction the driver-side index build used
+      val cmp = RangeIndexSupport.ordering(pExpr.dataType)
       val probeProj = UnsafeProjection.create(pExpr :: Nil, lSchema)
-      // build-once per executor via the shared cache; the index build,
-      // probe walk, and cache design live in RangeIndexSupport (one
-      // copy for both range-join execs)
-      val built = RangeIndexSupport.getOrBuild((bc.id, execId)) {
-        val loProj = UnsafeProjection.create(loE :: Nil, rSchema)
-        val hiProj = UnsafeProjection.create(hiE :: Nil, rSchema)
-        RangeIndexSupport.buildIndex(
-          bc.value.flatMap { row =>
-            val lo = loProj(row).copy()
-            val hi = hiProj(row).copy()
-            if (lo.isNullAt(0) || hi.isNullAt(0)) None
-            else Some((lo, hi, row.copy()))
-          }, cmp)
-      }
+      val built = bc.value.payload
+        .asInstanceOf[RangeIndexSupport.RangeIndex]
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       lIter.flatMap { lRow =>

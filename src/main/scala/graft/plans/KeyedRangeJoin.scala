@@ -3,10 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.Shim
 
@@ -22,9 +21,10 @@ import org.apache.spark.sql.graftshim.Shim
   * BroadcastHashJoin on the key with the range predicate as a
   * POST-JOIN filter — every probe row first materializes ALL G
   * intervals of its key group, then filters: O(G) per row. This exec
-  * hash-partitions the broadcast build side by key ONCE per executor
-  * (each group lo-sorted with a running-max-hi), then probes in
-  * O(1) map lookup + O(log G + matches):
+  * hash-partitions the build side by key ONCE on the driver, inside
+  * the BroadcastExchange (each group lo-sorted with a running-max-hi;
+  * the KeyedRangeIndexBroadcastMode in RangeIndexSupport), then probes
+  * in O(1) map lookup + O(log G + matches):
   *
   *  - the probe key is canonicalized through an UnsafeProjection of
   *    the single key column, so lookup is byte-equality on UnsafeRows
@@ -43,7 +43,8 @@ import org.apache.spark.sql.graftshim.Shim
   * at growing per-key interval counts. */
 case class KeyedRangeJoinPlan(probeKey: Expression, probeExpr: Expression,
     buildKey: Expression, loExpr: Expression, hiExpr: Expression,
-    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+    left: LogicalPlan, right: LogicalPlan,
+    leftOuter: Boolean = false) extends BinaryNode {
   require(probeKey.dataType == buildKey.dataType,
     "keyed range join key types must match")
   // the keyed lookup is UnsafeRow BYTE equality, under which -0.0 and
@@ -58,22 +59,33 @@ case class KeyedRangeJoinPlan(probeKey: Expression, probeExpr: Expression,
   require(probeExpr.dataType == loExpr.dataType &&
     probeExpr.dataType == hiExpr.dataType,
     "keyed range join probe/lo/hi types must match")
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // LEFT OUTER keeps every probe row; unmatched rows carry nulls on the
+  // build side, so its attributes must advertise nullability
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(l: LogicalPlan,
       r: LogicalPlan): KeyedRangeJoinPlan = copy(left = l, right = r)
 }
 
 case class KeyedBroadcastRangeJoinExec(probeKey: Expression,
     probeExpr: Expression, buildKey: Expression, loExpr: Expression,
-    hiExpr: Expression, left: SparkPlan, right: SparkPlan)
+    hiExpr: Expression, left: SparkPlan, right: SparkPlan,
+    leftOuter: Boolean = false)
     extends BinaryExecNode {
   import RangeIndexSupport.RangeIndex
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
+  /** Build side broadcast as the DRIVER-BUILT key → lo-sorted-group
+    * map (the HashedRelationBroadcastMode precedent — see
+    * RangeIndexSupport). */
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution ::
-      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+      BroadcastDistribution(RangeIndexSupport.KeyedRangeIndexBroadcastMode(
+        buildKey, loExpr, hiExpr, right.output)) :: Nil
 
   override def outputPartitioning
       : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
@@ -84,57 +96,40 @@ case class KeyedBroadcastRangeJoinExec(probeKey: Expression,
     val lSchema = left.output
     val rSchema = right.output
     val pKeyE = probeKey; val pExpr = probeExpr
-    val bKeyE = buildKey; val loE = loExpr; val hiE = hiExpr
+    val outerFlag = leftOuter
     val outAttrs = output
-    val execId = this.id
-    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val bc = right.executeBroadcast[
+      org.apache.spark.sql.execution.graftshim.DriverBuiltRelation]()
     left.execute().mapPartitions { lIter =>
-      val vAttr = AttributeReference("v", pExpr.dataType,
-        nullable = true)() :: Nil
-      val cmp = GenerateOrdering.generate(
-        vAttr.map(SortOrder(_, Ascending)), vAttr)
+      val cmp = RangeIndexSupport.ordering(pExpr.dataType)
       val probeProj = UnsafeProjection.create(pExpr :: Nil, lSchema)
       val probeKeyProj = UnsafeProjection.create(pKeyE :: Nil, lSchema)
-      // build-once per executor via the shared cache; the per-group
-      // index build, probe walk, and cache design live in
-      // RangeIndexSupport (one copy for both range-join execs)
-      val index = RangeIndexSupport.getOrBuild[
-          java.util.HashMap[UnsafeRow, RangeIndex]]((bc.id, execId)) {
-        val keyProj = UnsafeProjection.create(bKeyE :: Nil, rSchema)
-        val loProj = UnsafeProjection.create(loE :: Nil, rSchema)
-        val hiProj = UnsafeProjection.create(hiE :: Nil, rSchema)
-        val byKey = new java.util.HashMap[UnsafeRow,
-          scala.collection.mutable.ArrayBuffer[
-            (InternalRow, InternalRow, InternalRow)]]()
-        bc.value.foreach { row =>
-          val k = keyProj(row)
-          val lo = loProj(row)
-          val hi = hiProj(row)
-          if (!k.isNullAt(0) && !lo.isNullAt(0) && !hi.isNullAt(0)) {
-            var buf = byKey.get(k)
-            if (buf == null) {
-              buf = new scala.collection.mutable.ArrayBuffer()
-              byKey.put(k.copy(), buf)
-            }
-            buf += ((lo.copy(), hi.copy(), row.copy()))
-          }
-        }
-        val out = new java.util.HashMap[UnsafeRow, RangeIndex](
-          byKey.size * 2)
-        byKey.forEach { (k, buf) =>
-          out.put(k, RangeIndexSupport.buildIndex(buf.toArray, cmp))
-        }
-        out
-      }
+      val index = bc.value.payload
+        .asInstanceOf[java.util.HashMap[UnsafeRow, RangeIndex]]
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
+      // one shared all-null build-side row pads LEFT OUTER misses (the
+      // BroadcastHashJoinExec nullRow pattern); JoinedRow copies out
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          rSchema.length)
       lIter.flatMap { lRow =>
         val k = probeKeyProj(lRow)
         val x = probeProj(lRow)
         val g = if (k.isNullAt(0) || x.isNullAt(0)) null else index.get(k)
-        if (g == null) Iterator.empty
-        else RangeIndexSupport.probe(g, cmp, x, lRow.copy(), joined,
-          outProj)
+        if (!outerFlag) {
+          if (g == null) Iterator.empty
+          else RangeIndexSupport.probe(g, cmp, x, lRow.copy(), joined,
+            outProj)
+        } else {
+          // LEFT OUTER: a null key / null probe value / absent group /
+          // empty walk each yield exactly one null-padded row
+          val lCopy = lRow.copy()
+          val it = if (g == null) Iterator.empty
+            else RangeIndexSupport.probe(g, cmp, x, lCopy, joined, outProj)
+          if (it.hasNext) it
+          else Iterator.single(outProj(joined(lCopy, nullRight)).copy())
+        }
       }
     }
   }
@@ -145,9 +140,9 @@ case class KeyedBroadcastRangeJoinExec(probeKey: Expression,
 
 object KeyedRangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case KeyedRangeJoinPlan(pk, p, bk, lo, hi, l, r) =>
+    case KeyedRangeJoinPlan(pk, p, bk, lo, hi, l, r, outer) =>
       KeyedBroadcastRangeJoinExec(pk, p, bk, lo, hi,
-        planLater(l), planLater(r)) :: Nil
+        planLater(l), planLater(r), outer) :: Nil
     case _ => Nil
   }
 }
@@ -158,10 +153,18 @@ object KeyedRangeJoin {
     * BETWEEN build.loCol AND build.hiCol` (bounds inclusive; null keys
     * and null bounds match nothing). Build-side columns are re-aliased
     * with `prefix` (fresh exprIds — the asofJoin contract). The build
-    * side must be broadcast-sized. */
+    * side must be broadcast-sized.
+    *
+    * `leftOuter = true` keeps every probe row — unmatched rows (no key
+    * group, out-of-range value, null key or null probe value) emit
+    * exactly ONE row with the build side null-padded: the SCD2
+    * dimension-lookup contract, where a fact outside every version's
+    * validity window must survive with an unknown version rather than
+    * silently drop. */
   def broadcastKeyedRangeJoin(probe: DataFrame, build: DataFrame,
       probeKeyCol: String, probeCol: String, keyCol: String,
-      loCol: String, hiCol: String, prefix: String = "r_"): DataFrame = {
+      loCol: String, hiCol: String, prefix: String = "r_",
+      leftOuter: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = probe.sparkSession
     Strategies.ensureRegistered(spark, KeyedRangeJoinStrategy)
@@ -178,6 +181,6 @@ object KeyedRangeJoin {
       resolve(rPlan, prefix + keyCol),
       resolve(rPlan, prefix + loCol),
       resolve(rPlan, prefix + hiCol),
-      lPlan, rPlan))
+      lPlan, rPlan, leftOuter))
   }
 }

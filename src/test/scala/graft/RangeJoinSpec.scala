@@ -164,6 +164,61 @@ class RangeJoinSpec extends AnyFunSuite {
       (20L, 2L), (40L, 3L)))
   }
 
+  // ---- LEFT OUTER keyed variant: the SCD2 lookup contract ----
+
+  test("keyed left outer: misses survive null-padded exactly once, " +
+      "matches are identical to inner") {
+    val build = keyedIntervals(Seq(
+      ("a", 1L, 10L, 20L), ("a", 2L, 15L, 30L), ("b", 9L, 0L, 100L)))
+    val probesDf = keyedProbes(Seq(
+      ("a", 17L),             // 2 matches
+      ("a", 99L),             // key exists, out of range -> 1 null row
+      ("c", 5L),              // no key group -> 1 null row
+      (null, 5L), ("a", null) // null key / null value -> 1 null row each
+    ))
+    val out = plans.KeyedRangeJoin
+      .broadcastKeyedRangeJoin(probesDf, build,
+        "pk", "x", "k", "lo", "hi", leftOuter = true)
+      .select(col("pid"), col("r_band_id"))
+      .collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(out == Seq((0L, 1L), (0L, 2L), (1L, -1L), (2L, -1L),
+      (3L, -1L), (4L, -1L)))
+  }
+
+  test("keyed left outer: matches the native left join with the range " +
+      "predicate inside the join condition, on real event data") {
+    val events = Tables.load(spark, TestSpark.sf, "events")
+    val out = operators.EventsPipeline.scd2RateLookup(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val sq = spark; import sq.implicits._
+    val h12 = 12L * 3600L * 1000000L
+    val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor"))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val dim = types.zipWithIndex.toDF("etype", "ti")
+      .select(col("etype"), explode(sequence(lit(0), col("ti") + 1)).as("v"))
+      .crossJoin(broadcast(anchor))
+      .select(col("etype"), col("v").cast("long").as("version"),
+        (col("anchor") - (col("v") + 1) * lit(h12) + 1).as("valid_from"),
+        (col("anchor") - col("v") * lit(h12)).as("valid_to"))
+    val native = events
+      .select(col("event_type"), unix_micros(col("ts")).as("x"))
+      .join(broadcast(dim),
+        col("event_type") === col("etype") &&
+          col("x").between(col("valid_from"), col("valid_to")),
+        "left_outer")
+      .groupBy(col("event_type"),
+        coalesce(col("version"), lit(-1L)).as("version"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(out.nonEmpty && out.sorted == native)
+    // the miss bucket must actually be exercised
+    assert(out.exists(_._2 == -1L))
+  }
+
   test("keyed: empty build and plan shape") {
     val empty = plans.KeyedRangeJoin.broadcastKeyedRangeJoin(
       keyedProbes(Seq(("a", 1L))), keyedIntervals(Seq.empty),
@@ -176,6 +231,148 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(plan.contains("KeyedBroadcastRangeJoin"), plan.take(800))
     assert(plan.contains("BroadcastExchange"), plan.take(800))
     assert(!plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  // ---- interval-OVERLAP variant (plans/OverlapJoin) ----
+
+  private def ivProbes(xs: Seq[(java.lang.Long, java.lang.Long)]) = {
+    val sq = spark; import sq.implicits._
+    xs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      .toDF("pid", "s", "e")
+  }
+
+  test("overlap: matches the BroadcastNestedLoopJoin overlap form on " +
+      "real session data") {
+    val events = Tables.load(spark, TestSpark.sf, "events")
+    val out = operators.EventsPipeline.sessionOverlapWindows(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // native: same sessions and grids joined by the literal predicate
+    val sessions = operators.EventsPipeline.sessionize(events)
+      .select(col("n_events"),
+        unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"))
+    val h6 = 6L * 3600L * 1000000L
+    val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor"))
+    def grid(tag: Int, n: Int, w: Long) =
+      spark.range(n).crossJoin(broadcast(anchor))
+        .select((lit(tag) + col("id")).as("window_id"),
+          (col("anchor") - (col("id") + 1) * lit(w) + 1).as("lo"),
+          (col("anchor") - col("id") * lit(w)).as("hi"))
+    val wins = grid(600, 12, h6).unionAll(grid(1200, 6, 2 * h6))
+    val native = sessions.join(broadcast(wins),
+        col("lo") <= col("e") && col("hi") >= col("s"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("sum_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(out.nonEmpty && out.sorted == native)
+  }
+
+  test("overlap: full taxonomy — touching endpoints, containment both " +
+      "directions, partial overlaps, disjoint, reversed, nulls") {
+    val build = intervals(Seq((1L, 10L, 20L)))
+    val out = plans.OverlapJoin.broadcastOverlapJoin(
+      ivProbes(Seq(
+        (0L, 5L),     // disjoint left (hi 5 < lo 10)
+        (5L, 10L),    // touches at lo -> overlap
+        (8L, 12L),    // partial left
+        (12L, 18L),   // probe inside build
+        (5L, 25L),    // build inside probe
+        (18L, 25L),   // partial right
+        (20L, 30L),   // touches at hi -> overlap
+        (21L, 30L),   // disjoint right
+        (25L, 15L),   // reversed: lo<=15 true, hi>=25 false -> no match
+        (null, 15L), (15L, null))), // null endpoints match nothing
+      build, "s", "e", "lo", "hi")
+      .select(col("pid")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("overlap: reversed probe spanned by a wide build interval still " +
+      "follows the SQL predicate") {
+    // predicate lo <= e AND hi >= s with s=25, e=15 against [0, 100]:
+    // 0 <= 15 && 100 >= 25 -> MATCHES (mechanical SQL semantics, same
+    // as the BNLJ form — pinned so nobody "fixes" it to interval logic)
+    val out = plans.OverlapJoin.broadcastOverlapJoin(
+      ivProbes(Seq((25L, 15L))), intervals(Seq((7L, 0L, 100L))),
+      "s", "e", "lo", "hi")
+      .select(col("r_band_id")).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(7L))
+  }
+
+  test("overlap: multi-match across adjacent windows and empty build") {
+    val build = intervals(Seq((1L, 0L, 9L), (2L, 10L, 19L), (3L, 20L, 29L)))
+    val out = plans.OverlapJoin.broadcastOverlapJoin(
+      ivProbes(Seq((5L, 25L))), build, "s", "e", "lo", "hi")
+      .select(col("r_band_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L))
+    val empty = plans.OverlapJoin.broadcastOverlapJoin(
+      ivProbes(Seq((1L, 2L))), intervals(Seq.empty), "s", "e", "lo", "hi")
+    assert(empty.count() == 0)
+  }
+
+  test("broadcast mode: the driver-built relation survives a Java " +
+      "serialization round-trip (the real-cluster wire path local " +
+      "mode may shortcut)") {
+    val sq = spark; import sq.implicits._
+    val build = Seq((1L, 10L, 20L), (2L, 15L, 30L), (3L, 40L, 41L))
+      .toDF("band_id", "lo", "hi")
+    val plan = build.queryExecution.executedPlan
+    val attrs = plan.output
+    val mode = plans.RangeIndexSupport.RangeIndexBroadcastMode(
+      attrs(1), attrs(2), attrs)
+    val rel = mode.transform(
+      build.queryExecution.executedPlan.executeCollect()
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]))
+      .asInstanceOf[
+        org.apache.spark.sql.execution.graftshim.DriverBuiltRelation]
+    assert(rel.estimatedSize > 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(rel); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[
+        org.apache.spark.sql.execution.graftshim.DriverBuiltRelation]
+    val idx = back.payload.asInstanceOf[
+      graft.plans.RangeIndexSupport.RangeIndex]
+    // the deserialized index must reproduce the probe semantics: x=17
+    // hits bands 1 and 2, x=35 hits nothing, x=40 hits band 3
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    import org.apache.spark.sql.types.LongType
+    val cmp = graft.plans.RangeIndexSupport.ordering(LongType)
+    def hits(x: Long): Seq[Long] = {
+      val row = org.apache.spark.sql.catalyst.InternalRow(x)
+      val proj = UnsafeProjection.create(Array[org.apache.spark.sql
+        .types.DataType](LongType))
+      val probeRow = proj(row).copy()
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val outProj = UnsafeProjection.create(
+        Seq(LongType, LongType, LongType, LongType).toArray[
+          org.apache.spark.sql.types.DataType])
+      graft.plans.RangeIndexSupport
+        .probe(idx, cmp, probeRow, probeRow, joined, outProj)
+        .map(_.getLong(1)).toSeq.sorted
+    }
+    assert(hits(17L) == Seq(1L, 2L))
+    assert(hits(35L) == Seq.empty)
+    assert(hits(40L) == Seq(3L))
+  }
+
+  test("overlap: null build bounds match nothing; plan shape") {
+    val sq = spark; import sq.implicits._
+    val build = Seq((1L, Some(0L), Some(100L)), (2L, None, Some(100L)),
+      (3L, Some(0L), None)).toDF("band_id", "lo", "hi")
+    val df = plans.OverlapJoin.broadcastOverlapJoin(
+      ivProbes(Seq((5L, 10L))), build, "s", "e", "lo", "hi")
+    assert(df.select(col("r_band_id")).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastOverlapJoin"), plan.take(800))
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 }

@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   * duplicate blowup across copies would measure the adversarial
   * quadratic case, not scaling).
   *
-  * Run: sbt "Test/runMain graft.ScalingProbe"   (~5 min)
+  * Run: sbt "Test/runMain graft.ScalingProbe"   (~20 min, idle box)
+  * or one section: sbt "Test/runMain graft.ScalingProbe ranges"
+  * (sections: events join docs embeddings ranges streaming dedup)
   * Output: one PROBE line per (operator, scale) with rows and seconds.
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
+    val only = args.toSet
+    def sec(name: String)(body: => Unit): Unit =
+      if (only.isEmpty || only.contains(name)) body
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -41,7 +46,7 @@ object ScalingProbe {
     val lineitem = Tables.load(spark, sfDir, "lineitem")
     val orders = Tables.load(spark, sfDir, "orders")
 
-    for (k <- Seq(0, 1, 8, 64)) {
+    sec("events") { for (k <- Seq(0, 1, 8, 64)) {
       val ev = ScaledFixtures.scaled(events, k,
         Seq("event_id", "user_id"))
         .persist()
@@ -61,9 +66,9 @@ object ScalingProbe {
         operators.EventsPipeline.rangeBandCounts(ev).count()
       }
       ev.unpersist()
-    }
+    } }
 
-    for (k <- Seq(0, 1, 8, 32)) {
+    sec("join") { for (k <- Seq(0, 1, 8, 32)) {
       val li = ScaledFixtures.scaled(lineitem, k, Seq("l_orderkey"))
         .persist()
       val ord = ScaledFixtures
@@ -76,9 +81,9 @@ object ScalingProbe {
           .agg(count(lit(1))).count()
       }
       li.unpersist(); ord.unpersist()
-    }
+    } }
 
-    for (k <- Seq(0, 1, 8, 64)) {
+    sec("docs") { for (k <- Seq(0, 1, 8, 64)) {
       val d = ScaledFixtures.scaled(docs, math.max(k, 1), Seq("doc_id"))
         .withColumn("text", concat(col("text"),
           lit(" copyword"), (col("doc_id") / ScaledFixtures.idShift)
@@ -98,9 +103,9 @@ object ScalingProbe {
         graft.text.TextAnalysis.pmiCollocations(d).count()
       }
       d.unpersist()
-    }
+    } }
 
-    for (k <- Seq(0, 1, 16, 64)) {
+    sec("embeddings") { for (k <- Seq(0, 1, 16, 64)) {
       val e = ScaledFixtures.scaled(emb, k, Seq("vec_id")).persist()
       e.count()
       // one-pass Gram moment accumulation (PCA corpus pass)
@@ -126,7 +131,7 @@ object ScalingProbe {
         vector.Similarity.semDedup(e, threshold = 0.35).count()
       }
       e.unpersist()
-    }
+    } }
 
     // --- BroadcastRangeJoinExec vs the native BNLJ plan (A/B) ---
     // Same query, growing BUILD side over a fixed 6.4M-row probe:
@@ -135,7 +140,7 @@ object ScalingProbe {
     // predicate evaluations per probe row, O(N·B) — while the custom
     // exec binary-searches the sorted broadcast index, O(N·log B).
     // The custom curve must stay ~flat in B; the BNLJ one grows ~B.
-    locally {
+    sec("ranges") {
       val ev64 = ScaledFixtures
         .scaled(events, 64, Seq("event_id", "user_id")).persist()
       ev64.count()
@@ -194,6 +199,34 @@ object ScalingProbe {
           }
         }
       }
+      // OVERLAP variant A/B over the same probe rows widened to 1-hour
+      // intervals [ts, ts+1h]: build grids of B disjoint windows across
+      // the ts span, predicate lo <= e AND hi >= s. No equi key exists
+      // in any rewrite, so the native plan is BroadcastNestedLoopJoin
+      // O(N·B); the overlap exec binary-searches the lo-sorted windows
+      // and walks only actual overlaps (~1 + 1h/window-width per row).
+      locally {
+        val h1 = 3600L * 1000000L
+        val oProbe = ev64.select(unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + h1).as("e"))
+        for (b <- Seq(0, 16, 128, 1024, 8192)) {
+          val nb = math.max(b, 16)
+          val w = (hi0 - lo0) / nb + 1
+          val wins = spark.range(nb).select(col("id").as("window_id"),
+            (lit(lo0) + col("id") * w).as("lo"),
+            (lit(lo0) + (col("id") + 1) * w - 1).as("hi"))
+          time("overlap_ab_custom", b) {
+            graft.plans.OverlapJoin
+              .broadcastOverlapJoin(oProbe, wins, "s", "e", "lo", "hi")
+              .groupBy(col("r_window_id")).agg(count(lit(1))).count()
+          }
+          time("overlap_ab_bnlj", b) {
+            oProbe.join(broadcast(wins),
+                col("lo") <= col("e") && col("hi") >= col("s"))
+              .groupBy(col("window_id")).agg(count(lit(1))).count()
+          }
+        }
+      }
       ev64.unpersist()
     }
 
@@ -205,7 +238,7 @@ object ScalingProbe {
     // batches, which must be linear; (c) the session-window drain
     // (state store merging session fragments per user across batches)
     // at the same volumes.
-    locally {
+    sec("streaming") {
       import org.apache.spark.sql.streaming.Trigger
       def drain(tag: String, n: Long, rpb: Long,
           sessions: Boolean): Long = {
@@ -254,7 +287,7 @@ object ScalingProbe {
     // growth. Salting EVERY word gives copies disjoint vocabulary —
     // genuinely new content, the scaling scenario — while each copy
     // keeps the fixture's own realistic near-dup structure.
-    for (k <- Seq(0, 1, 8, 64)) {
+    sec("dedup") { for (k <- Seq(0, 1, 8, 64)) {
       val d = ScaledFixtures.saltedDocs(docs, math.max(k, 1)).persist()
       d.count()
       // the PPJoin at the production threshold FIRST (t=0.8, prefix =
@@ -288,7 +321,7 @@ object ScalingProbe {
         graft.dedup.Dedup.substringDedup(d).count()
       }
       d.unpersist()
-    }
+    } }
 
     spark.stop()
   }
