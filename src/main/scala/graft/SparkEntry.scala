@@ -337,6 +337,24 @@ object SparkEntry {
       Tables.load(s, dir, "customer"), Tables.load(s, dir, "orders"),
       Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "nation"))),
     "q_forecast_revenue" -> t("lineitem")(R.forecastRevenue),
+    "q_min_cost_supplier" -> ((s, dir) => R.minCostSupplier(
+      Tables.load(s, dir, "part"), Tables.load(s, dir, "supplier"),
+      Tables.load(s, dir, "nation"), Tables.load(s, dir, "region"),
+      Tables.load(s, dir, "lineitem"))),
+    "q_product_profit" -> ((s, dir) => R.productTypeProfit(
+      Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "part"),
+      Tables.load(s, dir, "supplier"), Tables.load(s, dir, "nation"))),
+    "q_important_parts" -> ((s, dir) => R.importantParts(
+      Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "supplier"),
+      Tables.load(s, dir, "nation"), Tables.load(s, dir, "region"))),
+    "q_ship_modes" -> t2("lineitem", "orders")(R.shipModes),
+    "q_part_supp_counts" -> ((s, dir) => R.partSupplierCounts(
+      Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "part"),
+      Tables.load(s, dir, "supplier"))),
+    "q_promo_suppliers" -> ((s, dir) => R.promoSuppliers(
+      Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "part"),
+      Tables.load(s, dir, "supplier"), Tables.load(s, dir, "nation"),
+      Tables.load(s, dir, "region"))),
     "q_nation_trade" -> ((s, dir) => R.nationTradeVolume(s, dir)),
     "q_cust_distribution" -> t2("customer", "orders")(R.custOrderDistribution),
     "q_top_supplier" -> ((s, dir) => R.topSupplier(s, dir)),

@@ -1029,6 +1029,179 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** TPC-H Q2 (minimum cost supplier, adapted: the fixture has no
+    * partsupp, so the part↔supplier offer relation derives from
+    * lineitem — a supplier's unit cost for a part is the minimum
+    * per-unit price it ever shipped that part at). For every LARGE
+    * part, the EUROPE supplier(s) offering the region-wide minimum
+    * unit cost — the correlated-scalar-min shape. Offers aggregate at
+    * (part, supplier) grain with map-side combine; the per-part min
+    * and the offers relation both hash-partition on partkey, so the
+    * correlated-min equality join reuses one exchange (no second
+    * fact shuffle); dims broadcast. Ties all survive (the Q2
+    * contract); top-100 plans as TakeOrderedAndProject. */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val eur = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val offers = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val eurOffers = offers
+      .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part.filter(col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+    val minCost = eurOffers.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    eurOffers
+      .join(minCost,
+        col("p_partkey") === col("mk") &&
+          col("unit_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 (product type profit, adapted: no partsupp supply cost,
+    * so cost per unit is proxied by half the part's retail price —
+    * the join/aggregation shape is what matters). Profit on every
+    * lineitem of a '%bolt%' part, grouped by supplier nation and ship
+    * year. One fact scan, BOTH dims broadcast (part filtered before
+    * the exchange), zero fact shuffles before the (nation, year)
+    * aggregation; the profit expression is summed as exact decimal. */
+  def productTypeProfit(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val bolts = part.filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem
+      .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"))
+      .agg(decSum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.5) * col("p_retailprice") * col("l_quantity"), 4)
+        .as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 (important stock, adapted: part value = revenue shipped
+    * by ASIA suppliers, standing in for supplycost×availqty). Parts
+    * whose value exceeds 2× the mean per-part value — the
+    * grouped-aggregate vs global-scalar-subquery HAVING shape. The
+    * threshold derives from the SAME part-grain aggregate (no second
+    * fact pass); the mean is an exact decimal sum over the part-grain
+    * rows so the cutoff replays deterministically. */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val asia = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val byPart = lineitem
+      .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(decSum(col("l_extendedprice") * col("l_quantity"), 4)
+        .as("value"))
+    val thr = byPart.agg(
+      (decSum(col("value"), 6) / count(lit(1)) * lit(2.0)).as("thr"))
+    byPart.join(broadcast(thr), col("value") > col("thr"))
+      .select(col("p_partkey"), col("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 (shipping modes and order priority, adapted: the
+    * fixture has no ship mode or receipt date, so the categorical is
+    * l_linestatus and "late" means shipped more than 90 days after the
+    * order date). Per status, how many late lines belong to
+    * high-priority vs other orders — the fact-fact join + conditional
+    * CASE-count shape. Lateness compares exact epoch micros, so the
+    * oracle replays it with integer arithmetic. */
+  def shipModes(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(unix_micros(col("l_shipdate")) -
+        unix_micros(col("o_orderdate")) > lit(90L * 86400L * 1000000L))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** TPC-H Q16 (parts/supplier relationship, adapted: the
+    * part↔supplier bridge derives from lineitem, and the excluded
+    * "complaint" suppliers are those with a below-average account
+    * balance — a NOT IN whose subquery carries its own scalar
+    * subquery). Distinct supplier count per (brand, type, size) for
+    * parts that are neither Brand#13 nor PROMO. The bridge collapses
+    * to distinct (part, supplier) pairs FIRST (pair-grain shuffle,
+    * map-side combinable), the exclusion is a broadcast anti join, and
+    * only then does countDistinct run per part-group. */
+  def partSupplierCounts(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val avgBal = supplier.agg(decAvg(col("s_acctbal"), 2).as("ab"))
+    val excluded = supplier.crossJoin(broadcast(avgBal))
+      .filter(col("s_acctbal") < col("ab"))
+      .select(col("s_suppkey"))
+    val sel = part
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(excluded),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(sel), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 (potential part promotion, adapted: availqty is
+    * unavailable, so the inner HAVING keeps suppliers that shipped
+    * more than 100 units of 'large%' parts in 1997). EUROPE suppliers
+    * inside the nested IN — the IN(subquery with GROUP BY/HAVING)
+    * shape, planned as an aggregate-then-semi-join: the inner
+    * aggregation collapses the fact to supplier grain before any join,
+    * and the semi join probes that tiny relation. */
+  def promoSuppliers(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val bigShippers = lineitem
+      .join(broadcast(part.filter(col("p_name").like("large%"))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(decSum(col("l_quantity"), 2).as("qty"))
+      .filter(col("qty") > 100.0)
+      .select(col("l_suppkey"))
+    supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(bigShippers, col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
   /** EXACT join-cardinality profile WITHOUT materializing the join —
     * the statistic a cost-based optimizer (or a capacity planner sizing
     * a 100 TB shuffle) needs before committing to the join: |A ⋈ B| =
