@@ -1619,6 +1619,103 @@ object SparkEntry {
            AND l_shipdate < TIMESTAMP '1998-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+    "q_min_cost_supplier" ->
+      """WITH eur AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         offers AS (
+           SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+           FROM lineitem GROUP BY 1, 2),
+         eo AS (
+           SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+             unit_cost
+           FROM offers
+           JOIN eur ON l_suppkey = s_suppkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'LARGE'),
+         mc AS (
+           SELECT p_partkey AS mk, min(unit_cost) AS min_cost
+           FROM eo GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+         FROM eo JOIN mc ON p_partkey = mk AND unit_cost = min_cost
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         LIMIT 100""",
+    "q_product_profit" ->
+      """SELECT n_name AS nation,
+           CAST(year(l_shipdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+             - 0.5 * p_retailprice * l_quantity AS DECIMAL(28,4)))
+             AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%bolt%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q_important_parts" ->
+      """WITH bp AS (
+           SELECT l_partkey AS p_partkey,
+             CAST(sum(CAST(l_extendedprice * l_quantity
+               AS DECIMAL(28,4))) AS DOUBLE) AS value
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+           GROUP BY 1),
+         t AS (
+           SELECT CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*) * 2.0 AS thr
+           FROM bp)
+         SELECT p_partkey, value FROM bp, t WHERE value > thr
+         ORDER BY value DESC, p_partkey""",
+    "q_ship_modes" ->
+      """SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+         GROUP BY 1 ORDER BY 1""",
+    "q_part_supp_counts" ->
+      """WITH ab AS (
+           SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(28,2)))
+             AS DOUBLE) / count(s_acctbal) AS ab
+           FROM supplier),
+         excl AS (
+           SELECT s_suppkey FROM supplier, ab WHERE s_acctbal < ab),
+         pairs AS (
+           SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM pairs
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_promo_suppliers" ->
+      """WITH big AS (
+           SELECT l_suppkey
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'large%'
+             AND l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1
+           HAVING CAST(sum(CAST(l_quantity AS DECIMAL(28,2)))
+             AS DOUBLE) > 100.0)
+         SELECT s_name, s_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'
+           AND s_suppkey IN (SELECT l_suppkey FROM big)
+         ORDER BY s_name""",
     "q_nation_trade" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
             CAST(year(l_shipdate) AS INTEGER) AS l_year,

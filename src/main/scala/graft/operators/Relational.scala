@@ -1127,13 +1127,16 @@ object Relational {
     * l_linestatus and "late" means shipped more than 90 days after the
     * order date). Per status, how many late lines belong to
     * high-priority vs other orders — the fact-fact join + conditional
-    * CASE-count shape. Lateness compares exact epoch micros, so the
-    * oracle replays it with integer arithmetic. */
+    * CASE-count shape. Lateness is a direct timestamp comparison
+    * (`shipdate > orderdate + 90 days`) — the fixture stores these
+    * columns as TIMESTAMP_NTZ, which `unix_micros` rejects, and
+    * interval arithmetic on NTZ is exact (no DST), so DuckDB replays
+    * it verbatim. */
   def shipModes(lineitem: DataFrame, orders: DataFrame): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .filter(unix_micros(col("l_shipdate")) -
-        unix_micros(col("o_orderdate")) > lit(90L * 86400L * 1000000L))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .groupBy(col("l_linestatus"))
       .agg(
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)

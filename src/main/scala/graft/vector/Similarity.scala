@@ -456,31 +456,30 @@ object Similarity {
     var cent = collectCent(
       exactMeans(corpus.select(col("label"), col("v")), "label")
         .withColumnRenamed("label", "cluster"))
-    // each round's tiny (k-row) inertia frame is cached and counted
-    // IN-LOOP so the round's corpus-sized assignment cache can be
-    // released immediately — peak storage stays corpus + ONE
-    // assignment regardless of R (r9 review: the lazy union held all
-    // R assignment caches alive until the final count)
-    val perRound = (1 to rounds).map { r =>
+    // each round's k-row inertia result is COLLECTED in-loop (model-
+    // sized driver reads, like the centroids themselves) so the
+    // round's corpus-sized assignment cache is released immediately
+    // and NOTHING stays cached after training — peak storage is
+    // corpus + ONE assignment regardless of R, and the returned frame
+    // is a local relation with no live cache entries (r9 advice: the
+    // persisted per-round frames accumulated for the session)
+    val perRound = (1 to rounds).flatMap { r =>
       val assigned = assignToCentroids(corpus, cent).persist()
       cent = collectCent(exactMeans(
         assigned.select(col("cluster"), col("v")), "cluster"))
       val mDf = cent.toDF("cluster", "centroid")
-      val inertia = assigned.join(broadcast(mDf), "cluster")
+      val rows = assigned.join(broadcast(mDf), "cluster")
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"),
           round(decSum(dist2(col("v"), col("centroid"))), 6).as("inertia"))
-        .select(lit(r).as("round"), col("cluster"),
-          col("n_members"), col("inertia"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      inertia.count()
+        .collect()
+        .map(x => (r, x.getInt(0), x.getLong(1), x.getDouble(2)))
       assigned.unpersist()
-      inertia
+      rows
     }
-    val result = perRound.reduce(_ unionAll _)
-      .orderBy(col("round"), col("cluster"))
     corpus.unpersist()
-    result
+    perRound.toDF("round", "cluster", "n_members", "inertia")
+      .orderBy(col("round"), col("cluster"))
   }
 
   /** The squared-distance SQL fragment over aliased (vector, centroid)
