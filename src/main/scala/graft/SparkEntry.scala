@@ -418,6 +418,9 @@ object SparkEntry {
     "q_minhash_lsh" -> t("documents")(D.minhashLshPairs(_)),
     "q_minhash_neutral" -> t("documents")(D.minhashLshPairsNeutral(_)),
     "q_minhash_est" -> t("documents")(D.minhashEstimate(_)),
+    // recall of the banded LSH gate vs exact-Jaccard truth, by decile —
+    // the missed-pair curve for the (k=16, bands=4) operating point
+    "q_lsh_recall" -> t("documents")(D.lshRecall(_)),
     "q_simhash_pairs" -> t("documents")(D.simhashPairs(_)),
     "q_simhash_neutral" -> t("documents")(D.simhashPairsNeutral(_)),
     // ---- similarity search (north star) ----
@@ -438,6 +441,9 @@ object SparkEntry {
     // IVF serving the trained quantizer: lists = final-round Lloyd
     // assignment, probe = d²-nearest trained centroid.
     "q_knn_ivf_trained" -> t("embeddings")(V.ivfTrainedTopK(_)),
+    // recall@k of the trained index vs brute force at nprobe 1 and 2 —
+    // the probe-budget acceptance curve (trains once, serves both).
+    "q_ann_recall_ivf" -> t("embeddings")(V.ivfTrainedRecall(_)),
     "q_ann_recall" -> t("embeddings")(V.annRecall(_)),
     "q_pq_recall" -> t("embeddings")(V.pqRecall(_)),
     // fixture embeddings are near-random (max within-cluster cos ≈0.5),
@@ -2347,6 +2353,7 @@ object SparkEntry {
     // (dedup/Dedup.scala NeutralMinHash — constants shared with the plan).
     "q_minhash_neutral" -> D.NeutralMinHash.oracleSql(),
     "q_minhash_est" -> D.minhashEstimateOracleSql(),
+    "q_lsh_recall" -> D.lshRecallOracleSql(),
     "q_dedup_incremental" -> D.NeutralMinHash.incrementalOracleSql(),
     "q_simhash_neutral" -> D.simhashNeutralOracleSql(),
     "q_substring_dedup" -> D.substringDedupOracleSql(),
@@ -2614,6 +2621,7 @@ object SparkEntry {
     "q_knn_ivf_refined" -> ivfRefinedOracleSql,
     "q_kmeans" -> V.kmeansOracleSql(),
     "q_knn_ivf_trained" -> V.ivfTrainedOracleSql(),
+    "q_ann_recall_ivf" -> V.ivfTrainedRecallOracleSql(),
     "q_knn_pq" -> knnPqOracleSql,
     "q_media_features" -> M.featurePipelineOracleSql,
     "q_media_frames" -> M.framePipelineOracleSql,

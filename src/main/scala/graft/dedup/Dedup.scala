@@ -593,6 +593,88 @@ object Dedup {
        ORDER BY doc_a, doc_b"""
   }
 
+  /** LSH effectiveness curve — recall of the banded-minhash candidate
+    * GATE against the EXACT Jaccard ground truth, per similarity
+    * decile: for every true pair with J >= `threshold`, was it
+    * surfaced by at least one shared band? The number a dedup
+    * deployment reads before committing to a (k, bands) operating
+    * point — cost curves (SCALING.md) say what the index spends,
+    * this says what it misses (1 - (1 - J^r)^b in expectation; the
+    * curve is the measured version).
+    *
+    * Scale: the truth side is the PPJoin prefix-filter pair set
+    * (exact by construction, oracled, linear in candidates — never
+    * the corpus square); the candidate side is the banded inverted
+    * index; the comparison joins two pair-grain relations. The whole
+    * evaluator is therefore runnable at corpus scale, not just on a
+    * sample. */
+  def lshRecall(documents: DataFrame, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // eagerly-persisted truth pairs (jaccardPrefixPairs contract);
+    // released below once the decile rows — a ≤10-row model read —
+    // are collected, so nothing stays cached after evaluation
+    val truth = jaccardPrefixPairs(documents, n, threshold)
+    val banded = neutralBands(documents, k, bands, n)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("found", lit(1L))
+    val rows = truth
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_outer")
+      .groupBy(floor(col("jaccard") * 10).as("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(2).toDouble / r.getLong(1).toDouble))
+    truth.unpersist()
+    rows.toSeq.toDF("bucket", "n_true", "n_found", "recall")
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[lshRecall]]: quadratic all-pairs truth (oracle-
+    * only; the engine side never forms it) outer-joined against the
+    * neutral band index's candidate pairs, bucketed identically. */
+  def lshRecallOracleSql(k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): String = {
+    val j = "CAST(n_common AS DOUBLE)" +
+      " / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)"
+    s"""WITH ${NeutralMinHash.bandsCteSql(k, bands)},
+       cands AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       truth AS (
+         SELECT doc_a, doc_b, $j AS jac
+         FROM p
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE $j >= $threshold),
+       m AS (
+         SELECT t.jac, c.doc_a IS NOT NULL AS found
+         FROM truth t LEFT JOIN cands c
+           ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       SELECT CAST(floor(jac * 10) AS BIGINT) AS bucket,
+         count(*) AS n_true,
+         CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS recall
+       FROM m GROUP BY 1 ORDER BY 1"""
+  }
+
   /** [[minhashLshPairs]] with engine-neutral hashing (see
     * [[NeutralMinHash]]) — fully DuckDB-oracled. */
   def minhashLshPairsNeutral(documents: DataFrame, k: Int = 16,

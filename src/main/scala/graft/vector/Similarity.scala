@@ -556,18 +556,12 @@ object Similarity {
     * probes its d²-nearest trained centroid and ranks that list by
     * exact cosine. Same scale shape as every IVF variant: R broadcast
     * assignment scans to train, one list scan per query to serve. */
-  def ivfTrainedTopK(embeddings: DataFrame, rounds: Int = 2,
-      nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    // persisted for the training loop's rounds+1 eager collect actions
-    // (the kmeansTrain access pattern — without it each collect rescans
-    // and re-casts the base table); released before returning, so the
-    // lazily-evaluated serve query below re-reads the table once per
-    // action instead of holding a corpus-sized cache for the session
-    val corpus = embeddings
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .persist()
+  /** R Lloyd rounds over `corpus` (`vec_id`, `label`, `v`); returns the
+    * FINAL assignment frame (the inverted lists) and the final trained
+    * centroids. The caller persists `corpus` for the loop's 2R+1 eager
+    * collect actions and releases it afterwards. */
+  private def trainQuantizer(corpus: DataFrame,
+      rounds: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
     var cent = collectCent(
       exactMeans(corpus.select(col("label"), col("v")), "label")
         .withColumnRenamed("label", "cluster"))
@@ -577,8 +571,14 @@ object Similarity {
       cent = collectCent(exactMeans(
         assigned.select(col("cluster"), col("v")), "cluster"))
     }
-    corpus.unpersist()
-    val mDf = cent.toDF("cluster", "centroid")
+    (assigned, cent)
+  }
+
+  /** Serve path over a trained quantizer: each query probes its
+    * `nprobe` d²-nearest centroids and ranks those lists (disjoint by
+    * construction) by exact cosine. One list scan per (query, probe). */
+  private def serveTrained(corpus: DataFrame, assigned: DataFrame,
+      mDf: DataFrame, nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("q"))
     val wq = Window.partitionBy(col("query_id"))
@@ -586,7 +586,7 @@ object Similarity {
     val probe = queries.crossJoin(broadcast(mDf))
       .withColumn("qd2", dist2(col("q"), col("centroid")))
       .withColumn("r", row_number().over(wq))
-      .filter(col("r") === 1)
+      .filter(col("r") <= nprobe)
       .select(col("query_id"), col("q"), col("cluster").as("probe_cluster"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -602,10 +602,60 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def ivfTrainedTopK(embeddings: DataFrame, rounds: Int = 2,
+      nQueries: Int = 5, k: Int = 10, nprobe: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // persisted for the training loop's rounds+1 eager collect actions
+    // (the kmeansTrain access pattern — without it each collect rescans
+    // and re-casts the base table); released before returning, so the
+    // lazily-evaluated serve query below re-reads the table once per
+    // action instead of holding a corpus-sized cache for the session
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .persist()
+    val (assigned, cent) = trainQuantizer(corpus, rounds)
+    corpus.unpersist()
+    serveTrained(corpus, assigned, cent.toDF("cluster", "centroid"),
+      nQueries, k, nprobe)
+  }
+
+  /** Recall of the TRAINED-quantizer IVF vs exact brute force, at
+    * nprobe 1 and 2 — the acceptance curve a serving deployment reads
+    * before choosing its probe budget (VERDICT r9 ask: `q_ann_recall`
+    * covers the LSH index; this is the trained index's number). Trains
+    * ONCE, serves both probe budgets from the same lists; composes two
+    * oracled paths so the recall itself is oracle-checked. */
+  def ivfTrainedRecall(embeddings: DataFrame, rounds: Int = 2,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .persist()
+    val (assigned, cent) = trainQuantizer(corpus, rounds)
+    corpus.unpersist()
+    val mDf = cent.toDF("cluster", "centroid")
+    val brute = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val perProbe = Seq(1, 2).map { np =>
+      val approx = serveTrained(corpus, assigned, mDf, nQueries, k, np)
+        .select(col("query_id").as("aq"), col("vec_id").as("av"))
+      brute
+        .join(approx,
+          col("query_id") === col("aq") && col("vec_id") === col("av"),
+          "left_outer")
+        .groupBy(col("query_id"))
+        .agg((count(col("av")).cast("double") / lit(k.toDouble)).as("recall"))
+        .select(lit(np).as("nprobe"), col("query_id"), col("recall"))
+    }
+    perProbe.reduce(_ unionAll _).orderBy(col("nprobe"), col("query_id"))
+  }
+
   /** DuckDB oracle for [[ivfTrainedTopK]]: [[lloydCtes]] + the probe /
     * rank tail over the final round's lists and means. */
   def ivfTrainedOracleSql(rounds: Int = 2, nQueries: Int = 5,
-      k: Int = 10): String = {
+      k: Int = 10, nprobe: Int = 1): String = {
     def cosSql(a: String, b: String): String =
       s"""list_sum(list_transform(range(1, 65), j -> $a[j] * $b[j]))
             / (sqrt(list_sum(list_transform(range(1, 65), j -> $a[j] * $a[j])))
@@ -617,7 +667,7 @@ object Similarity {
            SELECT q.query_id, q.qe, c.cluster,
              row_number() OVER (PARTITION BY q.query_id
                ORDER BY ${d2Sql("qe", "c.c")} ASC, c.cluster) AS rn
-           FROM q CROSS JOIN c$rounds c) WHERE rn = 1),
+           FROM q CROSS JOIN c$rounds c) WHERE rn <= $nprobe),
        cand AS (SELECT probe.query_id, a.vec_id,
            round(${cosSql("qe", "a.e")}, 6) AS cos
          FROM asg$rounds a JOIN probe
@@ -628,6 +678,37 @@ object Similarity {
              ORDER BY cos DESC, vec_id) AS INTEGER) AS rank FROM cand)
        SELECT query_id, rank, vec_id, round(cos, 3) AS cos
        FROM r2 WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB oracle for [[ivfTrainedRecall]]: the brute-force top-k
+    * outer-joined against [[ivfTrainedOracleSql]] at each probe budget,
+    * unioned. */
+  def ivfTrainedRecallOracleSql(rounds: Int = 2, nQueries: Int = 5,
+      k: Int = 10): String = {
+    val brute =
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v
+           WHERE vec_id < $nQueries),
+         c AS (SELECT query_id, vec_id,
+            round(list_sum(list_transform(range(1, 65), i -> qe[i] * e[i]))
+              / (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))
+                 * sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i])))),
+              6) AS cos
+           FROM v CROSS JOIN q WHERE vec_id <> query_id),
+         r AS (SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS rank
+           FROM c)
+         SELECT query_id, vec_id FROM r WHERE rank <= $k"""
+    def one(np: Int): String =
+      s"""SELECT $np AS nprobe, b.query_id,
+            CAST(count(m.vec_id) AS DOUBLE) / $k.0 AS recall
+          FROM ($brute) b
+          LEFT JOIN (${ivfTrainedOracleSql(rounds, nQueries, k, np)}) m
+            ON b.query_id = m.query_id AND b.vec_id = m.vec_id
+          GROUP BY b.query_id"""
+    s"SELECT * FROM (${one(1)} UNION ALL ${one(2)}) ORDER BY nprobe, query_id"
   }
 
   /** ANN index evaluation: per-query recall of the multi-probe LSH index

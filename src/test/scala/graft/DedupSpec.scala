@@ -193,4 +193,22 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(out.toSeq == Seq((0L, 1L, 1)))
   }
+
+  test("lshRecall: recall bounded, exact duplicates never missed, and " +
+      "counts consistent") {
+    val docsDf = Tables.load(spark, TestSpark.sf, "documents")
+    val out = dedup.Dedup.lshRecall(docsDf, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, nTrue, nFound, rec) =>
+      assert(nFound <= nTrue)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - nFound.toDouble / nTrue.toDouble) < 1e-12)
+    }
+    // identical shingle sets -> identical signatures -> a shared band
+    // is guaranteed: the J = 1.0 bucket can never miss
+    out.filter(_._1 == 10L).foreach { case (_, nTrue, nFound, _) =>
+      assert(nFound == nTrue, "exact-duplicate pair missed by LSH gate")
+    }
+  }
 }

@@ -323,6 +323,29 @@ object ScalingProbe {
       d.unpersist()
     } }
 
+    // EFFECTIVENESS at scale (r9 verdict item 5): recall of the banded
+    // LSH gate vs the exact-Jaccard truth (PPJoin pair set) on the
+    // salted corpus, at the operating point (k=16, bands=4, r=4) and a
+    // deliberately stricter (bands=2, r=8) gate that shows real misses.
+    // The PPJoin truth side itself is exact BY CONSTRUCTION (prefix
+    // filtering is lossless — its recall is 1.0 at every scale; the
+    // hash-equal quadratic-oracle checks at all three SFs are the
+    // evidence), so the measured quantity is the LSH gate's loss.
+    sec("recall") { for (k <- Seq(1, 8, 64)) {
+      val d = ScaledFixtures.saltedDocs(docs, k).persist()
+      d.count()
+      for (b <- Seq(4, 2)) {
+        val rows = graft.dedup.Dedup
+          .lshRecall(d, k = 16, bands = b, threshold = 0.8).collect()
+        rows.foreach { r =>
+          println(f"PROBE op=lsh_recall scale=$k bands=$b " +
+            f"bucket=${r.getLong(0)} n_true=${r.getLong(1)} " +
+            f"n_found=${r.getLong(2)} recall=${r.getDouble(3)}%.4f")
+        }
+      }
+      d.unpersist()
+    } }
+
     spark.stop()
   }
 }

@@ -261,6 +261,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(totals(1) < totals(0) - 1e-4, s"no movement: $totals")
   }
 
+  test("ivfTrainedRecall: recall is bounded and never drops when the " +
+      "probe budget widens") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val out = vector.Similarity.ivfTrainedRecall(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet == Set(1, 2))
+    out.foreach { case (_, _, rec) => assert(rec >= 0.0 && rec <= 1.0) }
+    // probing a superset of lists can only add candidates, and the
+    // exact-cosine rerank keeps any true neighbor already found
+    val r1 = byProbe(1).map(t => t._2 -> t._3).toMap
+    byProbe(2).foreach { case (_, q, rec2) =>
+      assert(rec2 >= r1(q) - 1e-12, s"recall dropped for query $q")
+    }
+  }
+
   test("pcaTopK emits an orthonormal block with in-spectrum Rayleigh " +
       "eigenvalues") {
     val out = vector.Similarity
