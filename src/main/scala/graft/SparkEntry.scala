@@ -257,6 +257,9 @@ object SparkEntry {
     "q_dedup_clusters" -> t("documents")(operators.Pipeline.dedupClusters(_)),
     "q_dedup_weights" -> t("documents")(operators.Pipeline.dedupWeights(_)),
     "q_budget_select" -> t("documents")(operators.Pipeline.budgetSelect(_)),
+    // DSIR-style target-affinity selection via exact integer
+    // likelihood-ratio votes (no libm log anywhere)
+    "q_importance" -> t("documents")(operators.Pipeline.importanceScore(_)),
     "q_cluster_canonical" ->
       t("documents")(operators.Pipeline.clusterCanonical(_)),
     "q_heavy_hitters" -> t("documents")(T.heavyHitters(_)),
@@ -393,6 +396,9 @@ object SparkEntry {
       t("lineitem")(operators.Extended.weightedMedianQty),
     "q_quality" -> t("documents")(T.qualityScores),
     "q_repetition" -> t("documents")(T.repetitionRatio(_)),
+    // Gopher Table-A1 repetition gates: top-2-gram and duplicated-
+    // 5-gram character coverage + the keep decision
+    "q_gopher_rep" -> t("documents")(T.gopherRepetition(_)),
     "q_lang_id" -> t("documents")(T.languageId),
     "q_md5_fp" -> t("documents")(T.md5Fingerprints),
     "q_rolling_fp" -> t("documents")(T.rollingFingerprints),
@@ -2238,6 +2244,7 @@ object SparkEntry {
               / CAST(len(string_split(text, ' ')) AS DOUBLE)
               AS distinct_token_ratio
          FROM documents ORDER BY doc_id""",
+    "q_gopher_rep" -> T.gopherRepetitionOracleSql(),
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
             FROM documents),
@@ -2475,6 +2482,7 @@ object SparkEntry {
              AS weight
          FROM w2 ORDER BY doc_id""",
     "q_budget_select" -> operators.Pipeline.budgetSelectOracleSql(),
+    "q_importance" -> operators.Pipeline.importanceScoreOracleSql(),
     // Same pair/closure CTE as q_dedup_clusters, then the split gate
     // hashed on the CLUSTER id (singletons keep their own id) — the
     // leakage-safety property verified is exactly the oracle's.

@@ -771,6 +771,81 @@ object Pipeline {
        ORDER BY doc_id"""
   }
 
+  /** Data-selection importance scoring (DSIR-style, Xie et al. 2023,
+    * arXiv:2302.03169, adapted): rank raw-pool documents by how
+    * target-like their token distribution is. DSIR sums per-token
+    * log-likelihood ratios of two smoothed unigram models; engine-exact
+    * replay forbids libm `log`, so the score here is the SIGN-of-log-
+    * ratio vote — the fraction of a doc's token occurrences whose
+    * Laplace-smoothed target probability exceeds the source
+    * probability. The per-token vote `(c_t+1)(N_s+V) > (c_s+1)(N_t+V)`
+    * cross-multiplies as DECIMAL(38,0) (exact up to ~10^19 tokens per
+    * side — any real corpus), so scores and selection flags replay
+    * bit-identically in DuckDB.
+    *
+    * Scale: one token-grain explode + vocab-grain count (map-side
+    * combinable), corpus totals as ONE broadcast scalar row, the
+    * per-word lean table joined back at token grain (vocab-sized
+    * build side — AQE broadcasts it when it fits), one doc-grain
+    * aggregate. No driver-side model, no log, no all-pairs. */
+  def importanceScore(documents: DataFrame,
+      targetSource: String = "src0"): DataFrame = {
+    import graft.text.TextAnalysis.tokens
+    val toks = documents
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+    val isTgt = col("source") === targetSource
+    val counts = toks.groupBy(col("w")).agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("cs"))
+    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"),
+      count(lit(1)).as("v"))
+    def d38(c: Column): Column = c.cast("decimal(19,0)")
+    val lean = counts.crossJoin(broadcast(tot))
+      .select(col("w"),
+        (d38(col("ct") + 1) * d38(col("ns") + col("v")) >
+          d38(col("cs") + 1) * d38(col("nt") + col("v"))).as("tgt_lean"))
+    toks
+      .join(lean, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tgt_lean"), 1L).otherwise(0L)).as("n_target_leaning"))
+      .withColumn("affinity",
+        round(col("n_target_leaning").cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .withColumn("selected", col("affinity") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[importanceScore]] — HUGEINT cross-products
+    * mirror the DECIMAL(38,0) exact comparison. */
+  def importanceScoreOracleSql(targetSource: String = "src0"): String =
+    s"""WITH toks AS (
+         SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       counts AS (
+         SELECT w,
+           sum(CASE WHEN source = '$targetSource' THEN 1 ELSE 0 END) AS ct,
+           sum(CASE WHEN source = '$targetSource' THEN 0 ELSE 1 END) AS cs
+         FROM toks GROUP BY w),
+       tot AS (
+         SELECT sum(ct) AS nt, sum(cs) AS ns, count(*) AS v FROM counts),
+       lean AS (
+         SELECT w,
+           CAST(ct + 1 AS HUGEINT) * CAST(ns + v AS HUGEINT) >
+             CAST(cs + 1 AS HUGEINT) * CAST(nt + v AS HUGEINT) AS tgt_lean
+         FROM counts, tot)
+       SELECT doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN tgt_lean THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_target_leaning,
+         round(CAST(sum(CASE WHEN tgt_lean THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 6) AS affinity,
+         round(CAST(sum(CASE WHEN tgt_lean THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 6) >= 0.5 AS selected
+       FROM toks JOIN lean USING (w)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   /** Per-source exact-duplicate dashboard: docs, distinct texts (by
     * md5 digest — the 16-byte key shuffles, not the text), dup count
     * and rate per source. The first number a dedup pipeline reports. */

@@ -304,6 +304,108 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher repetition gates (Rae et al. 2021, arXiv:2112.11446,
+    * Table A1, adapted to the fixture's line-less text): per document,
+    * (a) the fraction of characters covered by the single MOST FREQUENT
+    * word `nTop`-gram and (b) the fraction covered by ALL duplicated
+    * (count ≥ 2) `nDup`-grams — the two strongest template/spam
+    * signals; a doc is kept only when both stay under the paper's
+    * thresholds (0.20 for top-2-gram, 0.15 for dup-5-grams).
+    *
+    * Characters-covered is exact integer arithmetic
+    * (len(gram)·count vs len(text), capped at 1), so the fractions
+    * and flags replay bit-identically in DuckDB. Occurrences are
+    * positional (overlapping occurrences all count — the paper's
+    * convention), so the gram explode here is NON-distinct, unlike
+    * [[graft.dedup.Dedup.shingles]].
+    *
+    * Scale: two gram-grain explodes with map-side-combinable counts
+    * (the topNgrams shuffle shape, keyed by (doc, gram)); the top-gram
+    * pick is a per-doc window over each doc's gram rows (bounded by
+    * doc length); joins back to the doc table are doc-grain. Nothing
+    * is corpus-quadratic and no global window exists. */
+  def gopherRepetition(documents: DataFrame, nTop: Int = 2, nDup: Int = 5,
+      topFracMax: Double = 0.20, dupFracMax: Double = 0.15): DataFrame = {
+    def posGrams(n: Int): Column = {
+      val toks = tokens(col("text"))
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
+    def gramCounts(n: Int): DataFrame = documents
+      .select(col("doc_id"), explode(posGrams(n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("gram"))
+    val top = gramCounts(nTop)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_gram"),
+        (length(col("gram")) * col("cnt")).as("top_chars"))
+    val dup = gramCounts(nDup)
+      .filter(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("gram")) * col("cnt")).as("dup_chars"))
+    val tf = least(lit(1.0), coalesce(col("top_chars"), lit(0L))
+      .cast("double") / length(col("text")).cast("double"))
+    val df0 = least(lit(1.0), coalesce(col("dup_chars"), lit(0L))
+      .cast("double") / length(col("text")).cast("double"))
+    documents
+      .join(top, Seq("doc_id"), "left_outer")
+      .join(dup, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("top_gram"),
+        round(tf, 6).as("top_frac"),
+        round(df0, 6).as("dup_frac"),
+        (round(tf, 6) <= topFracMax && round(df0, 6) <= dupFracMax)
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[gopherRepetition]] — identical positional gram
+    * explode, tie-break, and integer char arithmetic. */
+  def gopherRepetitionOracleSql(nTop: Int = 2, nDup: Int = 5,
+      topFracMax: Double = 0.20, dupFracMax: Double = 0.15): String = {
+    def gramsCte(n: Int, tag: String): String =
+      s"""g$tag AS (
+           SELECT doc_id,
+             unnest(list_transform(range(len(w) - $n + 1),
+               i -> array_to_string(w[i+1:i+$n], ' '))) AS gram
+           FROM tok WHERE len(w) >= $n),
+         c$tag AS (
+           SELECT doc_id, gram, count(*) AS cnt
+           FROM g$tag GROUP BY 1, 2)"""
+    s"""WITH tok AS (
+           SELECT doc_id, text, string_split(text, ' ') AS w
+           FROM documents),
+         ${gramsCte(nTop, "t")},
+         ${gramsCte(nDup, "d")},
+         top AS (
+           SELECT doc_id, gram AS top_gram, len(gram) * cnt AS top_chars
+           FROM (SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cnt DESC, gram) AS rn
+             FROM ct) WHERE rn = 1),
+         dup AS (
+           SELECT doc_id, sum(len(gram) * cnt) AS dup_chars
+           FROM cd WHERE cnt >= 2 GROUP BY doc_id)
+       SELECT t.doc_id, top.top_gram,
+         round(least(1.0, CAST(coalesce(top_chars, 0) AS DOUBLE)
+           / CAST(len(t.text) AS DOUBLE)), 6) AS top_frac,
+         round(least(1.0, CAST(coalesce(dup_chars, 0) AS DOUBLE)
+           / CAST(len(t.text) AS DOUBLE)), 6) AS dup_frac,
+         round(least(1.0, CAST(coalesce(top_chars, 0) AS DOUBLE)
+             / CAST(len(t.text) AS DOUBLE)), 6) <= $topFracMax
+           AND round(least(1.0, CAST(coalesce(dup_chars, 0) AS DOUBLE)
+             / CAST(len(t.text) AS DOUBLE)), 6) <= $dupFracMax AS keep
+       FROM tok t
+       LEFT JOIN top ON t.doc_id = top.doc_id
+       LEFT JOIN dup ON t.doc_id = dup.doc_id
+       ORDER BY t.doc_id"""
+  }
+
   /** Language-ID heuristic: score each candidate language by stopword /
     * character n-gram evidence. The fixture corpus is synthetic (same
     * vocabulary for every lang label) so accuracy is meaningless there,

@@ -378,4 +378,57 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"learned ${learned.toSeq} != analytic ${expected.toSeq}")
     assert(learned.exists(_ != 0.0), "round did not move any weight")
   }
+
+  test("gopherRepetition flags the spam doc and keeps the diverse one " +
+      "with hand-computed coverage") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, "x y x y x y x y x y"),
+        Row(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))),
+      schema)
+    val out = text.TextAnalysis.gopherRepetition(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    // doc 0: "x y" occurs 5 times, 3 chars each, text 19 chars
+    assert(out(0L)._1 == "x y")
+    assert(out(0L)._2 == BigDecimal(15.0 / 19.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!out(0L)._4, "repetitive doc must be dropped")
+    // doc 1: all 2-grams unique -> tie-break picks the lexicographically
+    // smallest; no duplicated 5-grams at all
+    assert(out(1L)._1 == "alpha beta")
+    assert(out(1L)._2 == BigDecimal(10.0 / 56.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1L)._3 == 0.0)
+    assert(out(1L)._4, "diverse doc must be kept")
+  }
+
+  test("importanceScore votes by exact smoothed likelihood-ratio " +
+      "cross-products") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, "aa aa aa", "src0"),
+        Row(1L, "bb bb bb", "src1"),
+        Row(2L, "aa bb", "src1"))),
+      schema)
+    val out = operators.Pipeline.importanceScore(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    // ct(aa)=3 cs(aa)=1, ct(bb)=0 cs(bb)=4, nt=3 ns=5 v=2:
+    // aa leans target (4*7 > 2*5); bb does not (1*7 < 5*5)
+    assert(out(0L) == ((3L, 3L, 1.0, true)))
+    assert(out(1L) == ((3L, 0L, 0.0, false)))
+    assert(out(2L) == ((2L, 1L, 0.5, true)))
+  }
 }
