@@ -239,6 +239,8 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
     "q_dpp_date" -> ((s, dir) => sources.Sources.dppDateRollup(s, dir)),
+    // co-located bucketed fact⋈fact join: zero exchanges before the SMJ
+    "q_bucket_join" -> ((s, dir) => sources.Sources.bucketedJoinAgg(s, dir)),
     "q_bpe_tokens" -> t("documents")(T.bpeTokenStats(_)),
     "q_bpe_train" -> t("documents")(T.bpeTrain(_)),
     "q_hll_mergeable" -> t("events")(operators.Extended.approxUsersBySketch),
@@ -425,8 +427,10 @@ object SparkEntry {
     "q_minhash_neutral" -> t("documents")(D.minhashLshPairsNeutral(_)),
     "q_minhash_est" -> t("documents")(D.minhashEstimate(_)),
     // recall of the banded LSH gate vs exact-Jaccard truth, by decile —
-    // the missed-pair curve for the (k=16, bands=4) operating point
-    "q_lsh_recall" -> t("documents")(D.lshRecall(_)),
+    // the missed-pair curve for the (k=16, bands=4) operating point, at
+    // the production truth threshold (t=0.8: the PPJoin truth side is
+    // ~10× smaller than the t=0.4/0.5 demo regime — SCALING.md)
+    "q_lsh_recall" -> t("documents")(D.lshRecall(_, threshold = 0.8)),
     "q_simhash_pairs" -> t("documents")(D.simhashPairs(_)),
     "q_simhash_neutral" -> t("documents")(D.simhashPairsNeutral(_)),
     // ---- similarity search (north star) ----
@@ -2360,7 +2364,7 @@ object SparkEntry {
     // (dedup/Dedup.scala NeutralMinHash — constants shared with the plan).
     "q_minhash_neutral" -> D.NeutralMinHash.oracleSql(),
     "q_minhash_est" -> D.minhashEstimateOracleSql(),
-    "q_lsh_recall" -> D.lshRecallOracleSql(),
+    "q_lsh_recall" -> D.lshRecallOracleSql(threshold = 0.8),
     "q_dedup_incremental" -> D.NeutralMinHash.incrementalOracleSql(),
     "q_simhash_neutral" -> D.simhashNeutralOracleSql(),
     "q_substring_dedup" -> D.substringDedupOracleSql(),
@@ -2448,6 +2452,7 @@ object SparkEntry {
           WHERE event_id >= 25000 AND event_id < 75000
           GROUP BY 1 ORDER BY 1""",
     "q_dpp_date" -> sources.Sources.dppDateRollupOracleSql,
+    "q_bucket_join" -> sources.Sources.bucketedJoinAggOracleSql,
     "q_bpe_tokens" -> T.bpeTokenStatsOracleSql,
     "q_bpe_train" -> T.bpeTrainOracleSql(),
     "q_jaccard_pairs" -> jaccardAllPairsOracleSql(0.5),

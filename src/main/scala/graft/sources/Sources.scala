@@ -72,6 +72,70 @@ object Sources {
       dir
     }
 
+  /** Bucketed table pair for the co-located join demo: lineitem and
+    * orders written ONCE per session bucketed (and sorted) by the join
+    * key into 8 buckets each, registered as external tables so the
+    * bucket metadata lives in the catalog. The pre-write
+    * `repartition(8, key)` uses the same Murmur3 hash as bucketing, so
+    * each task holds exactly one bucket and every bucket is ONE sorted
+    * file — the layout under which Spark's scan reports bucket
+    * partitioning AND sort order, and a join on the bucket key needs
+    * neither Exchange nor Sort. */
+  def bucketedTables(spark: SparkSession, sfDir: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val liName = s"graft_li_bkt_$tag"
+    val ordName = s"graft_ord_bkt_$tag"
+    graft.SessionDirs.getOrBuild(spark, s"bucketed:$sfDir",
+      "graft_bucketed") { root =>
+      graft.Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", root.toString + "/lineitem")
+        .saveAsTable(liName)
+      graft.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", root.toString + "/orders")
+        .saveAsTable(ordName)
+      root.toString
+    }
+    (liName, ordName)
+  }
+
+  /** Co-located (bucketed) join — the 100 TB shuffle-elimination story
+    * for repeated fact⋈fact joins: both sides pre-bucketed on the join
+    * key means the SortMergeJoin consumes the scans' OWN bucket
+    * partitioning — ZERO Exchange before the join (verified by
+    * PlanAuditSpec); the only shuffle in the plan is the post-join
+    * aggregation's. (A per-bucket in-memory Sort remains — scan-local,
+    * bucket-sized; the exchange is the cost that matters.) At 100 TB
+    * this converts every repeated join on the same key into a
+    * scan-local merge — the bucketing counterpart of the DPP and
+    * Z-order layout demos. The `merge` hint pins the SMJ shape at
+    * every SF (a broadcast join would ALSO be exchange-free here, but
+    * then the plan would not demonstrate bucket alignment). */
+  def bucketedJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (liName, ordName) = bucketedTables(spark, sfDir)
+    spark.table(liName).hint("merge")
+      .join(spark.table(ordName), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        graft.Cols.decSum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** DuckDB oracle for [[bucketedJoinAgg]] — the layout changes the
+    * plan, never the answer. */
+  def bucketedJoinAggOracleSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
+          ${graft.Cols.sqlDecSum("l_quantity", 2)} AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1"""
+
   /** DPP evidence query: per-type rollup of events restricted to the
     * dates a runtime-computed dim survives (Mondays here — any
     * data-dependent dim filter works). The join key is the PARTITION

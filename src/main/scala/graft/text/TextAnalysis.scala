@@ -337,14 +337,16 @@ object TextAnalysis {
       .select(col("doc_id"), explode(posGrams(n)).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("cnt").desc, col("gram"))
+    // per-doc argmax as a struct-min hash aggregate (struct ordering is
+    // field-lexicographic, so min over (-cnt, gram) = highest count,
+    // ties to the smallest gram) — map-side combinable, no per-doc
+    // window sort
     val top = gramCounts(nTop)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("gram").as("top_gram"),
-        (length(col("gram")) * col("cnt")).as("top_chars"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("gram").as("g")))
+        .as("m"))
+      .select(col("doc_id"), col("m.g").as("top_gram"),
+        (length(col("m.g")) * -col("m.nc")).as("top_chars"))
     val dup = gramCounts(nDup)
       .filter(col("cnt") >= 2)
       .groupBy(col("doc_id"))

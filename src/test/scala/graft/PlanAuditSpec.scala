@@ -100,4 +100,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unpartitioned Window found in: ${offenders.mkString(", ")}")
   }
+
+  test("q_bucket_join: the SortMergeJoin consumes bucket partitioning — " +
+      "no exchange on either join input") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = SparkEntry.queries("q_bucket_join")(spark, sf)
+      .queryExecution.executedPlan
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val smj = strip(plan).collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "expected a SortMergeJoin:\n" + plan.toString.take(2000))
+    val shufflesBelowJoin = smj.flatMap(_.collect {
+      case e: ShuffleExchangeLike => e
+    })
+    assert(shufflesBelowJoin.isEmpty,
+      "bucketed join inputs must not shuffle:\n" + plan.toString.take(3000))
+    assert(plan.toString.contains("SelectedBucketsCount: 8 out of 8") ||
+      plan.toString.contains("Bucketed: true"),
+      "expected bucketed scans:\n" + plan.toString.take(2000))
+  }
 }
