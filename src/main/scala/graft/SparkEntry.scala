@@ -242,6 +242,7 @@ object SparkEntry {
     // co-located bucketed fact⋈fact join: zero exchanges before the SMJ
     "q_bucket_join" -> ((s, dir) => sources.Sources.bucketedJoinAgg(s, dir)),
     "q_bpe_tokens" -> t("documents")(T.bpeTokenStats(_)),
+    "q_fertility" -> t("documents")(T.tokenizerFertility(_)),
     "q_bpe_train" -> t("documents")(T.bpeTrain(_)),
     "q_hll_mergeable" -> t("events")(operators.Extended.approxUsersBySketch),
     "q_kll_mergeable" -> t("events")(operators.Extended.kllValueQuantiles),
@@ -2454,6 +2455,7 @@ object SparkEntry {
     "q_dpp_date" -> sources.Sources.dppDateRollupOracleSql,
     "q_bucket_join" -> sources.Sources.bucketedJoinAggOracleSql,
     "q_bpe_tokens" -> T.bpeTokenStatsOracleSql,
+    "q_fertility" -> T.tokenizerFertilityOracleSql,
     "q_bpe_train" -> T.bpeTrainOracleSql(),
     "q_jaccard_pairs" -> jaccardAllPairsOracleSql(0.5),
     "q_containment" -> D.containmentOracleSql(),

@@ -72,6 +72,37 @@ object Sources {
       dir
     }
 
+  /** Schema-evolution read: a table directory accumulates batches whose
+    * schemas WIDENED over time (columns added); `mergeSchema` unions
+    * the per-file footers into one schema, older files surfacing the
+    * missing columns as nulls — the read-side contract a long-lived
+    * 100 TB table needs (Spark defaults it OFF because footer-merging
+    * lists every file's schema; turning it on per-read is the
+    * documented trade). */
+  def readMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Small-file compaction — the table-maintenance pass every
+    * streaming/append-heavy 100 TB table needs (micro-batches and
+    * dynamic-partition writes accrete KB-scale files whose per-file
+    * open/footer cost eventually dominates scans): rewrite a directory
+    * into ceil(totalBytes / targetBytes) files. The byte total comes
+    * from the driver's file listing (metadata, not data), the rewrite
+    * is one repartition — a round-robin exchange sized so output files
+    * land near the target size. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def parts(dir: String): Seq[java.io.File] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    val before = parts(inDir)
+    val total = before.map(_.length()).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    (before.size, parts(outDir).size)
+  }
+
   /** Bucketed table pair for the co-located join demo: lineitem and
     * orders written ONCE per session bucketed (and sorted) by the join
     * key into 8 buckets each, registered as external tables so the

@@ -78,6 +78,47 @@ object TextAnalysis {
         FROM w JOIN _bpe_counts ON word = wid
         GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Tokenizer fertility by language — subword tokens per word, the
+    * number tokenizer teams track per language when sizing a
+    * multilingual vocab (high-fertility languages pay more sequence
+    * budget per word; the fixture's langs share one synthetic
+    * vocabulary, so values converge — the shape, grain, and exact
+    * replay are what's exercised). Same vocab-grain BPE count +
+    * corpus join as [[bpeTokenStats]], aggregated at the ≤|langs|
+    * grain with one exact integer division per row. */
+  def tokenizerFertility(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val vocab = words.select(col("word")).distinct()
+      .select(col("word"),
+        size(graft.functions.Bpe.bpeTokens(col("word"))).as("n_toks"))
+    words.join(vocab, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB oracle for [[tokenizerFertility]]. */
+  def tokenizerFertilityOracleSql: String =
+    s"""WITH w AS (
+          SELECT lang, word FROM (
+            SELECT lang,
+              unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+          WHERE regexp_matches(word, '^[a-z]+${"$"}')),
+        ${graft.functions.Bpe.countsCteSql("w")}
+        SELECT lang, count(*) AS n_words,
+          CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+          round(CAST(sum(n_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS fertility
+        FROM w JOIN _bpe_counts ON word = wid
+        GROUP BY lang ORDER BY lang"""
+
   /** BPE TRAINING (Sennrich et al.): learn the top-k merge ranks from
     * the corpus itself — the other half of the BPE story
     * ([[bpeTokenStats]] applies a table; this derives one).

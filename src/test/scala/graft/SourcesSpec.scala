@@ -192,4 +192,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("range=[0,7)"), plan.take(900))
     assert(df.count() == 7L)
   }
+
+  test("mergeSchema read unions widened batch schemas; old rows " +
+      "surface added columns as null") {
+    import spark.implicits._
+    val dir = tmp("graft_evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(dir)
+    val merged = sources.Sources.readMergedSchema(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("extra", "id", "v"))
+    assert(merged.count() == 4L)
+    assert(merged.filter(col("extra").isNull).count() == 2L)
+    assert(merged.filter(col("id") === 3L).head().getAs[Int]("extra") == 30)
+  }
+
+  test("compaction rewrites a many-small-file table into few files " +
+      "with identical contents") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val inDir = tmp("graft_small") + "/t"
+    docs.repartition(64).write.parquet(inDir)
+    val outDir = tmp("graft_compact") + "/t"
+    val (before, after) =
+      sources.Sources.compact(spark, inDir, outDir, 256L * 1024 * 1024)
+    assert(before == 64, s"expected 64 input part files, got $before")
+    assert(after < 8, s"expected few output files, got $after")
+    val a = spark.read.parquet(inDir)
+    val b = spark.read.parquet(outDir)
+    assert(b.count() == a.count())
+    val sa = a.agg(sum(col("doc_id")), sum(col("n_chars"))).head()
+    val sb = b.agg(sum(col("doc_id")), sum(col("n_chars"))).head()
+    assert(sa == sb)
+  }
 }
