@@ -193,6 +193,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 7L)
   }
 
+  test("DSv2 audited JSONL sink: two-phase commit publishes parts + " +
+      "manifest; round-trip preserves rows") {
+    val dir = tmp("graft_sink") + "/out"
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .repartition(3)
+    orders.write.format("graft.sources.AuditedJsonlSink")
+      .option("path", dir).mode("append").save()
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.count(_.endsWith(".jsonl")) == 3, files.mkString(","))
+    assert(files.contains("_MANIFEST"))
+    val manifest = scala.io.Source.fromFile(new java.io.File(dir, "_MANIFEST"))
+    val lines = try manifest.getLines().toSeq finally manifest.close()
+    assert(lines.last == s"""{"total_rows":${orders.count()}}""")
+    val back = spark.read.schema(orders.schema).json(dir + "/part-*.jsonl")
+    assert(back.count() == orders.count())
+    val sa = orders.agg(sum("o_orderkey"), sum("o_totalprice")).head()
+    val sb = back.agg(sum("o_orderkey"), sum("o_totalprice")).head()
+    assert(sa.getLong(0) == sb.getLong(0))
+    assert(math.abs(sa.getDouble(1) - sb.getDouble(1)) < 1e-6)
+  }
+
+  test("DSv2 audited JSONL sink: abort leaves nothing visible") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmp("graft_sink_abort") + "/out"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val bw = new sources.AuditedJsonlBatchWrite(schema, dir)
+    val w = new sources.JsonlWriterFactory(schema, dir).createWriter(0, 7L)
+    w.write(InternalRow(1L, UTF8String.fromString("x")))
+    val msg = w.commit()
+    // job-level failure AFTER a task committed: abort must delete temps
+    bw.abort(Array(msg))
+    val temp = new java.io.File(dir, "_temp")
+    assert(!temp.exists() || temp.listFiles().isEmpty)
+    assert(!new java.io.File(dir, "_MANIFEST").exists())
+    assert(Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .forall(!_.getName.endsWith(".jsonl")))
+  }
+
   test("mergeSchema read unions widened batch schemas; old rows " +
       "surface added columns as null") {
     import spark.implicits._
