@@ -74,6 +74,10 @@ object Plans {
       "broadcast dim: the scan carries a dynamicpruningexpression " +
       "PartitionFilter — only the dim's surviving date directories are " +
       "listed and read"),
+    "q_bucket_join" -> ("both sides pre-bucketed+sorted on the join key: " +
+      "the SortMergeJoin consumes the scans' own bucket partitioning — " +
+      "ZERO Exchange before the join; the only shuffle is the post-join " +
+      "aggregation's"),
     "q_hilbert_range" -> ("2-D box over the Hilbert layout key: driver-" +
       "side quadtree decomposition to sargable d-range BETWEENs + exact " +
       "residual, all inside the scan-filter codegen span"),
