@@ -124,4 +124,37 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.toString.contains("Bucketed: true"),
       "expected bucketed scans:\n" + plan.toString.take(2000))
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the " +
+      "final adaptive plan) — the engine's answer to hot keys beyond " +
+      "manual salting") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> util.Try(spark.conf.get(k)).toOption.filter(_ != null) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying 95% of the left side vs a uniform right
+      val left = spark.range(0, 200000)
+        .select(when(col("id") < 190000, 0L).otherwise(col("id") % 1000)
+          .as("k"), col("id").as("v"))
+      val right = spark.range(0, 1000)
+        .select(col("id").as("k2"), (col("id") * 2).as("w"))
+      val joined = left.join(right, col("k") === col("k2"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val n = joined.collect().head.getLong(0)
+      assert(n == 200000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "expected AQE OptimizeSkewedJoin to mark the join " +
+          "(skew=true):\n" + finalPlan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

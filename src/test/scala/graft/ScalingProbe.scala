@@ -102,6 +102,20 @@ object ScalingProbe {
       time("pmi", k) {
         graft.text.TextAnalysis.pmiCollocations(d).count()
       }
+      // Gopher repetition gates: two positional gram explodes +
+      // struct-min argmax agg — must stay linear (r10)
+      time("gopher_rep", k) {
+        graft.text.TextAnalysis.gopherRepetition(d).count()
+      }
+      // DSIR-style importance votes: token-grain explode ×2 +
+      // vocab-grain lean model joined back (r10)
+      time("importance", k) {
+        operators.Pipeline.importanceScore(d).count()
+      }
+      // per-language BPE fertility: vocab-grain BPE + corpus join (r10)
+      time("fertility", k) {
+        graft.text.TextAnalysis.tokenizerFertility(d).count()
+      }
       d.unpersist()
     } }
 
