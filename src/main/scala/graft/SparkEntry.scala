@@ -334,6 +334,9 @@ object SparkEntry {
       operators.SqlSurface.run(s, dir, operators.SqlSurface.lateralJoin)),
     "q_recursive_cte" -> ((s, dir) =>
       operators.SqlSurface.run(s, dir, operators.SqlSurface.recursiveCte)),
+    // the custom native expressions through parser + FunctionRegistry
+    "q_sql_custom_fns" -> ((s, dir) =>
+      operators.SqlSurface.runWithCustomFns(s, dir)),
     // ---- TPC-H classic shapes ----
     "q_promo_share" -> t2("lineitem", "part")(R.promoRevenueShare),
     "q_large_orders" -> ((s, dir) => R.largeOrders(
@@ -1590,6 +1593,7 @@ object SparkEntry {
     "q_sql_in_subquery" -> operators.SqlSurface.inSubquery,
     "q_sql_exists" -> operators.SqlSurface.existsSubquery,
     "q_sql_lateral" -> operators.SqlSurface.lateralJoin,
+    "q_sql_custom_fns" -> operators.SqlSurface.customFnsOracleSql,
     "q_recursive_cte" -> operators.SqlSurface.recursiveCte,
     "q_promo_share" ->
       """SELECT date_trunc('month', l_shipdate) AS ship_month,

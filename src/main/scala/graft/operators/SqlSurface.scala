@@ -92,6 +92,51 @@ object SqlSurface {
          FROM edges e JOIN tree t ON e.parent = t.node)
        SELECT node, depth, path_cents FROM tree ORDER BY node"""
 
+  /** The custom NATIVE expressions exercised through the full SQL
+    * path — parser → FunctionRegistry → codegen (the route a SQL-only
+    * user takes after `VectorFunctions.register` /
+    * `spark.sql.extensions=graft.functions.GraftExtensions`). Unlike
+    * the rest of this file the oracle is not the same string (DuckDB
+    * has no cosine_sim/word_shingles); the DuckDB side replays the
+    * expressions' exact arithmetic (the q_knn_* recipe). */
+  val customFns: String =
+    """SELECT d.doc_id,
+          size(word_shingles(d.text, 3)) AS n_shingles,
+          round(cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+                           CAST(b.embedding AS ARRAY<DOUBLE>)), 6)
+            AS cos_next
+       FROM documents d
+       JOIN embeddings a ON a.vec_id = d.doc_id
+       JOIN embeddings b ON b.vec_id = d.doc_id + 1
+       WHERE d.doc_id < 100
+       ORDER BY d.doc_id"""
+
+  val customFnsOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+       sh AS (SELECT doc_id,
+           CASE WHEN len(w) < 3 THEN 1
+                ELSE len(list_distinct(list_transform(range(len(w) - 2),
+                  i -> array_to_string(w[i+1:i+3], ' ')))) END AS n_sh
+         FROM t),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings)
+       SELECT d.doc_id, CAST(sh.n_sh AS INTEGER) AS n_shingles,
+         round(list_sum(list_transform(range(1, 65), j -> a.v[j] * b.v[j]))
+           / (sqrt(list_sum(list_transform(range(1, 65), j -> a.v[j] * a.v[j])))
+              * sqrt(list_sum(list_transform(range(1, 65), j -> b.v[j] * b.v[j])))),
+           6) AS cos_next
+       FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+       JOIN sh ON sh.doc_id = d.doc_id
+       JOIN e a ON a.vec_id = d.doc_id
+       JOIN e b ON b.vec_id = d.doc_id + 1
+       ORDER BY d.doc_id"""
+
+  def runWithCustomFns(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    run(spark, sfDir, customFns)
+  }
+
   def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
     Tables.registerAll(spark, sfDir)
     spark.sql(sql)

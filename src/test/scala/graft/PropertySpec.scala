@@ -291,4 +291,18 @@ class PropertySpec extends AnyFunSuite {
       assert(interleave(x1, y1) <= interleave(x2, y2))
     }
   }
+
+  test("r10 quality operators are invariant under repartitioning") {
+    val docs = Tables.load(TestSpark.spark, TestSpark.sf, "documents")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = Seq(
+      text.TextAnalysis.gopherRepetition(df),
+      operators.Pipeline.importanceScore(df),
+      text.TextAnalysis.tokenizerFertility(df)
+    ).map(_.collect().map(_.mkString("|")).toSeq)
+    val base = run(docs)
+    val shuffled = run(docs.repartition(17))
+    base.zip(shuffled).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"operator $i diverged under repartition")
+    }
+  }
 }
