@@ -275,6 +275,8 @@ object SparkEntry {
       t("documents")(operators.Pipeline.leakageSafeSplits(_)),
     "q_stratified_sample" -> t("documents")(operators.Pipeline.stratifiedSample),
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
+    // fractional n-gram benchmark decontamination (the per-doc decision)
+    "q_decontaminate" -> t("documents")(operators.Pipeline.decontamination(_)),
     "q_quantize" -> t("embeddings")(operators.Pipeline.quantizeEmbeddings),
     "q_embed_cov" -> t("embeddings")(vector.Similarity.embeddingCovariance),
     "q_power_iter" -> t("embeddings")(vector.Similarity.powerIteration(_)),
@@ -2146,6 +2148,7 @@ object SparkEntry {
                 OR contains(text, 'window batch stream')
               THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
          FROM documents GROUP BY source ORDER BY source""",
+    "q_decontaminate" -> operators.Pipeline.decontaminationOracleSql(),
     "q_corpus_sample" ->
       """SELECT lang,
             array_to_string(list_transform(

@@ -256,6 +256,64 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Benchmark decontamination by FRACTIONAL n-gram overlap (the
+    * GPT-3/PaLM appendix convention, scaled to the fixture's short
+    * docs: 5-grams instead of 13-grams): a training candidate is
+    * contaminated when ≥ `threshold` of its distinct n-grams appear
+    * anywhere in the benchmark corpus (here: the `benchSource` docs
+    * stand in for the eval set). [[contaminationScan]] is the cheap
+    * substring-probe dashboard; this is the per-document decision an
+    * actual decontamination pass acts on — fraction, not any-hit, so
+    * incidental common phrases don't nuke whole sources.
+    *
+    * Scale: one distinct-gram explode per side, the benchmark gram set
+    * collapses to distinct grams (eval-corpus-sized, shuffles as
+    * grams, broadcastable when small), the overlap join is gram-grain
+    * equi — never doc×doc. */
+  def decontamination(documents: DataFrame, benchSource: String = "src4",
+      n: Int = 5, threshold: Double = 0.2): DataFrame = {
+    import graft.dedup.Dedup.shingles
+    val grams = documents.select(col("doc_id"), col("source"),
+      explode(shingles(col("text"), n)).as("g"))
+    val benchGrams = grams.filter(col("source") === benchSource)
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("source") =!= benchSource)
+      .join(benchGrams, Seq("g"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("overlap",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+      .withColumn("contaminated", col("overlap") >= threshold)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[decontamination]]. */
+  def decontaminationOracleSql(benchSource: String = "src4", n: Int = 5,
+      threshold: Double = 0.2): String =
+    s"""WITH tok AS (
+         SELECT doc_id, source, string_split(text, ' ') AS w
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, source,
+           unnest(CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(len(w) - ${n - 1}),
+               i -> array_to_string(w[i+1:i+$n], ' ')) END) AS g
+         FROM tok),
+       bench AS (
+         SELECT DISTINCT g FROM sh WHERE source = '$benchSource'),
+       cand AS (
+         SELECT doc_id, sh.g, bench.g IS NOT NULL AS hit
+         FROM sh LEFT JOIN bench ON sh.g = bench.g
+         WHERE source <> '$benchSource')
+       SELECT doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 6) AS overlap,
+         round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 6) >= $threshold AS contaminated
+       FROM cand GROUP BY doc_id ORDER BY doc_id"""
+
   /** Deterministic train/val/test split assignment: bucket each document
     * by the first hex digit of md5(doc_id) — stable across runs, engines,
     * and cluster sizes (the property random sampling lacks), so the split

@@ -408,6 +408,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(1L)._4, "diverse doc must be kept")
   }
 
+  test("decontamination flags the verbatim-copy candidate and clears " +
+      "the disjoint one by fractional overlap") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, bench, "src4"),
+        // contains the benchmark verbatim plus a tail: most of its
+        // 5-grams collide
+        Row(1L, bench + " one two", "src0"),
+        Row(2L, "u v w x y z q r s t", "src0"))),
+      schema)
+    val out = operators.Pipeline.decontamination(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(4))).toMap
+    // doc 1: 6 distinct 5-grams, 4 of them inside the benchmark
+    assert(out(1L) == ((6L, 4L, true)))
+    assert(out(2L)._2 == 0L && !out(2L)._3)
+  }
+
   test("importanceScore votes by exact smoothed likelihood-ratio " +
       "cross-products") {
     import org.apache.spark.sql.Row
