@@ -337,6 +337,44 @@ object ScalingProbe {
       d.unpersist()
     } }
 
+    // Bucketed-layout amortization (r10): the SAME fact⋈fact join as a
+    // shuffle SMJ vs a bucket-aligned SMJ over pre-bucketed tables, at
+    // growing both-side scale. Broadcast disabled so both variants are
+    // SMJ and the measured delta is exactly the two exchanges the
+    // layout removes; the one-time bucketed-write cost is reported
+    // separately (the amortization denominator).
+    sec("bucket") { for (k <- Seq(0, 1, 8, 32)) {
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = ScaledFixtures.scaled(lineitem, math.max(k, 1), Seq("l_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity")).persist()
+      val ord = ScaledFixtures.scaled(orders, math.max(k, 1), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority")).persist()
+      li.count(); ord.count()
+      def agg(l: DataFrame, o: DataFrame): Long =
+        l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)), sum(col("l_quantity"))).count()
+      time("join_plain", k) { agg(li, ord) }
+      val root = java.nio.file.Files.createTempDirectory("graft_bktprobe")
+      val (ln, on) = (s"probe_li_$k", s"probe_ord_$k")
+      time("bucket_write", k) {
+        li.repartition(16, col("l_orderkey")).write
+          .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$root/li").saveAsTable(ln)
+        ord.repartition(16, col("o_orderkey")).write
+          .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$root/ord").saveAsTable(on)
+        0L
+      }
+      time("join_bucketed", k) { agg(spark.table(ln), spark.table(on)) }
+      // second probe on the warm layout — the amortized steady state
+      time("join_bucketed2", k) { agg(spark.table(ln), spark.table(on)) }
+      spark.sql(s"DROP TABLE $ln"); spark.sql(s"DROP TABLE $on")
+      li.unpersist(); ord.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    } }
+
     // EFFECTIVENESS at scale (r9 verdict item 5): recall of the banded
     // LSH gate vs the exact-Jaccard truth (PPJoin pair set) on the
     // salted corpus, at the operating point (k=16, bands=4, r=4) and a
