@@ -630,15 +630,19 @@ object Similarity {
       nQueries: Int = 5, k: Int = 10): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // corpus stays cached through BOTH the training loop and the
+    // evaluation legs (brute force + two serves all rescan it), and is
+    // released after the ≤2·nQueries-row result is collected — the
+    // lshRecall/kmeansTrain eager-model-read pattern: no cache
+    // outlives the call
     val corpus = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .persist()
     val (assigned, cent) = trainQuantizer(corpus, rounds)
-    corpus.unpersist()
     val mDf = cent.toDF("cluster", "centroid")
     val brute = bruteForceTopK(embeddings, nQueries, k)
       .select(col("query_id"), col("vec_id"))
-    val perProbe = Seq(1, 2).map { np =>
+    val rows = Seq(1, 2).flatMap { np =>
       val approx = serveTrained(corpus, assigned, mDf, nQueries, k, np)
         .select(col("query_id").as("aq"), col("vec_id").as("av"))
       brute
@@ -647,9 +651,12 @@ object Similarity {
           "left_outer")
         .groupBy(col("query_id"))
         .agg((count(col("av")).cast("double") / lit(k.toDouble)).as("recall"))
-        .select(lit(np).as("nprobe"), col("query_id"), col("recall"))
+        .collect()
+        .map(r => (np, r.getLong(0), r.getDouble(1)))
     }
-    perProbe.reduce(_ unionAll _).orderBy(col("nprobe"), col("query_id"))
+    corpus.unpersist()
+    rows.toDF("nprobe", "query_id", "recall")
+      .orderBy(col("nprobe"), col("query_id"))
   }
 
   /** DuckDB oracle for [[ivfTrainedTopK]]: [[lloydCtes]] + the probe /
