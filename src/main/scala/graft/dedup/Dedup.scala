@@ -675,6 +675,32 @@ object Dedup {
        FROM m GROUP BY 1 ORDER BY 1"""
   }
 
+  /** LSH operating-point planner — the driver-side model math that picks
+    * (bands, r) BEFORE committing a 100 TB dedup run: for each banding
+    * of the k signature rows, the textbook collision probability
+    * P(candidate | J) = 1 − (1 − J^r)^bands at the decision threshold,
+    * chosen as the CHEAPEST banding (fewest bands ⇒ fewest index rows
+    * and smallest candidate volume) whose predicted recall at
+    * `threshold` still meets `targetRecall`. Returns
+    * (bands, r, predictedRecall). The prediction is validated
+    * empirically by [[lshRecall]] (DedupSpec pins measured ≥ predicted
+    * at the planned point — the banding bound is conservative for a
+    * bucket whose true pairs sit above its left edge).
+    *
+    * Pure Seq-over-divisors driver math (k ≤ a few hundred in any real
+    * config) — no data touched; the expensive validation is the
+    * separate, corpus-scale [[lshRecall]]. */
+  def lshPlan(k: Int = 16, threshold: Double = 0.8,
+      targetRecall: Double = 0.95): (Int, Int, Double) = {
+    val options = (1 to k).filter(k % _ == 0).map { bands =>
+      val r = k / bands
+      val p = 1.0 - math.pow(1.0 - math.pow(threshold, r), bands)
+      (bands, r, p)
+    }
+    options.filter(_._3 >= targetRecall).minByOption(_._1)
+      .getOrElse(options.maxBy(_._3))
+  }
+
   /** [[minhashLshPairs]] with engine-neutral hashing (see
     * [[NeutralMinHash]]) — fully DuckDB-oracled. */
   def minhashLshPairsNeutral(documents: DataFrame, k: Int = 16,

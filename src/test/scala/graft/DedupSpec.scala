@@ -211,4 +211,31 @@ class DedupSpec extends AnyFunSuite {
       assert(nFound == nTrue, "exact-duplicate pair missed by LSH gate")
     }
   }
+
+  test("lshPlan picks the cheapest banding meeting the recall target, " +
+      "and the measured recall beats its prediction") {
+    // textbook check: k=16, J=0.8, target 0.95 -> bands=8 (r=2):
+    // 1-(1-0.8^2)^8 = 0.99972; bands=4 (r=4) predicts only 0.8785
+    val (bands, r, predicted) = dedup.Dedup.lshPlan()
+    assert(bands == 8 && r == 2)
+    assert(math.abs(predicted - (1.0 - math.pow(1.0 - 0.64, 8))) < 1e-12)
+    // tighter targets cost more bands; impossible targets degrade to
+    // the best available banding instead of failing
+    assert(dedup.Dedup.lshPlan(targetRecall = 0.9999)._1 == 16)
+    assert(dedup.Dedup.lshPlan(k = 4, targetRecall = 1.0)._3 < 1.0)
+    // empirical validation at the planned point: aggregate measured
+    // recall over all J >= threshold truth pairs must meet the
+    // prediction, with slack for ONE finite-sample miss (per-pair miss
+    // probability at the planned point is <= 2.8e-4; two misses on the
+    // fixture's pair count has probability ~1e-5)
+    val docsDf = Tables.load(spark, TestSpark.sf, "documents")
+    val measured = dedup.Dedup
+      .lshRecall(docsDf, k = 16, bands = bands, threshold = 0.8)
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(measured.nonEmpty)
+    val (nTrue, nFound) = measured.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val slack = 1.0 / nTrue.toDouble
+    assert(nFound.toDouble / nTrue.toDouble >= predicted - slack,
+      s"measured $nFound/$nTrue below predicted $predicted")
+  }
 }
