@@ -382,6 +382,8 @@ object SparkEntry {
     "q_source_quota" -> t("documents")(operators.Pipeline.sourceQuota(_)),
     "q_epoch_shuffle" ->
       t("documents")(operators.Pipeline.deterministicShuffle(_)),
+    "q_weighted_sample" ->
+      t("documents")(operators.Pipeline.weightedSample(_)),
     "q_dedup_rate" ->
       t("documents")(operators.Pipeline.dedupRateBySource),
     "q_pipeline_e2e" ->
@@ -437,6 +439,7 @@ object SparkEntry {
     // the production truth threshold (t=0.8: the PPJoin truth side is
     // ~10× smaller than the t=0.4/0.5 demo regime — SCALING.md)
     "q_lsh_recall" -> t("documents")(D.lshRecall(_, threshold = 0.8)),
+    "q_source_overlap" -> t("documents")(D.sourceOverlap(_)),
     "q_simhash_pairs" -> t("documents")(D.simhashPairs(_)),
     "q_simhash_neutral" -> t("documents")(D.simhashPairsNeutral(_)),
     // ---- similarity search (north star) ----
@@ -2373,6 +2376,7 @@ object SparkEntry {
     "q_minhash_neutral" -> D.NeutralMinHash.oracleSql(),
     "q_minhash_est" -> D.minhashEstimateOracleSql(),
     "q_lsh_recall" -> D.lshRecallOracleSql(threshold = 0.8),
+    "q_source_overlap" -> D.sourceOverlapOracleSql(),
     "q_dedup_incremental" -> D.NeutralMinHash.incrementalOracleSql(),
     "q_simhash_neutral" -> D.simhashNeutralOracleSql(),
     "q_substring_dedup" -> D.substringDedupOracleSql(),
@@ -2422,6 +2426,7 @@ object SparkEntry {
     "q_rfm_segments" -> R.rfmSegmentsOracleSql(),
     "q_epoch_shuffle" ->
       operators.Pipeline.deterministicShuffleOracleSql(),
+    "q_weighted_sample" -> operators.Pipeline.weightedSampleOracleSql(),
     "q_dedup_rate" -> operators.Pipeline.dedupRateBySourceOracleSql(),
     "q_pipeline_e2e" -> operators.Pipeline.pretrainPipelineOracleSql(),
     "q_topk_share" -> operators.Extended.topKRevenueShareOracleSql(),

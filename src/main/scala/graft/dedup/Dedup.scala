@@ -701,6 +701,84 @@ object Dedup {
       .getOrElse(options.maxBy(_._3))
   }
 
+  /** Cross-source content-overlap dashboard from MERGEABLE corpus-level
+    * minhash signatures: each source's signature is the elementwise min
+    * of the per-shingle permuted hashes over ALL its documents — a
+    * 16-long sketch of the source's entire shingle set — and the
+    * estimated Jaccard between two sources' shingle sets is the
+    * fraction of agreeing positions. The input for corpus-mixing
+    * decisions ("how much of src_a is already in src_b?") at a cost
+    * that never materializes either side's shingle set twice.
+    *
+    * Scale: min is associative+commutative, so the signature aggregate
+    * is ONE map-side-combining hash agg on `source` — partial
+    * signatures merge across partitions, days, or whole corpora by
+    * elementwise min (the mergeable-sketch contract; pinned in
+    * DedupSpec by splitting the corpus and merging the halves).
+    * S sources leave S×k longs; the pair comparison is S², driver-
+    * trivial. Uses the [[NeutralMinHash]] family → fully DuckDB-oracled
+    * (same constants, same shingling). */
+  def sourceOverlap(documents: DataFrame, k: Int = 16, n: Int = 3)
+      : DataFrame = {
+    val sigs = sourceSignatures(documents, k, n)
+    val left = sigs.select(col("source").as("src_a"), col("sig").as("sa"))
+    val right = sigs.select(col("source").as("src_b"), col("sig").as("sb"))
+    left.join(broadcast(right), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (size(filter(zip_with(col("sa"), col("sb"), (p, q) => p === q),
+          v => v)).cast("double") / k).as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** The per-source mergeable signature relation behind
+    * [[sourceOverlap]]: (source, sig[k]). */
+  def sourceSignatures(documents: DataFrame, k: Int = 16, n: Int = 3)
+      : DataFrame = {
+    import NeutralMinHash.{P, a, b, baseHash}
+    val exploded = documents
+      .select(col("source"), explode(shingles(col("text"), n)).as("s"))
+    val x = baseHash(col("s"))
+    val hashed = exploded.select(
+      col("source") +: (0 until k).map(i =>
+        ((lit(a(i)) * x + lit(b(i))) % P).as(s"h$i")): _*)
+    hashed.groupBy(col("source"))
+      .agg(min(col("h0")).as("h0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+      .select(col("source"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** DuckDB oracle for [[sourceOverlap]] — the [[NeutralMinHash]] CTE
+    * chain regrouped at source grain. */
+  def sourceOverlapOracleSql(k: Int = 16): String = {
+    import NeutralMinHash.{P, a, b}
+    val consts = (0 until k).map(i => s"($i, ${a(i)}, ${b(i)})")
+      .mkString(", ")
+    s"""WITH tok AS (
+         SELECT source, string_split(text, ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT source,
+           unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(len(w) - 2),
+               i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+         FROM tok),
+       hx AS (
+         SELECT source,
+           ('0x' || substr(md5(shingle), 1, 8))::BIGINT % $P AS x
+         FROM sh),
+       consts(i, a, b) AS (VALUES $consts),
+       sig1 AS (
+         SELECT source, i, min((a * x + b) % $P) AS m
+         FROM hx CROSS JOIN consts GROUP BY 1, 2),
+       sigs AS (
+         SELECT source, list(m ORDER BY i) AS sig FROM sig1 GROUP BY source)
+       SELECT x.source AS src_a, y.source AS src_b,
+         len(list_filter(range(1, $k + 1), i -> x.sig[i] = y.sig[i]))
+           / ${k}.0 AS est_jaccard
+       FROM sigs x JOIN sigs y ON x.source < y.source
+       ORDER BY src_a, src_b"""
+  }
+
   /** [[minhashLshPairs]] with engine-neutral hashing (see
     * [[NeutralMinHash]]) — fully DuckDB-oracled. */
   def minhashLshPairsNeutral(documents: DataFrame, k: Int = 16,

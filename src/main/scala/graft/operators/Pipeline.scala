@@ -958,4 +958,42 @@ object Pipeline {
          FROM documents)
        ORDER BY shard, pos"""
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * Inf. Proc. Letters 2006): each document draws a deterministic
+    * uniform u ∈ (0,1] from md5(doc_id) and competes with key
+    * u^(1/w) — the top-k keys per source are EXACTLY a without-
+    * replacement sample weighted by w (here w = n_chars, the
+    * take-longer-documents-more-often sampling a token-budgeted corpus
+    * build uses). Compared as ln(u)/w (monotone in the key, no
+    * overflow at w → ∞), descending.
+    *
+    * The selection runs through the [[graft.plans.TopKPerGroup]]
+    * custom exec: per-partition bounded heaps then one k-row-per-group
+    * merge — NO corpus-wide sort and no unpartitioned window, so the
+    * 100 TB shape is a map-side top-k over however many partitions the
+    * corpus has. Output is ids + integer weights only (the float key
+    * stays internal — engine-exact output columns). */
+  def weightedSample(documents: DataFrame, kPer: Int = 10): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") + 1L) / lit(4294967296.0)
+    val keyed = documents.select(col("source"), col("doc_id"),
+      col("n_chars"), (log(u) / col("n_chars").cast("double")).as("es_key"))
+    graft.plans.TopKPerGroup.topKPerGroup(keyed, Seq("source"),
+        Seq(("es_key", true), ("doc_id", false)), kPer)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[weightedSample]] — same md5-derived uniform,
+    * same ln(u)/w key, window-ranked (the oracle may use the global
+    * window the engine avoids). */
+  def weightedSampleOracleSql(kPer: Int = 10): String =
+    s"""SELECT source, doc_id, n_chars FROM (
+         SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 1) / 4294967296.0) / n_chars DESC, doc_id) AS rk
+         FROM documents)
+       WHERE rk <= $kPer ORDER BY source, doc_id"""
 }

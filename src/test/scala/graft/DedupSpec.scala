@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -237,5 +238,35 @@ class DedupSpec extends AnyFunSuite {
     val slack = 1.0 / nTrue.toDouble
     assert(nFound.toDouble / nTrue.toDouble >= predicted - slack,
       s"measured $nFound/$nTrue below predicted $predicted")
+  }
+
+  test("sourceSignatures is a mergeable sketch: elementwise min of " +
+      "half-corpus signatures equals the full signature") {
+    val docsDf = Tables.load(spark, TestSpark.sf, "documents")
+    def sigMap(df: org.apache.spark.sql.DataFrame) =
+      dedup.Dedup.sourceSignatures(df).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val full = sigMap(docsDf)
+    // fixture assigns source = doc_id % n_sources, so split on the
+    // QUOTIENT's parity to land half of every source in each part
+    val half = org.apache.spark.sql.functions.expr("(doc_id div 20) % 2")
+    val evens = sigMap(docsDf.filter(half === 0))
+    val odds = sigMap(docsDf.filter(half === 1))
+    assert(full.nonEmpty)
+    for ((src, sig) <- full) {
+      val merged = evens(src).zip(odds(src)).map(p => math.min(p._1, p._2))
+      assert(merged == sig, s"merge mismatch for $src")
+    }
+    // self-overlap sanity: a source duplicated under a new name would
+    // agree at every position; distinct fixture sources must not all
+    // agree everywhere (the estimate discriminates)
+    val overlaps = dedup.Dedup.sourceOverlap(docsDf).collect()
+    assert(overlaps.length == full.size * (full.size - 1) / 2)
+    assert(overlaps.exists(_.getDouble(2) < 1.0))
+    val union = docsDf.withColumn("source", lit("all"))
+    val uSig = sigMap(union)("all")
+    assert(full.values.reduce((x, y) =>
+      x.zip(y).map(p => math.min(p._1, p._2))) == uSig,
+      "union signature must equal the min-merge of per-source signatures")
   }
 }

@@ -455,4 +455,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(1L) == ((3L, 0L, 0.0, false)))
     assert(out(2L) == ((2L, 1L, 0.5, true)))
   }
+
+  test("weightedSample: exactly k per source, repartition-invariant, " +
+      "and biased toward heavy documents") {
+    val out = operators.Pipeline.weightedSample(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = out.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    assert(bySource.values.forall(_.length == 10),
+      "each fixture source holds >= 10 docs, so every sample is full")
+    // the custom top-k exec must be deterministic under repartitioning
+    val re = operators.Pipeline.weightedSample(docs.repartition(7))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSeq == out.toSeq)
+    // A-ES weighting: 10 docs carrying 10000x the weight of the other
+    // 90 must dominate the k=10 sample (deterministic md5 draws; a
+    // light doc needs u > ~0.999 to beat a heavy one)
+    import spark.implicits._
+    val crafted = (1L to 100L)
+      .map(i => ("s", i, if (i <= 10) 100000L else 10L))
+      .toDF("source", "doc_id", "n_chars")
+    val picked = operators.Pipeline.weightedSample(crafted).collect()
+      .map(_.getLong(1))
+    assert(picked.length == 10)
+    assert(picked.count(_ <= 10L) >= 8,
+      s"heavy docs under-sampled: ${picked.mkString(",")}")
+  }
 }
