@@ -150,7 +150,23 @@ object Plans {
     "q_scd2_lookup" -> ("LEFT OUTER keyed range lookup: key equality + " +
       "validity-range containment in ONE probe with misses surviving " +
       "null-padded (the SCD2 contract) — no BroadcastHashJoin, no " +
-      "post-join filter re-dropping outer rows"))
+      "post-join filter re-dropping outer rows"),
+    "q_asof_forward" -> ("FORWARD as-of through the same AsOfJoinExec " +
+      "merge (right iterator HEAD is the candidate, zero held state): " +
+      "co-partitioned exchanges + per-partition sorts, no Window, no " +
+      "BNLJ — identical plan shape to the backward direction"),
+    "q_weighted_sample" -> ("A-ES weighted sampling-without-replacement " +
+      "through TopKPerGroup: per-partition bounded heaps then one " +
+      "k-rows-per-group merge — no corpus-wide sort, no unpartitioned " +
+      "window anywhere in the plan"),
+    "q_label_prop" -> ("synchronous LPA (node-grain result collected " +
+      "like q_kmeans, so the visible plan is the local relation): per " +
+      "round the executed job is a shuffle join on the 8-byte node key " +
+      "+ two hash aggregates — the argmax is a map-side " +
+      "min(struct(-cnt,lbl)) fold, not a window"),
+    "q_source_overlap" -> ("mergeable source signatures: ONE map-side-" +
+      "combining hash aggregate at source grain (elementwise-min " +
+      "sketch), S-row broadcast self-join for the pair matrix"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

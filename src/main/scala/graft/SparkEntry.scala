@@ -72,6 +72,21 @@ object SparkEntry {
           col("r_ts").as("last_purchase_ts"))
         .orderBy(col("event_id"))
     },
+    "q_asof_forward" -> t("events") { ev =>
+      import org.apache.spark.sql.functions.col
+      // FORWARD as-of through the same exec: each view enriched with
+      // the user's NEXT purchase at or after it (time-to-conversion).
+      graft.plans.AsOfJoin.asofJoin(
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("ts"), col("user_id")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        keys = Seq("user_id"), ordCols = Seq("ts", "event_id"),
+        direction = "forward")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("r_ts").as("next_purchase_ts"))
+        .orderBy(col("event_id"))
+    },
     "q_tumbling_hourly" -> t("events")(E.tumblingHourly),
     "q_dense_series" -> t("events")(E.denseHourlySeries),
     "q_interpolate" -> t("events")(E.interpolateHourly),
@@ -215,6 +230,7 @@ object SparkEntry {
     "q_dedup_incremental" -> t("documents")(D.incrementalDedup(_)),
     "q_pagerank" -> t("lineitem")(operators.Graph.pagerank(_)),
     "q_bfs_hops" -> t("lineitem")(operators.Graph.bfsHops(_)),
+    "q_label_prop" -> t("lineitem")(operators.Graph.labelPropagation(_)),
     "q_time_weighted_avg" -> t("events")(E.timeWeightedAvg),
     "q_sliding_distinct" -> t("events")(E.slidingDistinct),
     "q_streaks" -> t("events")(E.activityStreaks),
@@ -1232,6 +1248,15 @@ object SparkEntry {
              WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
                AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id <= e.event_id)))
               AS last_purchase_ts
+         FROM events e WHERE e.event_type = 'view' ORDER BY e.event_id""",
+    // forward: min ts of the lexicographically-at-or-after purchases —
+    // ts leads the (ts, event_id) order, so min(ts) IS the first row's ts
+    "q_asof_forward" ->
+      """SELECT e.event_id, e.ts, e.user_id,
+            (SELECT min(p.ts) FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id >= e.event_id)))
+              AS next_purchase_ts
          FROM events e WHERE e.event_type = 'view' ORDER BY e.event_id""",
     "q_tumbling_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -2414,6 +2439,7 @@ object SparkEntry {
          GROUP BY d.event_type, m.med, m.mad ORDER BY d.event_type""",
     "q_pagerank" -> operators.Graph.pagerankOracleSql(),
     "q_bfs_hops" -> operators.Graph.bfsHopsOracleSql(),
+    "q_label_prop" -> operators.Graph.labelPropagationOracleSql(),
     "q_time_weighted_avg" -> E.timeWeightedAvgOracleSql(),
     "q_sliding_distinct" -> E.slidingDistinctOracleSql(),
     "q_streaks" -> E.activityStreaksOracleSql(),

@@ -287,4 +287,99 @@ object Graph {
        $rounds
        SELECT node, d FROM d$iters ORDER BY d, node"""
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * deterministic variant) over the SAME capped co-supply graph as
+    * [[triangles]]: every supplier starts in its own community, and
+    * each of a FIXED `iters` rounds relabels every node to its
+    * neighbors' most frequent label (ties break to the SMALLEST label —
+    * the determinism that makes synchronous LPA oracle-exact where the
+    * textbook random tie-break is not). Completes the graph family:
+    * PageRank ranks, BFS measures distance, CC finds reachability,
+    * triangles measure cohesion — LPA finds the denser-than-chance
+    * communities reachability can't separate (CC merges everything
+    * touching; LPA splits a bridge).
+    *
+    * Output is node grain — (node, community) — so the oracle hash
+    * pins the ENTIRE propagation, not just surviving community sizes.
+    * The default posting cap keeps ONE co-supply witness pair per part
+    * (`suppPerPart` = 2, the sparsest faithful projection): the
+    * fixture's part↔supplier incidence is random, so at the triangles
+    * density (cap 5) the projection is near-Erdős–Rényi and LPA
+    * correctly converges to a single community (measured: 1 community
+    * at every SF; at cap 2 the sf0.1 graph holds 7). Random graphs
+    * have no modular structure to find — the two-clique-bridge spec in
+    * OperatorSpec proves the operator finds it when it exists.
+    *
+    * Scale: per round = ONE shuffle join of the adjacency against the
+    * label relation on an 8-byte key + a (node, label) count agg + a
+    * map-side-combining per-node argmax fold (`min(struct(-cnt,
+    * lbl))` — no window, no sort). The adjacency is dimension-sized
+    * under the posting cap and persisted across rounds (the triangles
+    * persist rationale; a 100 TB run checkpoints labels per round to
+    * cut lineage, same plan shape). The node-grain result is bounded
+    * by the supplier dimension, collected while the cache is hot and
+    * returned as a local relation so no cache outlives the call — the
+    * triangles/kmeans pattern. */
+  def labelPropagation(lineitem: DataFrame, partCap: Long = 2000,
+      suppPerPart: Int = 2, iters: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(col("s"))
+    val ps = lineitem.filter(col("l_partkey") <= partCap)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= suppPerPart)
+      .drop("rn")
+    val e = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("u"), col("y.s").as("v"))
+      .distinct()
+    val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    var labels = adj.select(col("u").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+    for (_ <- 1 to iters) {
+      labels = adj.join(labels, col("v") === col("n"))
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
+          .getField("l").as("newl"))
+        .select(col("u").as("n"), col("newl").as("lbl"))
+    }
+    val out = labels.select(col("n").as("node"), col("lbl").as("community"))
+      .orderBy(col("node"))
+    val rows = out.collect()
+    adj.unpersist()
+    lineitem.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** DuckDB oracle for [[labelPropagation]] — rounds unrolled as
+    * chained CTEs; the argmax replays as min over (-count, label). */
+  def labelPropagationOracleSql(partCap: Long = 2000,
+      suppPerPart: Int = 2, iters: Int = 3): String = {
+    val round = (prev: String, cur: String) =>
+      s"""$cur AS MATERIALIZED (
+           SELECT u AS n, lbl FROM (
+             SELECT u, lbl, row_number() OVER (PARTITION BY u
+                 ORDER BY cnt DESC, lbl) AS rn
+             FROM (SELECT a.u, l.lbl, count(*) AS cnt
+               FROM adj a JOIN $prev l ON a.v = l.n GROUP BY a.u, l.lbl))
+           WHERE rn = 1)"""
+    val rounds = (1 to iters)
+      .map(i => round(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+           FROM lineitem WHERE l_partkey <= $partCap),
+        ps AS (SELECT p, s FROM (
+           SELECT p, s, row_number() OVER (PARTITION BY p ORDER BY s) rn
+           FROM ps0) WHERE rn <= $suppPerPart),
+        e AS (SELECT DISTINCT x.s AS u, y.s AS v
+           FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM adj),
+        $rounds
+        SELECT n AS node, lbl AS community FROM l$iters ORDER BY node"""
+  }
 }

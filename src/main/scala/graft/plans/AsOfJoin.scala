@@ -32,21 +32,34 @@ import org.apache.spark.sql.graftshim.Shim
   *    per-key buffering (the window form holds a partition's whole sort
   *    run; a lookup-join holds the full right side per key).
   *
-  * Semantics (backward as-of, SQL-null-correct):
-  *   for each left row l: the LAST right row r (in (keys, ordCols) sort
-  *   order) with r.keys = l.keys and r.ord <= l.ord lexicographically;
-  *   right columns are null when no such row exists. Rows with null keys
-  *   never match (null = null is UNKNOWN in SQL); left rows with a null
-  *   ord column match nothing (comparison with null is UNKNOWN). Ties on
-  *   ord are broken by sort position, so callers wanting determinism
-  *   include a unique tiebreaker as the last ord column — same contract
-  *   as TopKPerGroup.
+  * Semantics (SQL-null-correct; `forward` selects the direction):
+  *   backward — for each left row l: the LAST right row r (in (keys,
+  *   ordCols) sort order) with r.keys = l.keys and r.ord <= l.ord
+  *   lexicographically; forward — the FIRST right row with r.ord >=
+  *   l.ord (the pandas merge_asof direction='forward' contract: next
+  *   state at or after the event). Right columns are null when no such
+  *   row exists. Rows with null keys never match (null = null is
+  *   UNKNOWN in SQL); left rows with a null ord column match nothing
+  *   (comparison with null is UNKNOWN). Ties on ord are broken by sort
+  *   position, so callers wanting determinism include a unique
+  *   tiebreaker as the last ord column — same contract as TopKPerGroup.
+  *   A match tolerance ("within t of the event") composes as a caller
+  *   post-projection (`when(r_ord - ord <= t, payload)`) and needs no
+  *   exec support — arithmetic on ord would constrain the generic
+  *   lexicographic design to one numeric column.
+  *
+  * Both directions are the same single streaming merge pass: backward
+  * holds the latest qualifying right row (O(1) state); forward holds
+  * nothing at all — the right iterator's HEAD is the candidate (rows
+  * consumed past are ord-below every later left row, since left ords
+  * ascend within a key).
   *
   * Exactness: with a unique tiebreaker the output is row-identical to
   * the correlated-subquery formulation, so the same DuckDB oracle SQL
   * checks both this exec and the window composition. */
 case class AsOfJoinPlan(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftOrd: Seq[Expression], rightOrd: Seq[Expression],
+    forward: Boolean,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     "as-of join key types must match pairwise")
@@ -60,6 +73,7 @@ case class AsOfJoinPlan(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
 
 case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftOrd: Seq[Expression], rightOrd: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -129,6 +143,25 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
             // UNKNOWN: match nothing — even when a right row is already
             // held for this key from an earlier (non-null) left row.
             joined(lRow, rightNulls)
+          } else if (forward) {
+            // advance past right rows strictly below (lKey, lOrd); the
+            // surviving HEAD is the first row at-or-after — never
+            // consumed, since it may also serve later left rows
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val rKey = rKeyProj(rBuf.head)
+              val kc = keyCmp.compare(rKey, lKey)
+              if (kc < 0) rBuf.next() // right key exhausted below left key
+              else if (kc == 0) {
+                if (anyNull(rOrdProj(rBuf.head))) rBuf.next() // unmatchable
+                else if (ordCmp.compare(rOrdProj(rBuf.head), lOrd) < 0)
+                  rBuf.next() // ord-below every later left row of this key
+                else advance = false
+              } else advance = false
+            }
+            val hit = rBuf.hasNext &&
+              keyCmp.compare(rKeyProj(rBuf.head), lKey) == 0
+            joined(lRow, if (hit) rBuf.head else rightNulls)
           } else {
             var advance = true
             while (advance && rBuf.hasNext) {
@@ -157,21 +190,25 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, rk, lo, ro, l, r) =>
-      AsOfJoinExec(lk, rk, lo, ro, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(lk, rk, lo, ro, fwd, l, r) =>
+      AsOfJoinExec(lk, rk, lo, ro, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 object AsOfJoin {
-  /** Backward as-of join: each left row gains the columns of the last
-    * right row with equal `keys` and `ordCols` (lexicographically) at or
-    * before the left row's. Right columns are re-aliased with `prefix`
+  /** As-of join: each left row gains the columns of the last right row
+    * with equal `keys` and `ordCols` (lexicographically) at or before
+    * the left row's — or, with `direction = "forward"`, the FIRST right
+    * row at or after it. Right columns are re-aliased with `prefix`
     * (fresh exprIds — mandatory for self-as-of-joins, where both sides
     * share attribute ids). Include a unique tiebreaker as the last ord
     * column for deterministic payloads. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      ordCols: Seq[String], prefix: String = "r_"): DataFrame = {
+      ordCols: Seq[String], prefix: String = "r_",
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     import org.apache.spark.sql.functions.col
     val spark = left.sparkSession
     Strategies.ensureRegistered(spark, AsOfJoinStrategy)
@@ -188,6 +225,7 @@ object AsOfJoin {
       keys.map(k => resolve(rPlan, prefix + k)),
       ordCols.map(resolve(lPlan, _)),
       ordCols.map(c => resolve(rPlan, prefix + c)),
+      direction == "forward",
       lPlan, rPlan))
   }
 }

@@ -72,6 +72,61 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(Row(1L, 7L), Row(2L, null), Row(3L, null)))
   }
 
+  test("forward direction picks the FIRST right row at or after, " +
+      "reusable across left rows, ties inclusive") {
+    import spark.implicits._
+    // key a: left ts=3 -> right ts=4 (first at-or-after); left ts=4
+    // with id 8 -> the SAME right row (ts=4, id >= 8 tie-inclusive);
+    // left ts=11 -> no later right row -> nulls. key b: no right rows.
+    val left = Seq((1L, 3L, "a"), (8L, 4L, "a"), (2L, 11L, "a"),
+      (3L, 1L, "b"))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq(("a", 1L, 5L, "w"), ("a", 4L, 9L, "x"),
+      ("a", 10L, 6L, "y"), ("c", 1L, 7L, "z"))
+      .toDF("user_id", "ts", "event_id", "payload")
+    val out = plans.AsOfJoin
+      .asofJoin(left, right, Seq("user_id"), Seq("ts", "event_id"),
+        direction = "forward")
+      .select(col("event_id"), col("r_event_id"), col("r_payload"))
+      .orderBy(col("event_id")).collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 9L, "x"), Row(2L, null, null), Row(3L, null, null),
+      Row(8L, 9L, "x")))
+  }
+
+  test("forward direction equals the window first(ignoreNulls) " +
+      "formulation on the fixture") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, sf, "events")
+    val custom = plans.AsOfJoin.asofJoin(
+      ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("ts"), col("user_id")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      keys = Seq("user_id"), ordCols = Seq("ts", "event_id"),
+      direction = "forward")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("r_ts").as("next_purchase_ts"))
+      .orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), r.get(1), r.getLong(2), r.get(3)))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val window = ev
+      .withColumn("purchase_ts",
+        when(col("event_type") === "purchase", col("ts")))
+      .withColumn("next_purchase_ts",
+        first(col("purchase_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("next_purchase_ts"))
+      .orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), r.get(1), r.getLong(2), r.get(3)))
+    assert(custom.length == window.length && custom.length > 0)
+    assert(custom.toSeq == window.toSeq)
+    assert(custom.exists(_._4 != null))
+  }
+
   test("null in a NON-leading ord column matches nothing, even after a " +
       "held match for the same key") {
     import spark.implicits._

@@ -366,6 +366,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.getLong(3) == 1) // one triangle
   }
 
+  test("label propagation splits two cliques joined by a bridge " +
+      "(the case connected components cannot separate)") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType)))
+    // parts 1/2 make K4 on {1,2,3,4} and K4 on {5,6,7,8} (cap=5 keeps
+    // all); part 3 bridges 4-5, so CC sees ONE component but the
+    // min-tiebreak majority vote pulls each clique to its own label
+    val rows = (1L to 4L).map(s => R(1L, s)) ++
+      (5L to 8L).map(s => R(2L, s)) ++ Seq(R(3L, 4L), R(3L, 5L))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      schema)
+    val out = operators.Graph.labelPropagation(df, suppPerPart = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // three synchronous rounds converge here: majority vote pulls each
+    // clique to its own min label despite the 4-5 bridge
+    assert(out.toSeq == (1L to 4L).map((_, 1L)) ++ (5L to 8L).map((_, 5L)))
+    // deterministic under repartitioning (synchronous rounds + min
+    // tie-break leave nothing order-dependent)
+    val re = operators.Graph.labelPropagation(df.repartition(7),
+      suppPerPart = 5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("source quota keeps exactly cap docs per source, md5-stable") {
     import org.apache.spark.sql.{Row => R}
     import org.apache.spark.sql.types._

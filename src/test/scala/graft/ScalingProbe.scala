@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Run: sbt "Test/runMain graft.ScalingProbe"   (~20 min, idle box)
   * or one section: sbt "Test/runMain graft.ScalingProbe ranges"
-  * (sections: events join docs embeddings ranges streaming dedup)
+  * (sections: events join docs embeddings ranges streaming dedup
+  * recall r10ops)
   * Output: one PROBE line per (operator, scale) with rows and seconds.
   */
 object ScalingProbe {
@@ -397,6 +398,49 @@ object ScalingProbe {
       }
       d.unpersist()
     } }
+
+    // r10 additions: LPA (per-round shuffle join, disjoint subgraph per
+    // id-shifted copy -> graph size linear in k), forward vs backward
+    // as-of (same merge pass, cost parity expected), A-ES weighted
+    // sample (TopKPerGroup map-side heaps -> scan-bound).
+    sec("r10ops") {
+      for (k <- Seq(0, 1, 8, 64)) {
+        val li = ScaledFixtures
+          .scaled(lineitem, k, Seq("l_partkey", "l_suppkey")).persist()
+        li.count()
+        time("label_prop", k) {
+          operators.Graph.labelPropagation(li, partCap = Long.MaxValue)
+            .count()
+        }
+        li.unpersist()
+      }
+      for (k <- Seq(0, 1, 8, 64)) {
+        val ev = ScaledFixtures
+          .scaled(events, k, Seq("event_id", "user_id")).persist()
+        ev.count()
+        def side(t: String) = ev.filter(col("event_type") === t)
+        for (dir <- Seq("backward", "forward")) {
+          time(s"asof_$dir", k) {
+            plans.AsOfJoin.asofJoin(
+              side("view").select(col("event_id"), col("ts"),
+                col("user_id")),
+              side("purchase").select(col("user_id"), col("ts"),
+                col("event_id")),
+              keys = Seq("user_id"), ordCols = Seq("ts", "event_id"),
+              direction = dir).count()
+          }
+        }
+        ev.unpersist()
+      }
+      for (k <- Seq(0, 1, 8, 64)) {
+        val d = ScaledFixtures.saltedDocs(docs, k).persist()
+        d.count()
+        time("weighted_sample", k) {
+          operators.Pipeline.weightedSample(d).count()
+        }
+        d.unpersist()
+      }
+    }
 
     spark.stop()
   }
