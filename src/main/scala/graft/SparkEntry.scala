@@ -400,6 +400,8 @@ object SparkEntry {
       t("documents")(operators.Pipeline.deterministicShuffle(_)),
     "q_weighted_sample" ->
       t("documents")(operators.Pipeline.weightedSample(_)),
+    "q_waterfill" ->
+      t("documents")(operators.Pipeline.tokenBudgetWaterfill(_)),
     "q_dedup_rate" ->
       t("documents")(operators.Pipeline.dedupRateBySource),
     "q_pipeline_e2e" ->
@@ -2453,6 +2455,7 @@ object SparkEntry {
     "q_epoch_shuffle" ->
       operators.Pipeline.deterministicShuffleOracleSql(),
     "q_weighted_sample" -> operators.Pipeline.weightedSampleOracleSql(),
+    "q_waterfill" -> operators.Pipeline.tokenBudgetWaterfillOracleSql(),
     "q_dedup_rate" -> operators.Pipeline.dedupRateBySourceOracleSql(),
     "q_pipeline_e2e" -> operators.Pipeline.pretrainPipelineOracleSql(),
     "q_topk_share" -> operators.Extended.topKRevenueShareOracleSql(),

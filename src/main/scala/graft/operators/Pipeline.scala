@@ -996,4 +996,106 @@ object Pipeline {
                  + 1) / 4294967296.0) / n_chars DESC, doc_id) AS rk
          FROM documents)
        WHERE rk <= $kPer ORDER BY source, doc_id"""
+
+  /** Token-budget WATERFILLING across sources — the mixture-allocation
+    * step a corpus build runs before per-source sampling: given a total
+    * token budget B, allocate min(avail_i, L) to each source with the
+    * water level L chosen so the allocations sum to B — the max-min-fair
+    * split (small sources are taken whole, the budget left splits evenly
+    * among the big ones). The feasibility test is EXACT integer
+    * arithmetic: with sources ascending by availability, source i
+    * saturates iff avail_i·(remaining sources) ≤ budget − (tokens
+    * already granted to smaller sources) — that predicate is
+    * monotonically non-increasing down the sort (difference telescopes
+    * to (n−i)·(a_{i+1}−a_i) ≥ 0), so the saturated set is a prefix and
+    * one window pass finds it. The integer remainder B − k·L goes one
+    * token each to the LARGEST unsaturated sources (ties by source) —
+    * fully deterministic, Σalloc = min(B, Σavail) exactly.
+    *
+    * Scale: the corpus-sized work is ONE map-side-combining sum at
+    * source grain; everything after runs on the S-row source relation
+    * (S = #sources — the global windows below are post-agg and
+    * S-bounded, the q_benford allowlist shape). Output feeds
+    * [[sourceQuota]]/[[budgetSelect]] as the per-source budget. */
+  def tokenBudgetWaterfill(documents: DataFrame,
+      budget: Long = 40000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val avail = documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("avail_tokens"))
+    val asc = Window.orderBy(col("avail_tokens"), col("source"))
+    val marked = avail
+      .withColumn("granted", coalesce(sum(col("avail_tokens"))
+        .over(asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("rest",
+        count(lit(1)).over(asc.rowsBetween(0, Window.unboundedFollowing)))
+      .withColumn("saturated",
+        col("avail_tokens") * col("rest") <= lit(budget) - col("granted"))
+    // scalar state of the saturated prefix: k sources take s_k tokens
+    val prefix = marked.agg(
+      sum(when(col("saturated"), col("avail_tokens"))
+        .otherwise(lit(0L))).as("s_k"),
+      count(when(col("saturated"), lit(1))).as("k"),
+      count(lit(1)).as("n"))
+    val desc = Window.orderBy(col("avail_tokens").desc, col("source"))
+    // the saturated/unsaturated boundary always carries a STRICT avail
+    // increase (equal avails share a saturation status — the telescoped
+    // difference is 0), so in desc order the unsaturated sources are
+    // exactly ranks 1..n-k and `rd <= rem` hands out every bonus token
+    marked.crossJoin(broadcast(prefix))
+      .withColumn("level",
+        when(col("n") === col("k"), lit(0L)).otherwise(
+          expr(s"($budget - s_k) div (n - k)")))
+      .withColumn("rem",
+        when(col("n") === col("k"), lit(0L)).otherwise(
+          (lit(budget) - col("s_k")) % (col("n") - col("k"))))
+      .withColumn("bonus", when(!col("saturated") &&
+        row_number().over(desc) <= col("rem"), 1L).otherwise(0L))
+      .select(col("source"), col("avail_tokens"),
+        when(col("saturated"), col("avail_tokens"))
+          .otherwise(col("level") + col("bonus")).as("alloc_tokens"),
+        col("saturated"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[tokenBudgetWaterfill]] — identical integer
+    * arithmetic over the same source-grain relation. */
+  def tokenBudgetWaterfillOracleSql(budget: Long = 40000L): String =
+    s"""WITH avail AS (
+         SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             AS avail_tokens
+         FROM documents GROUP BY source),
+       marked AS (
+         SELECT source, avail_tokens,
+           coalesce(sum(avail_tokens) OVER (ORDER BY avail_tokens, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS granted,
+           count(*) OVER (ORDER BY avail_tokens, source
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rest
+         FROM avail),
+       m2 AS (
+         SELECT *, avail_tokens * rest <= $budget - granted AS saturated
+         FROM marked),
+       pfx AS (
+         SELECT coalesce(sum(CASE WHEN saturated THEN avail_tokens
+             ELSE 0 END), 0) AS s_k,
+           count(CASE WHEN saturated THEN 1 END) AS k,
+           count(*) AS n
+         FROM m2),
+       lv AS (
+         SELECT m2.*, pfx.n, pfx.k,
+           CASE WHEN pfx.n = pfx.k THEN 0
+             ELSE ($budget - pfx.s_k) // (pfx.n - pfx.k) END AS level,
+           CASE WHEN pfx.n = pfx.k THEN 0
+             ELSE ($budget - pfx.s_k) % (pfx.n - pfx.k) END AS rem,
+           row_number() OVER (ORDER BY m2.avail_tokens DESC, m2.source)
+             AS rd
+         FROM m2 CROSS JOIN pfx)
+       SELECT source, avail_tokens,
+         CAST(CASE WHEN saturated THEN avail_tokens
+           ELSE level + (CASE WHEN rd <= rem THEN 1 ELSE 0 END) END
+           AS BIGINT) AS alloc_tokens,
+         saturated
+       FROM lv ORDER BY source"""
 }

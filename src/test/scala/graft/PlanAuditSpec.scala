@@ -53,6 +53,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_theta_hist",      // strictRankViaBuckets bucket grid
     "q_vocab_growth",    // curve points: n_docs/bucketSize, a
                          // caller-chosen plot resolution, not data size
+    "q_waterfill",       // S source rows post-agg (the corpus-sized
+                         // work is one map-side sum at source grain)
   )
 
   test("q_bloom_join probes an in-engine subquery filter, not a plan literal") {

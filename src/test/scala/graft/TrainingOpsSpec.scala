@@ -456,6 +456,44 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 0.5, true)))
   }
 
+  test("waterfill: hand-computed levels, exact budget conservation, " +
+      "saturation edge cases") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)], budget: Long) =
+      operators.Pipeline.tokenBudgetWaterfill(
+        rows.toDF("source", "text"), budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))
+    // avails: a=2, b=5, c=9 tokens. B=10: a saturates (2*3=6 <= 10);
+    // b? 5*2=10 > 10-2=8 -> no. level=(10-2) div 2=4, rem=0 ->
+    // a:2, b:4, c:4
+    val corpus = Seq(("a", "x y"), ("b", "x y z w v"),
+      ("c", "a b c d e f g h i"))
+    assert(run(corpus, 10L).toSeq == Seq(
+      ("a", 2L, 2L, true), ("b", 5L, 4L, false), ("c", 9L, 4L, false)))
+    // B=11: level=(11-2) div 2=4, rem=1 -> bonus to the LARGEST
+    // unsaturated (c) -> a:2, b:4, c:5; sums to exactly 11
+    val b11 = run(corpus, 11L)
+    assert(b11.toSeq == Seq(
+      ("a", 2L, 2L, true), ("b", 5L, 4L, false), ("c", 9L, 5L, false)))
+    assert(b11.map(_._3).sum == 11L)
+    // budget >= total avail: everyone saturated, alloc = avail
+    assert(run(corpus, 100L).toSeq == Seq(
+      ("a", 2L, 2L, true), ("b", 5L, 5L, true), ("c", 9L, 9L, true)))
+    // tiny budget, nobody saturates: level=0, rem=2 -> the two largest
+    // get 1 token each
+    assert(run(corpus, 2L).toSeq == Seq(
+      ("a", 2L, 0L, false), ("b", 5L, 1L, false), ("c", 9L, 1L, false)))
+    // fixture smoke: allocation conserves the budget exactly whenever
+    // total availability covers it
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val fx = operators.Pipeline.tokenBudgetWaterfill(docs, 40000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val totalAvail = fx.map(_._1).sum
+    assert(fx.map(_._2).sum == math.min(40000L, totalAvail))
+    assert(fx.forall { case (a, x) => x <= a })
+  }
+
   test("weightedSample: exactly k per source, repartition-invariant, " +
       "and biased toward heavy documents") {
     val out = operators.Pipeline.weightedSample(docs).collect()
