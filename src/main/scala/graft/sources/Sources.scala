@@ -103,6 +103,56 @@ object Sources {
     (before.size, parts(outDir).size)
   }
 
+  /** Parquet BLOOM-FILTER layout — the point-lookup complement to the
+    * min/max-stat layouts (Z-order/Hilbert cluster VALUE RANGES; a
+    * bloom filter skips row groups for high-cardinality EQUALITY
+    * probes that ranges can't help, e.g. doc_id/user_id lookups on an
+    * unsorted append table). Write-side only: the reader needs no
+    * opt-in — Spark's parquet scan consults footers automatically when
+    * an `=` predicate is pushed down. `ndv` sizes the filter (bits ∝
+    * ndv); at 100 TB the filters ride in the footers (KBs per row
+    * group per column), the classic space-for-IO trade. */
+  def writeWithBloom(df: DataFrame, path: String, column: String,
+      ndv: Long = 100000L): Unit =
+    df.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$column", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$column", ndv.toString)
+      .parquet(path)
+
+  /** Footer audit for [[writeWithBloom]]: true iff EVERY row group of
+    * every data file carries a bloom filter for `column` (metadata-only
+    * read — the same driver-side listing cost as [[compact]]). */
+  def bloomFilterPresent(spark: SparkSession, path: String,
+      column: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val files = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    files.nonEmpty && files.forall { f =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try rd.getRowGroups.asScala.forall { bg =>
+        bg.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .exists(_.getBloomFilterOffset >= 0)
+      } finally rd.close()
+    }
+  }
+
+  /** Corrupt-file containment on read — the operational contract an
+    * append-heavy 100 TB table needs (a half-written file from a dead
+    * writer, a truncated upload): with `ignoreCorruptFiles` the scan
+    * logs and SKIPS unreadable files instead of failing the job; the
+    * default strict mode fails fast. Spark applies the flag at the
+    * file-reader level, so healthy files in the same directory are
+    * unaffected — the read-side twin of AuditedJsonlSink's write-side
+    * manifest (which prevents the torn file from being listed at all). */
+  def readIgnoreCorrupt(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+
   /** Bucketed table pair for the co-located join demo: lineitem and
     * orders written ONCE per session bucketed (and sorted) by the join
     * key into 8 buckets each, registered as external tables so the

@@ -267,4 +267,35 @@ class SourcesSpec extends AnyFunSuite {
     val sb = b.agg(sum(col("doc_id")), sum(col("n_chars"))).head()
     assert(sa == sb)
   }
+
+  test("bloom-filter layout: every row group's footer carries the " +
+      "filter; point lookups answer identically") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val dir = tmp("graft_bloom") + "/t"
+    sources.Sources.writeWithBloom(docs.repartition(4), dir, "doc_id",
+      ndv = 10000L)
+    assert(sources.Sources.bloomFilterPresent(spark, dir, "doc_id"))
+    // a column NOT opted in carries no filter — the audit discriminates
+    assert(!sources.Sources.bloomFilterPresent(spark, dir, "source"))
+    val expected = docs.filter(col("doc_id") === 7L)
+      .select(col("doc_id"), col("source")).collect()
+    val got = spark.read.parquet(dir).filter(col("doc_id") === 7L)
+      .select(col("doc_id"), col("source")).collect()
+    assert(got.toSeq == expected.toSeq && got.nonEmpty)
+  }
+
+  test("ignoreCorruptFiles skips a torn file and keeps healthy rows; " +
+      "the strict default fails fast") {
+    import spark.implicits._
+    val dir = tmp("graft_corrupt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir + "/t")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir + "/t/part-torn.parquet"),
+      Array.fill[Byte](128)(0x5a))
+    val ok = sources.Sources.readIgnoreCorrupt(spark, dir + "/t")
+    assert(ok.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir + "/t").count()
+    }
+  }
 }
