@@ -153,6 +153,27 @@ object Sources {
   def readIgnoreCorrupt(spark: SparkSession, path: String): DataFrame =
     spark.read.option("ignoreCorruptFiles", "true").parquet(path)
 
+  /** Catalog-registered fixture table with COMPUTED STATISTICS — the
+    * cost-based-optimizer feed (`spark.sql.cbo.enabled`): ANALYZE
+    * writes rowCount + per-column NDV/min/max/null counts into the
+    * catalog, Catalyst's `Statistics` then carries row-count estimates
+    * through filters and joins (selectivity from column bounds) instead
+    * of the file-size-only fallback. At 100 TB this is what turns "is
+    * the dimension side broadcastable?" and "which join first?" from
+    * guesses into arithmetic — stats collection is one scan per table,
+    * amortized across every query planned after it. Idempotent per
+    * session. */
+  def analyzedTable(spark: SparkSession, sfDir: String,
+      name: String): String = {
+    val tbl = s"graft_stats_$name"
+    if (!spark.catalog.tableExists(tbl)) {
+      graft.Tables.load(spark, sfDir, name)
+        .write.mode("overwrite").saveAsTable(tbl)
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    tbl
+  }
+
   /** Bucketed table pair for the co-located join demo: lineitem and
     * orders written ONCE per session bucketed (and sorted) by the join
     * key into 8 buckets each, registered as external tables so the

@@ -284,6 +284,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq && got.nonEmpty)
   }
 
+  test("CBO statistics: ANALYZE feeds exact row counts into Catalyst " +
+      "and filter selectivity estimates become bounded") {
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val tbl = sources.Sources.analyzedTable(spark, TestSpark.sf, "orders")
+      val trueCount = spark.table(tbl).count()
+      // catalog row count is exact post-ANALYZE
+      val full = spark.table(tbl).queryExecution.optimizedPlan.stats
+      assert(full.rowCount.contains(BigInt(trueCount)))
+      // CBO selectivity: an equality filter on an analyzed column gets
+      // a row estimate STRICTLY below the table's and above zero —
+      // the file-size fallback can't produce either bound
+      val filtered = spark.table(tbl)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .queryExecution.optimizedPlan.stats
+      assert(filtered.rowCount.isDefined)
+      val est = filtered.rowCount.get
+      assert(est > 0 && est < BigInt(trueCount),
+        s"estimate $est not in (0, $trueCount)")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
+
   test("ignoreCorruptFiles skips a torn file and keeps healthy rows; " +
       "the strict default fails fast") {
     import spark.implicits._
