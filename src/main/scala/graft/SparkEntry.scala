@@ -463,6 +463,7 @@ object SparkEntry {
     // ---- similarity search (north star) ----
     "q_pairwise_cosine" -> t("embeddings")(V.pairwiseCosine(_)),
     "q_knn_brute" -> t("embeddings")(V.bruteForceTopK(_)),
+    "q_hard_negatives" -> t("embeddings")(V.hardNegatives(_)),
     "q_knn_quantized" -> t("embeddings")(V.quantizedTopK(_)),
     "q_knn_pq" -> t("embeddings")(V.pqTopK(_)),
     "q_knn_lsh" -> t("embeddings")(V.lshTopK(_)),
@@ -2649,6 +2650,7 @@ object SparkEntry {
          SELECT id_a, id_b, round(d / (na * nb), 3) AS cos
          FROM c ORDER BY id_a, id_b""",
     "q_knn_brute" -> knnBruteOracleSql,
+    "q_hard_negatives" -> V.hardNegativesOracleSql(),
     "q_knn_quantized" -> knnQuantizedOracleSql,
     "q_ann_recall" ->
       s"""SELECT b.query_id,

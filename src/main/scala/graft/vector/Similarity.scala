@@ -81,6 +81,58 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive training — for each query
+    * vector, the top-k most-cosine-similar corpus vectors with a
+    * DIFFERENT label: the negatives that sit closest to the decision
+    * boundary, which contrastive/retrieval fine-tuning weights far
+    * above random negatives (the in-batch-negatives upgrade every
+    * dense-retriever recipe ships). Same plan shape as
+    * [[bruteForceTopK]] — queries broadcast against ONE corpus scan,
+    * per-query top-k window — with the label-inequality folded into
+    * the join condition so mismatched pairs never materialize. At
+    * 100 TB the scan side swaps for any of the bucketed ANN paths
+    * (IVF lists / LSH buckets) unchanged: the label filter rides the
+    * probe join. Complements [[graft.operators.Pipeline]]'s random
+    * negative sampling (`q_neg_sample`). */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpus
+      .join(broadcast(queries), col("label") =!= col("q_label"))
+      .withColumn("cos", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("label").as("neg_label"), round(col("cos"), 3).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[hardNegatives]] — the [[bruteForceTopK]]
+    * oracle with the label inequality in the join. */
+  def hardNegativesOracleSql(nQueries: Int = 5, k: Int = 10): String =
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+       q AS (SELECT vec_id AS query_id, label AS q_label, e AS qe
+         FROM v WHERE vec_id < $nQueries),
+       c AS (SELECT query_id, vec_id, label,
+          round(list_sum(list_transform(range(1, 65), i -> qe[i] * e[i]))
+            / (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))
+               * sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i])))),
+            6) AS cos
+         FROM v CROSS JOIN q WHERE label <> q_label),
+       r AS (SELECT query_id, vec_id, label, cos,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         FROM c)
+       SELECT query_id, rank, vec_id, label AS neg_label, round(cos, 3) AS cos
+       FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+
   /** Quantized-scan kNN — the production memory-bound ANN pattern:
     * the corpus is scanned in its int8-reconstructed form (4 bytes→1
     * byte per dim in storage; here the reconstruction is computed from

@@ -54,6 +54,41 @@ class PropertySpec extends AnyFunSuite {
     assert(agg(eventsDf(rows).repartition(13)) == base)
   }
 
+  test("waterfill properties: conservation, cap, max-min fairness on " +
+      "random corpora and budgets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val nSrc = 2 + rnd.nextInt(6)
+      val docs = (0 until nSrc).flatMap { s =>
+        (0 until 1 + rnd.nextInt(4)).map { d =>
+          val nTok = 1 + rnd.nextInt(12)
+          (s"s$s", (s * 100 + d).toLong,
+            Seq.fill(nTok)("w").mkString(" "))
+        }
+      }.toDF("source", "doc_id", "text")
+      val budget = 1L + rnd.nextInt(80)
+      val out = operators.Pipeline.tokenBudgetWaterfill(docs, budget)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))
+      val totalAvail = out.map(_._2).sum
+      // conservation: allocations spend exactly min(budget, avail)
+      assert(out.map(_._3).sum == math.min(budget, totalAvail),
+        s"trial $trial: conservation failed for budget=$budget $out")
+      // cap: nobody exceeds their availability
+      assert(out.forall { case (_, a, x, _) => x <= a })
+      // max-min fairness: unsaturated allocations differ by at most 1,
+      // and every saturated source's full take is <= any unsaturated
+      // source's allocation (else water should have flowed to it)
+      val unsat = out.filter(!_._4).map(_._3)
+      if (unsat.nonEmpty) {
+        assert(unsat.max - unsat.min <= 1, s"trial $trial: $out")
+        assert(out.filter(_._4).forall(_._3 <= unsat.max + 1))
+      } else assert(out.forall { case (_, a, x, _) => x == a })
+    }
+  }
+
   test("chunking covers every token exactly once per stride (invariant)") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
       .filter(col("doc_id") < 100)

@@ -160,6 +160,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall(multi) > 0.0)
   }
 
+  test("hard negatives: never the query's label, full k per query, and " +
+      "each is the best different-label candidate at its rank") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val labelOf = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = vector.Similarity.hardNegatives(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    // label inequality holds row by row; neg_label is the corpus truth
+    assert(out.forall { case (q, _, v, nl, _) =>
+      nl != labelOf(q) && nl == labelOf(v) })
+    // the fixture has enough off-label vectors: every query fills k
+    val byQ = out.groupBy(_._1)
+    assert(byQ.values.forall(_.length == 10))
+    // consistency with the oracled brute top-k: any brute neighbor
+    // with a different label must appear as a hard negative at least
+    // as early (the hard-negative list is the brute list with
+    // same-label rows deleted)
+    val brute = vector.Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    for ((q, _, v) <- brute if labelOf(v) != labelOf(q)) {
+      val hn = byQ(q).map(_._3)
+      assert(hn.contains(v), s"brute off-label neighbor $v missing for $q")
+    }
+  }
+
   test("pairwise cosine is symmetric-safe and bounded") {
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
     val out = vector.Similarity.pairwiseCosine(df, bound = 5).collect()
