@@ -267,6 +267,7 @@ object SparkEntry {
     "q_substring_dedup" -> t("documents")(D.substringDedup(_)),
     "q_sorted_neighborhood" -> t("documents")(D.sortedNeighborhoodPairs(_)),
     "q_fuzzy_join" -> t("documents")(D.fuzzyJoinPairs(_)),
+    "q_fuzzy_jw" -> t("documents")(D.fuzzyJoinJaroWinkler(_)),
     "q_boilerplate" -> t("documents")(T.boilerplateScan(_)),
     "q_equidepth_hist" -> t("lineitem")(R.equiDepthHistogram(_)),
     "q_shipping_priority" -> ((s, dir) => R.shippingPriority(
@@ -2410,6 +2411,7 @@ object SparkEntry {
     "q_substring_dedup" -> D.substringDedupOracleSql(),
     "q_sorted_neighborhood" -> D.sortedNeighborhoodOracleSql(),
     "q_fuzzy_join" -> D.fuzzyJoinOracleSql(),
+    "q_fuzzy_jw" -> D.fuzzyJoinJaroWinklerOracleSql(),
     "q_boilerplate" -> T.boilerplateOracleSql(),
     "q_equidepth_hist" -> R.equiDepthOracleSql(),
     "q_cms_freq" -> operators.Extended.cmsOracleSql(),

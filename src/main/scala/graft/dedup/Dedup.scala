@@ -1152,6 +1152,56 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** [[fuzzyJoinPairs]]' typo-metric twin: the SAME sorted-neighborhood
+    * candidate gate scored by the codegen'd
+    * [[graft.functions.JaroWinkler]] expression instead of levenshtein
+    * — transposition-tolerant similarity for short identity strings,
+    * replaying DuckDB's `jaro_winkler_similarity` exactly (probe pairs
+    * pinned in DedupSpec). The threshold applies to the ROUNDED score
+    * in both engines so a 1-ulp libm-free divergence can never flip a
+    * boundary row. Same scale shape: blocked candidates only, 64-char
+    * prefixes, never all-pairs. */
+  def fuzzyJoinJaroWinkler(documents: DataFrame, k: Int = 3,
+      minSim: Double = 0.5): DataFrame = {
+    val pre = documents.select(
+      col("doc_id"), substring(col("text"), 1, 64).as("pre"))
+    neighborCandidates(documents, k)
+      .join(pre.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(pre.as("pb"), col("doc_b") === col("pb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.JaroWinkler.jaroWinkler(
+          col("pa.pre"), col("pb.pre")), 6).as("jw"))
+      .filter(col("jw") >= minSim)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB oracle for [[fuzzyJoinJaroWinkler]]. */
+  def fuzzyJoinJaroWinklerOracleSql(k: Int = 3,
+      minSim: Double = 0.5): String = {
+    val leads = (1 until k)
+      .map(i => s"lead(doc_id, $i) OVER win").mkString(", ")
+    s"""WITH keyed AS (
+         SELECT doc_id,
+           lower(regexp_replace(substr(text, 1, 24), '[^A-Za-z0-9]', '',
+             'g')) AS bkey
+         FROM documents),
+       blocked AS (SELECT doc_id, bkey, substr(bkey, 1, 8) AS blk
+         FROM keyed),
+       pairs AS (
+         SELECT doc_id AS doc_a, unnest([$leads]) AS doc_b
+         FROM blocked
+         WINDOW win AS (PARTITION BY blk ORDER BY bkey, doc_id)),
+       cand AS (SELECT doc_a, doc_b FROM pairs WHERE doc_b IS NOT NULL),
+       pre AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+       SELECT doc_a, doc_b,
+         round(jaro_winkler_similarity(pa.p, pb.p), 6) AS jw
+       FROM cand
+       JOIN pre pa ON pa.doc_id = doc_a
+       JOIN pre pb ON pb.doc_id = doc_b
+       WHERE round(jaro_winkler_similarity(pa.p, pb.p), 6) >= $minSim
+       ORDER BY doc_a, doc_b"""
+  }
+
   /** DuckDB oracle for [[fuzzyJoinPairs]]. */
   def fuzzyJoinOracleSql(k: Int = 3, maxDist: Int = 20): String = {
     val leads = (1 until k)

@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram shingling: one compiled pass per document.
@@ -83,4 +83,85 @@ object WordShingles {
 
   def wordShingles(text: Column, n: Int): Column =
     Shim.column(WordShingles(Shim.expression(text), n))
+}
+
+/** Native Jaro–Winkler similarity (Winkler 1990): the edit-distance
+  * family's "typo metric" for short identity strings (names, titles,
+  * keys), where levenshtein over-penalizes transpositions. Classic
+  * parameters, chosen to REPLAY DuckDB's `jaro_winkler_similarity`
+  * exactly (verified against probe pairs in GramSpec): empty input →
+  * 0.0, match window floor(max(|a|,|b|)/2)−1, transpositions halved,
+  * prefix boost l·0.1·(1−jaro) with l ≤ 4 applied ONLY above the 0.7
+  * boost threshold. One static call inlined by whole-stage codegen —
+  * no per-row interpretation (the WordShingles precedent). Operates on
+  * UTF-16 code units == code points for the fixtures' ASCII text (the
+  * oracle comparison assumes BMP input). */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler requires two string inputs, got ($a, $b)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinkler.similarity($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): JaroWinkler = copy(left = l, right = r)
+}
+
+object JaroWinkler {
+  def similarity(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString; val b = ub.toString
+    val l1 = a.length; val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val w = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val ma = new Array[Boolean](l1)
+    val mb = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + w)
+      var j = math.max(0, i - w)
+      var found = false
+      while (!found && j <= hi) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0; i = 0
+    while (i < l1) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val half = t / 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 +
+      (m - half).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(l1, l2))
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    Shim.column(JaroWinkler(Shim.expression(a), Shim.expression(b)))
 }

@@ -240,6 +240,37 @@ class DedupSpec extends AnyFunSuite {
       s"measured $nFound/$nTrue below predicted $predicted")
   }
 
+  test("JaroWinkler expression replays DuckDB's jaro_winkler_similarity " +
+      "on probe pairs, codegen and interpreted") {
+    import spark.implicits._
+    // expected values are duckdb's own outputs for these pairs
+    // (boost threshold 0.7, prefix cap 4, p=0.1, empty -> 0)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abcd", "dcba", 0.5),
+      ("ab", "ba", 0.0),
+      ("a", "", 0.0),
+      ("", "", 0.0),
+      ("aaa", "aaa", 1.0),
+      ("prefix_same_low", "prefix_x", 0.8683333333333334),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("ab", "abcdefgh", 0.8),
+      ("aaxxxxxx", "aayyyyyy", 0.5), // below boost threshold: no boost
+      ("abcdefgh", "abcd", 0.9))     // prefix capped at 4
+    val df = cases.toDF("a", "b", "expect")
+    val out = df.select(col("expect"),
+        functions.JaroWinkler.jaroWinkler(col("a"), col("b")).as("got"))
+      .collect()
+    for (r <- out)
+      assert(r.getDouble(1) == r.getDouble(0), s"mismatch: $r")
+    // interpreted path (eval) agrees with the codegen'd column
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    for ((a, b, e) <- cases)
+      assert(functions.JaroWinkler.similarity(u8(a), u8(b)) == e)
+  }
+
   test("sourceSignatures is a mergeable sketch: elementwise min of " +
       "half-corpus signatures equals the full signature") {
     val docsDf = Tables.load(spark, TestSpark.sf, "documents")
