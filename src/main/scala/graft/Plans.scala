@@ -166,7 +166,15 @@ object Plans {
       "min(struct(-cnt,lbl)) fold, not a window"),
     "q_source_overlap" -> ("mergeable source signatures: ONE map-side-" +
       "combining hash aggregate at source grain (elementwise-min " +
-      "sketch), S-row broadcast self-join for the pair matrix"))
+      "sketch), S-row broadcast self-join for the pair matrix"),
+    "q_hard_negatives" -> ("hard-negative mining: queries broadcast " +
+      "against ONE corpus scan with the label inequality folded into " +
+      "the join condition (mismatched pairs never materialize), " +
+      "per-query top-k window"),
+    "q_fuzzy_jw" -> ("Jaro-Winkler fuzzy join: sorted-neighborhood " +
+      "blocking (window partitioned by block), candidates scored by " +
+      "the codegen'd jaro_winkler expression inside WholeStageCodegen " +
+      "- no UDF, no all-pairs"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -43,6 +43,27 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 11:00:00", "view", 1L, 3.0)))
   }
 
+  test("observe quality gate surfaces per-micro-batch metrics through " +
+      "StreamingQueryProgress — the same API as batch") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.addData((1L, "a b", 3L), (2L, "", 0L), (3L, "c", 1L))
+    val gated = operators.Pipeline.withQualityGate(
+      mem.toDF().toDF("doc_id", "text", "n_chars"))
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("qg_stream").start()
+    q.processAllAvailable()
+    val m = q.lastProgress.observedMetrics.get("quality_gate")
+    q.stop()
+    assert(m != null, "observed metrics missing from progress")
+    assert(m.getAs[Long]("n_rows") == 3L)
+    assert(m.getAs[Long]("n_empty") == 1L)
+    assert(m.getAs[Long]("min_chars") == 0L)
+    assert(m.getAs[Long]("max_chars") == 3L)
+  }
+
   test("dual-write sink appends history and maintains latest view") {
     val sq = spark
     import sq.implicits._
