@@ -87,6 +87,7 @@ object SparkEntry {
           col("r_ts").as("next_purchase_ts"))
         .orderBy(col("event_id"))
     },
+    "q_asof_nearest" -> t("events")(E.asofNearestPurchase),
     "q_tumbling_hourly" -> t("events")(E.tumblingHourly),
     "q_dense_series" -> t("events")(E.denseHourlySeries),
     "q_interpolate" -> t("events")(E.interpolateHourly),
@@ -1252,6 +1253,20 @@ object SparkEntry {
              WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
                AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id <= e.event_id)))
               AS last_purchase_ts
+         FROM events e WHERE e.event_type = 'view' ORDER BY e.event_id""",
+    // nearest: the global min-|delta| purchase ts is achieved by either
+    // the backward-best or forward-best; equal distance -> backward
+    // (the CASE orders the at-or-before side first)
+    "q_asof_nearest" ->
+      """SELECT e.event_id, e.ts, e.user_id,
+            (SELECT p.ts FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+             ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)),
+               CASE WHEN p.ts < e.ts
+                 OR (p.ts = e.ts AND p.event_id <= e.event_id)
+                 THEN 0 ELSE 1 END,
+               p.ts, p.event_id
+             LIMIT 1) AS nearest_purchase_ts
          FROM events e WHERE e.event_type = 'view' ORDER BY e.event_id""",
     // forward: min ts of the lexicographically-at-or-after purchases —
     // ts leads the (ts, event_id) order, so min(ts) IS the first row's ts

@@ -336,6 +336,37 @@ object EventsPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of (pandas merge_asof direction='nearest', completing
+    * the direction trio): each view gets the SAME USER's purchase
+    * timestamp closest in time, ties to the earlier (backward) side —
+    * composed from the two [[graft.plans.AsOfJoin]] exec directions
+    * (backward-best and forward-best bracket the global nearest by
+    * construction), then one projection picks by |Δ|. Two
+    * co-partitioned merge passes, zero extra shuffles beyond them:
+    * the second as-of reuses the first's (user_id) clustering. This is
+    * the composition contract the exec documents for nearest/tolerance
+    * — direction logic in the operator, arithmetic in the caller. */
+  def asofNearestPurchase(events: DataFrame): DataFrame = {
+    import graft.plans.AsOfJoin.asofJoin
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val b = asofJoin(views, purchases,
+      keys = Seq("user_id"), ordCols = Seq("ts", "event_id"), prefix = "b_")
+    val bf = asofJoin(b, purchases,
+      keys = Seq("user_id"), ordCols = Seq("ts", "event_id"),
+      prefix = "f_", direction = "forward")
+    val db = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+    val df = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+    bf.select(col("event_id"), col("ts"), col("user_id"),
+        when(col("f_ts").isNull, col("b_ts"))
+          .when(col("b_ts").isNull, col("f_ts"))
+          .when(db <= df, col("b_ts"))
+          .otherwise(col("f_ts")).as("nearest_purchase_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Conversion attribution (the BATCH face of
     * StreamingPipeline.viewsLeftJoinPurchases, which StreamingSpec pins
     * to these semantics): every view, left-joined to each purchase by

@@ -127,6 +127,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(custom.exists(_._4 != null))
   }
 
+  test("nearest composition picks the smaller |delta| with ties to the " +
+      "backward side") {
+    import spark.implicits._
+    // user u: views at ts 100 (purchases at 90/105 -> forward wins,
+    // delta 5 vs 10), ts 200 (purchases at 195/205 -> TIE, backward
+    // wins), ts 300 (only earlier purchases -> backward), user v: no
+    // purchases -> null
+    val now = 1700000000L // seconds; timestamps built below in micros
+    def t(s: Long) = new java.sql.Timestamp((now + s) * 1000L)
+    val events = Seq(
+      (1L, t(100), 10L, "view"), (2L, t(200), 10L, "view"),
+      (3L, t(300), 10L, "view"), (4L, t(50), 20L, "view"),
+      (11L, t(90), 10L, "purchase"), (12L, t(105), 10L, "purchase"),
+      (13L, t(195), 10L, "purchase"), (14L, t(205), 10L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = operators.EventsPipeline.asofNearestPurchase(events)
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(3))))
+    assert(out.toSeq == Seq(
+      (1L, Some(t(105))), (2L, Some(t(195))), (3L, Some(t(205))),
+      (4L, None)))
+  }
+
   test("null in a NON-leading ord column matches nothing, even after a " +
       "held match for the same key") {
     import spark.implicits._
