@@ -307,6 +307,7 @@ object SparkEntry {
     "q_lr_quality" -> t("documents")(text.QualityModel.trainAndScore(_)),
     "q_lr_learnable" ->
       t("documents")(text.QualityModel.trainAndScoreLength(_)),
+    "q_calibration" -> t("documents")(text.QualityModel.calibration(_)),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
     "q_temperature_resample" ->
       t("documents")(operators.Pipeline.temperatureResample(_)),
@@ -2245,6 +2246,7 @@ object SparkEntry {
     "q_pmi" -> T.pmiCollocationsOracleSql(),
     "q_lr_quality" -> text.QualityModel.trainAndScoreOracleSql(),
     "q_lr_learnable" -> text.QualityModel.trainAndScoreLengthOracleSql(),
+    "q_calibration" -> text.QualityModel.calibrationOracleSql(),
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 100),

@@ -148,6 +148,46 @@ object QualityModel {
     scoreWith(labeled, label, trainOn(labeled, label, iters, lr))
   }
 
+  /** Calibration (reliability diagram) of the LEARNABLE classifier —
+    * the model-eval step that closes the train→score→TRUST loop: scores
+    * bucketed into deciles, each bin reporting its mean predicted score
+    * against the OBSERVED positive rate; a calibrated model's bins sit
+    * on the diagonal, and the gap is the number a downstream
+    * quality-threshold decision actually needs. Reuses the fully
+    * oracled [[trainAndScoreLength]] trajectory, so the evaluation is
+    * oracle-checked end to end; at scale this is the per-doc score
+    * relation collapsed to ≤10 rows by one map-side-combining hash agg.
+    * Determinism: scores are already 6-decimal; `floor(score·10)` is
+    * the same IEEE double op in both engines; mean score is an exact
+    * decimal sum / count; the observed rate is an integer/integer
+    * division. */
+  def calibration(documents: DataFrame, iters: Int = 8,
+      lr: Double = 1.0): DataFrame =
+    trainAndScoreLength(documents, iters, lr)
+      .withColumn("bin",
+        least(floor(col("score") * 10).cast("int"), lit(9)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label").cast("long")).as("n_pos"),
+        round(graft.Cols.decSum(col("score"), 12) /
+          count(lit(1)).cast("double"), 6).as("mean_score"),
+        (sum(col("label").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("obs_rate"))
+      .orderBy(col("bin"))
+
+  /** DuckDB oracle for [[calibration]] — [[trainAndScoreLengthOracleSql]]
+    * as a CTE, regrouped at bin grain with identical arithmetic. */
+  def calibrationOracleSql(iters: Int = 8, lr: Double = 1.0): String =
+    s"""WITH base AS (${trainAndScoreLengthOracleSql(iters, lr)})
+       SELECT CAST(least(CAST(floor(score * 10) AS INTEGER), 9)
+           AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+         CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS obs_rate
+       FROM base GROUP BY 1 ORDER BY 1"""
+
   /** DuckDB oracle for [[trainAndScore]]: the weight trajectory is
     * re-derived round by round as CTEs (r0 = zeros; d_k = gradient
     * aggregate against r_{k-1}; r_k = update), then the final scoring

@@ -456,6 +456,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 0.5, true)))
   }
 
+  test("calibration bins partition the scored corpus with in-bin mean " +
+      "scores and valid observed rates") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val out = text.QualityModel.calibration(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (b, _, _, _, _) => b >= 0 && b <= 9 })
+    assert(out.map(_._2).sum == docs.count())
+    for ((b, n, nPos, mean, rate) <- out) {
+      assert(nPos >= 0 && nPos <= n)
+      assert(rate == nPos.toDouble / n.toDouble)
+      // the mean of scores in decile b stays inside the decile (bin 9
+      // is closed above at 1.0; rounding tolerance 1e-6)
+      assert(mean >= b / 10.0 - 1e-6 && mean <= (b + 1) / 10.0 + 1e-6,
+        s"bin $b mean $mean outside its decile")
+    }
+    // the learnable task actually calibrates upward: higher-score bins
+    // must not have a LOWER observed rate than the lowest bin
+    if (out.length > 1)
+      assert(out.last._5 >= out.head._5,
+        s"top bin rate ${out.last._5} below bottom ${out.head._5}")
+  }
+
   test("observe quality gate: metrics ride the consuming action with " +
       "ONE scan, values match a direct computation") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
