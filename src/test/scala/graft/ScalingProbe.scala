@@ -440,6 +440,17 @@ object ScalingProbe {
         }
         d.unpersist()
       }
+      // hard negatives: fixed query count, corpus-linear scan (the
+      // brute baseline; the bucketed ANN paths carry the same label
+      // filter on their probe joins)
+      for (k <- Seq(0, 1, 8, 64)) {
+        val e = ScaledFixtures.scaled(emb, k, Seq("vec_id")).persist()
+        e.count()
+        time("hard_negatives", k) {
+          vector.Similarity.hardNegatives(e).count()
+        }
+        e.unpersist()
+      }
     }
 
     spark.stop()

@@ -64,6 +64,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(m.getAs[Long]("max_chars") == 3L)
   }
 
+  test("foreachBatch publishes each micro-batch through the audited " +
+      "two-phase sink: one manifest per batch, atomically gated") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the standard exactly-once publish recipe: a batch-id-keyed
+        // directory through the two-phase sink — the _MANIFEST lands
+        // LAST, so a consumer that lists manifests never sees a torn
+        // batch, and a replayed batch re-publishes the same directory
+        df.write.format("graft.sources.AuditedJsonlSink")
+          .option("path", s"$base/batch-$id").mode("append").save()
+      }
+      .start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val dirs = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("batch-")).sortBy(_.getName)
+    assert(dirs.length == 2, dirs.map(_.getName).mkString(","))
+    val totals = dirs.map { d =>
+      val src = scala.io.Source.fromFile(new java.io.File(d, "_MANIFEST"))
+      val last = try src.getLines().toSeq.last finally src.close()
+      last.replaceAll("[^0-9]", "").toLong
+    }
+    assert(totals.toSeq == Seq(2L, 1L))
+  }
+
   test("dual-write sink appends history and maintains latest view") {
     val sq = spark
     import sq.implicits._
