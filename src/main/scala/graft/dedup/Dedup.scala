@@ -460,23 +460,32 @@ object Dedup {
   /** Engine-neutral banded signatures: (doc_id, sig, band, band_key) —
     * the shared LSH index both [[minhashLshPairsNeutral]] and
     * [[incrementalDedup]] build. */
+  /** Engine-neutral minhash signature at an ARBITRARY grain: one
+    * (grain, sig[k]) row per distinct grain value — the shared chain
+    * behind [[neutralBands]] (doc grain) and [[sourceSignatures]]
+    * (source grain), so the "same constants, same shingling"
+    * cross-operator contract lives in exactly one place. */
+  private def signaturesBy(documents: DataFrame, grain: String,
+      k: Int, n: Int): DataFrame = {
+    import NeutralMinHash.{P, a, b, baseHash}
+    val exploded = documents
+      .select(col(grain), explode(shingles(col("text"), n)).as("s"))
+    val x = baseHash(col("s"))
+    val hashed = exploded.select(
+      col(grain) +: (0 until k).map(i =>
+        ((lit(a(i)) * x + lit(b(i))) % P).as(s"h$i")): _*)
+    hashed.groupBy(col(grain))
+      .agg(min(col("h0")).as("h0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+      .select(col(grain),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   def neutralBands(documents: DataFrame, k: Int = 16, bands: Int = 4,
       n: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    import NeutralMinHash.{P, a, b, baseHash}
     val r = k / bands
-    val exploded = documents
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
-    val x = baseHash(col("s"))
-    val hashed = exploded.select(
-      col("doc_id") +: (0 until k).map(i =>
-        ((lit(a(i)) * x + lit(b(i))) % P).as(s"h$i")): _*)
-    val sigs = hashed
-      .groupBy(col("doc_id"))
-      .agg(min(col("h0")).as("h0"),
-        (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    val sigs = signaturesBy(documents, "doc_id", k, n)
     sigs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(
@@ -731,26 +740,15 @@ object Dedup {
   }
 
   /** The per-source mergeable signature relation behind
-    * [[sourceOverlap]]: (source, sig[k]). */
+    * [[sourceOverlap]]: (source, sig[k]) — [[signaturesBy]] at source
+    * grain. */
   def sourceSignatures(documents: DataFrame, k: Int = 16, n: Int = 3)
-      : DataFrame = {
-    import NeutralMinHash.{P, a, b, baseHash}
-    val exploded = documents
-      .select(col("source"), explode(shingles(col("text"), n)).as("s"))
-    val x = baseHash(col("s"))
-    val hashed = exploded.select(
-      col("source") +: (0 until k).map(i =>
-        ((lit(a(i)) * x + lit(b(i))) % P).as(s"h$i")): _*)
-    hashed.groupBy(col("source"))
-      .agg(min(col("h0")).as("h0"),
-        (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-      .select(col("source"),
-        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-  }
+      : DataFrame = signaturesBy(documents, "source", k, n)
 
   /** DuckDB oracle for [[sourceOverlap]] — the [[NeutralMinHash]] CTE
-    * chain regrouped at source grain. */
-  def sourceOverlapOracleSql(k: Int = 16): String = {
+    * chain regrouped at source grain (both k and the shingle width n
+    * threaded through, matching the Spark side's parameters). */
+  def sourceOverlapOracleSql(k: Int = 16, n: Int = 3): String = {
     import NeutralMinHash.{P, a, b}
     val consts = (0 until k).map(i => s"($i, ${a(i)}, ${b(i)})")
       .mkString(", ")
@@ -758,9 +756,9 @@ object Dedup {
          SELECT source, string_split(text, ' ') AS w FROM documents),
        sh AS (
          SELECT DISTINCT source,
-           unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-             ELSE list_transform(range(len(w) - 2),
-               i -> array_to_string(w[i+1:i+3], ' ')) END) AS shingle
+           unnest(CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(len(w) - ${n - 1}),
+               i -> array_to_string(w[i+1:i+$n], ' ')) END) AS shingle
          FROM tok),
        hx AS (
          SELECT source,

@@ -89,7 +89,7 @@ object WordShingles {
   * family's "typo metric" for short identity strings (names, titles,
   * keys), where levenshtein over-penalizes transpositions. Classic
   * parameters, chosen to REPLAY DuckDB's `jaro_winkler_similarity`
-  * exactly (verified against probe pairs in GramSpec): empty input →
+  * exactly (verified against probe pairs in DedupSpec): empty input →
   * 0.0, match window floor(max(|a|,|b|)/2)−1, transpositions halved,
   * prefix boost l·0.1·(1−jaro) with l ≤ 4 applied ONLY above the 0.7
   * boost threshold. One static call inlined by whole-stage codegen —

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.Shim
 
@@ -91,6 +91,13 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
 
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys ++ leftOrd).map(SortOrder(_, Ascending))
+
+  /** The merge preserves the left side's rows and clustering, so
+    * forward it (the BroadcastRangeJoin/KeyedRangeJoin precedent) —
+    * without this, SparkPlan's default UnknownPartitioning makes a
+    * downstream same-key operator (e.g. the nearest composition's
+    * second as-of) re-exchange the whole relation. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lSchema = left.output

@@ -165,7 +165,11 @@ object Sources {
     * session. */
   def analyzedTable(spark: SparkSession, sfDir: String,
       name: String): String = {
-    val tbl = s"graft_stats_$name"
+    // keyed on the DATA DIRECTORY too (the Tables.load cache
+    // convention): a same-session caller with a different SF must not
+    // get the first directory's rows and statistics back
+    val dirKey = java.lang.Integer.toHexString(sfDir.hashCode)
+    val tbl = s"graft_stats_${name}_$dirKey"
     if (!spark.catalog.tableExists(tbl)) {
       graft.Tables.load(spark, sfDir, name)
         .write.mode("overwrite").saveAsTable(tbl)

@@ -127,6 +127,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(custom.exists(_._4 != null))
   }
 
+  test("nearest composition: the second as-of consumes the first's " +
+      "clustering AND ordering — three exchanges, three sorts total") {
+    val ev = Tables.load(spark, sf, "events")
+    val plan = operators.EventsPipeline.asofNearestPurchase(ev)
+      .queryExecution.executedPlan.toString
+    // views + purchases for join 1, purchases again for join 2; the
+    // second join's LEFT side re-exchanges nothing because AsOfJoinExec
+    // forwards outputPartitioning/outputOrdering (without the forward,
+    // this plan held a 4th user_id exchange + a 4th sort)
+    val hashX = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val sorts = "\\+- Sort ".r.findAllIn(plan).length
+    assert(hashX == 3, s"expected 3 hash exchanges, got $hashX:\n" +
+      plan.take(1500))
+    assert(sorts == 3, s"expected 3 sorts, got $sorts")
+  }
+
   test("nearest composition picks the smaller |delta| with ties to the " +
       "backward side") {
     import spark.implicits._

@@ -432,11 +432,25 @@ object ScalingProbe {
         }
         ev.unpersist()
       }
+      // one salted-docs persist cycle per k serves every doc-grain
+      // probe: A-ES sampling plus the "corpus work is ONE map-side
+      // aggregate" family — waterfill (source-grain sum), source
+      // overlap (mergeable min-sketch), calibration (R gradient
+      // aggregates + one bin rollup)
       for (k <- Seq(0, 1, 8, 64)) {
         val d = ScaledFixtures.saltedDocs(docs, k).persist()
         d.count()
         time("weighted_sample", k) {
           operators.Pipeline.weightedSample(d).count()
+        }
+        time("waterfill", k) {
+          operators.Pipeline.tokenBudgetWaterfill(d).count()
+        }
+        time("source_overlap", k) {
+          graft.dedup.Dedup.sourceOverlap(d).count()
+        }
+        time("calibration", k) {
+          text.QualityModel.calibration(d).count()
         }
         d.unpersist()
       }
@@ -450,23 +464,6 @@ object ScalingProbe {
           vector.Similarity.hardNegatives(e).count()
         }
         e.unpersist()
-      }
-      // the "corpus work is ONE map-side aggregate" family: waterfill
-      // (source-grain sum), source overlap (mergeable min-sketch),
-      // calibration (R gradient aggregates + one bin rollup)
-      for (k <- Seq(0, 1, 8, 64)) {
-        val d = ScaledFixtures.saltedDocs(docs, k).persist()
-        d.count()
-        time("waterfill", k) {
-          operators.Pipeline.tokenBudgetWaterfill(d).count()
-        }
-        time("source_overlap", k) {
-          graft.dedup.Dedup.sourceOverlap(d).count()
-        }
-        time("calibration", k) {
-          text.QualityModel.calibration(d).count()
-        }
-        d.unpersist()
       }
     }
 
