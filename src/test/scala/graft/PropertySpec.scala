@@ -54,6 +54,38 @@ class PropertySpec extends AnyFunSuite {
     assert(agg(eventsDf(rows).repartition(13)) == base)
   }
 
+  test("as-of duality: forward(ord) equals backward(-ord) on random " +
+      "data — the two merge directions are exact mirrors") {
+    import spark.implicits._
+    val rows = samples(eventGen, 400)
+    // left = views, right = purchases keyed by user; ord = (seq, id)
+    // where seq reuses the generated value as an integer ordinal
+    def sides(neg: Boolean) = {
+      val sign = if (neg) -1L else 1L
+      val df = rows.zipWithIndex.map { case ((id, u, t, v), i) =>
+        (i.toLong, u, t, sign * math.round(v), sign * i.toLong)
+      }.toDF("row_id", "user_id", "event_type", "seq", "tie")
+      (df.filter(col("event_type") === "view")
+          .select(col("row_id"), col("user_id"), col("seq"), col("tie")),
+        df.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("seq"), col("tie"), col("row_id")))
+    }
+    val (lf, rf) = sides(neg = false)
+    val fwd = plans.AsOfJoin.asofJoin(lf, rf, Seq("user_id"),
+        Seq("seq", "tie"), direction = "forward")
+      .select(col("row_id"), col("r_row_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    val (lb, rb) = sides(neg = true)
+    val bwd = plans.AsOfJoin.asofJoin(lb, rb, Seq("user_id"),
+        Seq("seq", "tie"), direction = "backward")
+      .select(col("row_id"), col("r_row_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(fwd.length == bwd.length && fwd.nonEmpty)
+    assert(fwd.toSeq == bwd.toSeq,
+      "forward on (seq,tie) must equal backward on (-seq,-tie)")
+    assert(fwd.exists(_._2.isDefined))
+  }
+
   test("waterfill properties: conservation, cap, max-min fairness on " +
       "random corpora and budgets") {
     import spark.implicits._
