@@ -27,8 +27,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (parquet's FileCommitProtocol, Iceberg/Delta commits) implements:
   * task attempts may run twice, but only files named in COMMITTED
   * messages are renamed, and the manifest is the single publication
-  * point. At 100 TB the commit cost is one metadata pass over
-  * task-count messages — no data moves at commit time.
+  * point (written to `_MANIFEST.tmp` and RENAMED into place, so a
+  * gating reader can never open a torn manifest). At 100 TB the commit
+  * cost is one metadata pass over task-count messages — no data moves
+  * at commit time.
+  *
+  * Contract: one PUBLICATION per directory, REPLACE on re-run — if a
+  * `_MANIFEST` is already present at commit time, the driver
+  * UNPUBLISHES first (deletes the manifest, then the parts it listed)
+  * before renaming the new job's files and publishing the new
+  * manifest. A checkpoint-replayed foreachBatch batch therefore
+  * re-publishes its directory cleanly, and a changed partition count
+  * can never leave stale high-numbered parts mixed under a fresh
+  * manifest — the failure mode of blind rename-over. Readers that gate
+  * on the manifest see the old publication, nothing, or the new one —
+  * never a blend. Concurrent jobs on one directory are unsupported
+  * (multi-batch producers key a directory per job, the foreachBatch
+  * `batch-<id>` recipe in StreamingSpec). Non-finite doubles serialize
+  * as JSON `null` (JSON has no NaN/Infinity; a bare NaN token would
+  * silently null the WHOLE row on read-back).
   *
   * Usage: `df.write.format("graft.sources.AuditedJsonlSink")
   *   .option("path", dir).mode("append").save()`; read back with
@@ -72,20 +89,42 @@ class AuditedJsonlBatchWrite(schema: StructType, path: String)
     val dir = new java.io.File(path)
     dir.mkdirs()
     val committed = messages.collect { case m: JsonlCommitMessage => m }
+    // REPLACE semantics for a previously published directory (the
+    // checkpoint-replay path): unpublish FIRST — readers gate on the
+    // manifest, so deleting it is the atomic "no publication" state —
+    // then remove the old parts so a smaller new job can't leave stale
+    // high-numbered files mixed under the fresh manifest.
+    val oldManifest = new java.io.File(dir, "_MANIFEST")
+    if (oldManifest.exists()) {
+      val src = scala.io.Source.fromFile(oldManifest)
+      val oldParts = try src.getLines()
+        .flatMap(l => "\"file\":\"([^\"]+)\"".r
+          .findFirstMatchIn(l).map(_.group(1))).toList
+      finally src.close()
+      if (!oldManifest.delete())
+        throw new java.io.IOException(s"unpublish failed: $oldManifest")
+      oldParts.foreach(f => new java.io.File(dir, f).delete())
+    }
     committed.foreach { m =>
       val src = new java.io.File(m.tempFile)
       val dst = new java.io.File(dir, m.finalName)
       if (!src.renameTo(dst))
         throw new java.io.IOException(s"commit rename failed: ${m.tempFile}")
     }
-    // manifest LAST: the single publication point
-    val manifest = new java.io.File(dir, "_MANIFEST")
-    val pw = new java.io.PrintWriter(manifest, "UTF-8")
+    // manifest LAST, via temp + rename: the single ATOMIC publication
+    // point — a gating reader either sees no manifest or a whole one.
+    // BufferedWriter (unlike PrintWriter) propagates IOExceptions, so
+    // a driver-disk-full commit fails instead of publishing a lie.
+    val tmp = new java.io.File(dir, "_MANIFEST.tmp")
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(tmp), java.nio.charset.StandardCharsets.UTF_8))
     try {
       committed.sortBy(_.finalName).foreach(m =>
-        pw.println(s"""{"file":"${m.finalName}","rows":${m.rows}}"""))
-      pw.println(s"""{"total_rows":${committed.map(_.rows).sum}}""")
-    } finally pw.close()
+        w.write(s"""{"file":"${m.finalName}","rows":${m.rows}}""" + "\n"))
+      w.write(s"""{"total_rows":${committed.map(_.rows).sum}}""" + "\n")
+    } finally w.close()
+    if (!tmp.renameTo(new java.io.File(dir, "_MANIFEST")))
+      throw new java.io.IOException(s"manifest publish rename failed: $tmp")
     val temp = new java.io.File(dir, "_temp")
     if (temp.isDirectory && temp.list().isEmpty) temp.delete()
   }
@@ -107,7 +146,11 @@ class JsonlWriterFactory(schema: StructType, path: String)
 
 /** Task-side writer: rows stream to a temp file; `commit` seals it and
   * hands the driver a rename instruction. Attempt id is in the temp
-  * name, so a speculative twin can never collide. */
+  * name, so a speculative twin can never collide. BufferedWriter, not
+  * PrintWriter: a mid-task IOException (disk full, torn volume) must
+  * FAIL the task — PrintWriter swallows write errors, which would let
+  * a truncated file commit with a row count the manifest then
+  * publishes as truth. */
 class JsonlDataWriter(schema: StructType, path: String, partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
   private val tempDir = new java.io.File(path, "_temp")
@@ -115,7 +158,9 @@ class JsonlDataWriter(schema: StructType, path: String, partitionId: Int,
   private val finalName = f"part-$partitionId%05d.jsonl"
   private val tempFile = new java.io.File(tempDir,
     s"$finalName.attempt-$taskId")
-  private val out = new java.io.PrintWriter(tempFile, "UTF-8")
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(new java.io.FileOutputStream(tempFile),
+      java.nio.charset.StandardCharsets.UTF_8))
   private var rows = 0L
 
   private def esc(s: String): String = {
@@ -139,7 +184,11 @@ class JsonlDataWriter(schema: StructType, path: String, partitionId: Int,
         else f.dataType match {
           case LongType => row.getLong(i).toString
           case IntegerType => row.getInt(i).toString
-          case DoubleType => row.getDouble(i).toString
+          case DoubleType =>
+            val d = row.getDouble(i)
+            // JSON has no NaN/Infinity tokens; a bare NaN would make
+            // the read-back parser null the ENTIRE row as corrupt
+            if (java.lang.Double.isFinite(d)) d.toString else "null"
           case BooleanType => row.getBoolean(i).toString
           case StringType => "\"" + esc(row.getUTF8String(i).toString) + "\""
           // epoch micros as a number — lossless and schema-replayable
@@ -150,7 +199,8 @@ class JsonlDataWriter(schema: StructType, path: String, partitionId: Int,
         }
       "\"" + esc(f.name) + "\":" + v
     }
-    out.println(parts.mkString("{", ",", "}"))
+    out.write(parts.mkString("{", ",", "}"))
+    out.write("\n")
     rows += 1
   }
 
@@ -160,9 +210,11 @@ class JsonlDataWriter(schema: StructType, path: String, partitionId: Int,
   }
 
   override def abort(): Unit = {
-    out.close()
+    // don't let a close-time flush error mask the failure being aborted
+    try out.close() catch { case _: java.io.IOException => () }
     tempFile.delete()
   }
 
-  override def close(): Unit = out.close()
+  override def close(): Unit =
+    try out.close() catch { case _: java.io.IOException => () }
 }

@@ -692,8 +692,24 @@ object Similarity {
       .persist()
     val (assigned, cent) = trainQuantizer(corpus, rounds)
     val mDf = cent.toDF("cluster", "centroid")
-    val brute = bruteForceTopK(embeddings, nQueries, k)
+    // ground truth derived FROM the cached corpus frame (a fresh
+    // bruteForceTopK(embeddings) plans a different projection and
+    // misses the cache — the all-pairs leg would re-read parquet), and
+    // collected ONCE: ≤ nQueries·k id pairs serve both probe budgets
+    // as a local relation instead of re-running the quadratic scan per
+    // action (r10 review finding)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val brute = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("query_id", "vec_id")
     val rows = Seq(1, 2).flatMap { np =>
       val approx = serveTrained(corpus, assigned, mDf, nQueries, k, np)
         .select(col("query_id").as("aq"), col("vec_id").as("av"))

@@ -215,6 +215,56 @@ class SourcesSpec extends AnyFunSuite {
     assert(math.abs(sa.getDouble(1) - sb.getDouble(1)) < 1e-6)
   }
 
+  test("DSv2 audited JSONL sink: a re-published directory is REPLACED " +
+      "whole — no stale parts mix under the new manifest") {
+    import spark.implicits._
+    val dir = tmp("graft_sink_replace") + "/out"
+    // first publication: 3 parts
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").repartition(3)
+      .write.format("graft.sources.AuditedJsonlSink")
+      .option("path", dir).mode("append").save()
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".jsonl")) == 3)
+    // replay/replace with FEWER partitions: old part-00002 must go
+    Seq((9L, "z")).toDF("id", "v").repartition(1)
+      .write.format("graft.sources.AuditedJsonlSink")
+      .option("path", dir).mode("append").save()
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".jsonl")) == 1, files.mkString(","))
+    val src = scala.io.Source.fromFile(new java.io.File(dir, "_MANIFEST"))
+    val lines = try src.getLines().toSeq finally src.close()
+    assert(lines.last == """{"total_rows":1}""")
+    val back = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+      .json(dir + "/part-*.jsonl")
+    assert(back.collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("DSv2 audited JSONL sink: non-finite doubles serialize as JSON " +
+      "null, not row-corrupting NaN tokens") {
+    import spark.implicits._
+    val dir = tmp("graft_sink_nan") + "/out"
+    Seq((1L, Double.NaN), (2L, Double.PositiveInfinity), (3L, 0.5))
+      .toDF("id", "x").repartition(1)
+      .write.format("graft.sources.AuditedJsonlSink")
+      .option("path", dir).mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType)))
+    val back = spark.read.schema(schema).json(dir + "/part-*.jsonl")
+      .orderBy("id").collect()
+    // all three ROWS survive (ids intact); the non-finite cells are null
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(back(0).isNullAt(1) && back(1).isNullAt(1))
+    assert(back(2).getDouble(1) == 0.5)
+  }
+
   test("DSv2 audited JSONL sink: abort leaves nothing visible") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
