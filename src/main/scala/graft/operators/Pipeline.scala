@@ -977,8 +977,15 @@ object Pipeline {
   def weightedSample(documents: DataFrame, kPer: Int = 10): DataFrame = {
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
       16, 10).cast("long") + 1L) / lit(4294967296.0)
+    // es_key rounded to 6dp: ln() is libm (java.lang.Math.log vs
+    // DuckDB's C std::log) — a 1-ulp divergence on an UNROUNDED key
+    // could flip a rank-k boundary row across engines. 6dp absorbs ulp
+    // noise (flip needs the true value within ~4e-15 of a .5e-6
+    // boundary — the fuzzyJoinJaroWinkler recipe) and rounding TIES
+    // are broken deterministically by the doc_id sort key both sides.
     val keyed = documents.select(col("source"), col("doc_id"),
-      col("n_chars"), (log(u) / col("n_chars").cast("double")).as("es_key"))
+      col("n_chars"),
+      round(log(u) / col("n_chars").cast("double"), 6).as("es_key"))
     graft.plans.TopKPerGroup.topKPerGroup(keyed, Seq("source"),
         Seq(("es_key", true), ("doc_id", false)), kPer)
       .select(col("source"), col("doc_id"), col("n_chars"))
@@ -986,14 +993,14 @@ object Pipeline {
   }
 
   /** DuckDB oracle for [[weightedSample]] — same md5-derived uniform,
-    * same ln(u)/w key, window-ranked (the oracle may use the global
-    * window the engine avoids). */
+    * same 6dp-rounded ln(u)/w key, window-ranked (the oracle may use
+    * the global window the engine avoids). */
   def weightedSampleOracleSql(kPer: Int = 10): String =
     s"""SELECT source, doc_id, n_chars FROM (
          SELECT source, doc_id, n_chars,
            row_number() OVER (PARTITION BY source ORDER BY
-             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                 + 1) / 4294967296.0) / n_chars DESC, doc_id) AS rk
+             round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 1) / 4294967296.0) / n_chars, 6) DESC, doc_id) AS rk
          FROM documents)
        WHERE rk <= $kPer ORDER BY source, doc_id"""
 

@@ -151,6 +151,14 @@ class JsonlWriterFactory(schema: StructType, path: String)
   * FAIL the task — PrintWriter swallows write errors, which would let
   * a truncated file commit with a row count the manifest then
   * publishes as truth. */
+object JsonlDataWriter {
+  /** Fixed 6-digit fraction: constant-width output and unambiguous
+    * micros on read-back (DateTimeFormatter is thread-safe). */
+  val IsoMicros: java.time.format.DateTimeFormatter =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+}
+
 class JsonlDataWriter(schema: StructType, path: String, partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
   private val tempDir = new java.io.File(path, "_temp")
@@ -191,8 +199,22 @@ class JsonlDataWriter(schema: StructType, path: String, partitionId: Int,
             if (java.lang.Double.isFinite(d)) d.toString else "null"
           case BooleanType => row.getBoolean(i).toString
           case StringType => "\"" + esc(row.getUTF8String(i).toString) + "\""
-          // epoch micros as a number — lossless and schema-replayable
-          case TimestampType | TimestampNTZType => row.getLong(i).toString
+          // ISO-8601 with full micros — Spark's DEFAULT JSON timestamp
+          // parser round-trips this losslessly. A bare epoch-micros
+          // integer would NOT: the JSON reader interprets a numeric
+          // TimestampType cell as epoch SECONDS (read-back 10^6× too
+          // large) and nulls a numeric TimestampNTZType row outright
+          // (pinned by the round-trip test in SourcesSpec). Instants
+          // (TimestampType) carry an explicit `Z`; NTZ wall-clocks
+          // carry no zone, matching their zone-free semantics.
+          case TimestampType | TimestampNTZType =>
+            val micros = row.getLong(i)
+            val ldt = java.time.LocalDateTime.ofEpochSecond(
+              java.lang.Math.floorDiv(micros, 1000000L),
+              java.lang.Math.floorMod(micros, 1000000L).toInt * 1000,
+              java.time.ZoneOffset.UTC)
+            val zone = if (f.dataType == TimestampType) "Z" else ""
+            "\"" + ldt.format(JsonlDataWriter.IsoMicros) + zone + "\""
           case other =>
             throw new UnsupportedOperationException(
               s"AuditedJsonlSink: unsupported type $other for ${f.name}")

@@ -265,6 +265,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(back(2).getDouble(1) == 0.5)
   }
 
+  test("DSv2 audited JSONL sink: timestamps round-trip losslessly " +
+      "(ISO-8601 — a numeric cell would read back seconds-scaled or null)") {
+    import spark.implicits._
+    val dir = tmp("graft_sink_ts") + "/out"
+    // one instant (TimestampType) + one wall-clock (TimestampNTZType),
+    // full micro precision, including a pre-epoch value (negative
+    // micros exercise the floorDiv/floorMod split)
+    val df = Seq(
+      (1L, java.time.Instant.parse("2024-03-01T12:34:56.123456Z"),
+        java.time.LocalDateTime.parse("2024-03-01T12:34:56.654321")),
+      (2L, java.time.Instant.parse("1969-12-31T23:59:59.000001Z"),
+        java.time.LocalDateTime.parse("1969-12-31T23:59:59.000001")))
+      .toDF("id", "t", "tn").repartition(1)
+    df.write.format("graft.sources.AuditedJsonlSink")
+      .option("path", dir).mode("append").save()
+    val back = spark.read.schema(df.schema).json(dir + "/part-*.jsonl")
+    // JSON read marks everything nullable — compare names + types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
   test("DSv2 audited JSONL sink: abort leaves nothing visible") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
