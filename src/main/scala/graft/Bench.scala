@@ -127,10 +127,22 @@ object Bench {
     // loadavg + cpu_sec (process CPU over the measured loop) make
     // external contention visible as wall >> cpu evidence.
     val health = s""""calibration":{"before":$calBefore,"mid":$calMid,"after":$calAfter},"loadavg":{"before":$loadBefore,"after":$loadAfter},"cpu_sec":$totalCpu"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$health,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$health,"sf":"$sfDir"}"""
+    println(full)
     // Short self-contained FINAL line: tail-capture of the output always
     // retains the headline total even if the per-query map line is long.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(!_._3)},$health,"sf":"$sfDir"}""")
+    // Self-defending artifact (r10 VERDICT item 4): the driver's bounded
+    // tail capture truncates the per-query map, so ALSO write the full
+    // record to a repo file — the per-query timings survive the round
+    // regardless of stdout handling. Best-effort: an unwritable path
+    // must not fail the bench itself.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

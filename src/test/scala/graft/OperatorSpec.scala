@@ -392,6 +392,54 @@ class OperatorSpec extends AnyFunSuite {
     assert(re.toSeq == out.toSeq)
   }
 
+  test("iterative graph/CC loops: checkpoint-every-k leaves results " +
+      "unchanged and truncates the unrolled-round lineage") {
+    val li = Tables.load(spark, sf, "lineitem")
+    // checkpointed == unrolled, per loop (localCheckpoint only cuts
+    // lineage; the per-round arithmetic is identical)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(sorted(operators.Graph.pagerank(li, checkpointEvery = 1)) ==
+      sorted(operators.Graph.pagerank(li)))
+    assert(sorted(operators.Graph.bfsHops(li, checkpointEvery = 1)) ==
+      sorted(operators.Graph.bfsHops(li)))
+    assert(sorted(operators.Graph.labelPropagation(li, checkpointEvery = 1)) ==
+      sorted(operators.Graph.labelPropagation(li)))
+    val docs = Tables.load(spark, sf, "documents")
+    val ck = sorted(operators.Pipeline.dedupClusters(docs)) // default k=4
+    assert(ck == sorted(operators.Pipeline
+      .dedupClusters(docs, checkpointEvery = 0)))
+    // the default (k=4) CC plan is lineage-BOUNDED: at most k rounds of
+    // join/agg subtrees in the final plan vs the full unrolled chain
+    // string-count over the planned physical plan (the PlanStats
+    // convention — AQE wraps the tree, so node-type collect sees nothing)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      """Exchange (hashpartitioning|rangepartitioning|SinglePartition)""".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString
+          .linesIterator.filterNot(_.contains("ReusedExchange"))
+          .mkString("\n")).length
+    val bounded = exchanges(operators.Pipeline.dedupClusters(docs))
+    val unrolled = exchanges(
+      operators.Pipeline.dedupClusters(docs, checkpointEvery = 0))
+    assert(bounded < unrolled,
+      s"expected checkpointed plan ($bounded exchanges) smaller than " +
+        s"unrolled ($unrolled)")
+  }
+
+  test("label propagation result is distributed (no driver-side " +
+      "materialization) and releases the adjacency cache") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val out = operators.Graph.labelPropagation(li)
+    // LogicalRDD (localCheckpoint), not LocalRelation (collect round-trip)
+    val plan = out.queryExecution.optimizedPlan
+    assert(plan.collectLeaves().forall(l =>
+      !l.getClass.getSimpleName.contains("LocalRelation")),
+      s"LPA result came back through the driver: $plan")
+    // no cache left pinned by the call
+    assert(spark.sparkContext.getPersistentRDDs.values
+      .forall(r => !Option(r.name).exists(_.contains("adj"))))
+  }
+
   test("source quota keeps exactly cap docs per source, md5-stable") {
     import org.apache.spark.sql.{Row => R}
     import org.apache.spark.sql.types._
