@@ -264,6 +264,12 @@ object SparkEntry {
     "q_hll_mergeable" -> t("events")(operators.Extended.approxUsersBySketch),
     "q_kll_mergeable" -> t("events")(operators.Extended.kllValueQuantiles),
     "q_theta_overlap" -> t("events")(operators.Extended.thetaOverlap),
+    // sketch ERROR BOUNDS, oracled: estimate+exact in one Spark pass →
+    // within-bound booleans; DuckDB recomputes the exact side and pins
+    // the booleans TRUE (the SketchSpec invariants in the driver gate)
+    "q_hll_bound" -> t("events")(operators.Extended.hllBound),
+    "q_kll_bound" -> t("events")(operators.Extended.kllBound),
+    "q_theta_bound" -> t("events")(operators.Extended.thetaBound),
     "q_cms_freq" -> t("events")(operators.Extended.cmsFrequencies(_)),
     "q_substring_dedup" -> t("documents")(D.substringDedup(_)),
     "q_sorted_neighborhood" -> t("documents")(D.sortedNeighborhoodPairs(_)),
@@ -503,7 +509,11 @@ object SparkEntry {
     // ---- structured streaming (SURVEY.md §2.8) ----
     "q_stream_windowed" -> ((s, dir) => S.runWindowedBatch(s, dir)),
     "q_stream_sessions" -> ((s, dir) => S.runSessionBatch(s, dir)),
-    "q_synth_stream" -> ((s, _) => S.runSyntheticStream(s))
+    "q_synth_stream" -> ((s, _) => S.runSyntheticStream(s)),
+    // streaming exact dedup over an at-least-once (redelivering) source:
+    // the drained kept-set must equal ONE delivery per id (see
+    // StreamingPipeline.runDedupStream)
+    "q_stream_dedup" -> ((s, _) => S.runDedupStream(s))
   )
 
   // ---------------------------------------------------------------------
@@ -511,7 +521,9 @@ object SparkEntry {
   // Omitted (rows-only check):
   // q_approx_distinct / q_approx_percentile / q_hll_mergeable /
   // q_kll_mergeable / q_theta_overlap
-  // (approximate by design; SketchSpec pins HLL + KLL + Theta invariants),
+  // (approximate by design — the ESTIMATES are engine-native; their
+  // error BOUNDS are driver-oracled via q_hll_bound / q_kll_bound /
+  // q_theta_bound, and SketchSpec pins the merge laws),
   // q_minhash_lsh / q_simhash_pairs (engine-specific hashing — the
   // neutral-hash variant q_minhash_neutral IS oracled).
   // ---------------------------------------------------------------------
@@ -2432,6 +2444,37 @@ object SparkEntry {
     "q_boilerplate" -> T.boilerplateOracleSql(),
     "q_equidepth_hist" -> R.equiDepthOracleSql(),
     "q_cms_freq" -> operators.Extended.cmsOracleSql(),
+    // Sketch error bounds: DuckDB recomputes the EXACT side and pins
+    // every within-bound boolean literally TRUE — if a sketch estimate
+    // ever leaves its configured bound (or the exact side drifts), the
+    // Spark row carries `false` and the hash compare fails the gate.
+    "q_hll_bound" ->
+      """WITH per AS (
+           SELECT event_type, count(DISTINCT event_id) AS exact_ids
+           FROM events GROUP BY event_type)
+         SELECT event_type, exact_ids,
+           TRUE AS hll_within_5pct, TRUE AS acd_within_6pct FROM per
+         UNION ALL
+         SELECT 'ALL', count(DISTINCT event_id), TRUE, TRUE FROM events
+         ORDER BY event_type""",
+    "q_kll_bound" ->
+      """WITH per AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type)
+         SELECT event_type, n, TRUE AS kll_p50_in_6pp_band,
+           TRUE AS kll_p90_in_6pp_band, TRUE AS gk_p50_in_6pp_band
+         FROM per
+         UNION ALL
+         SELECT 'ALL', CAST(count(*) AS BIGINT), TRUE, TRUE, TRUE
+         FROM events
+         ORDER BY event_type""",
+    "q_theta_bound" ->
+      """SELECT event_type, count(DISTINCT event_id) AS exact_ids,
+           TRUE AS theta_within_5pct
+         FROM events GROUP BY event_type
+         UNION ALL
+         SELECT 'ALL', count(DISTINCT event_id), TRUE FROM events
+         ORDER BY event_type""",
     "q_shipping_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
             $revenueExpr AS revenue
@@ -2512,6 +2555,19 @@ object SparkEntry {
             min(event_id) AS min_id, max(event_id) AS max_id
           FROM (SELECT range AS event_id FROM range(0, 100000))
           WHERE event_id >= 25000 AND event_id < 75000
+          GROUP BY 1 ORDER BY 1""",
+    // exactly-once readout of the at-least-once stream: the oracle
+    // delivers each id ONCE via range(n) — a duplicate surviving the
+    // streaming dedup (or a lost row) breaks a sum and fails the hash
+    "q_stream_dedup" ->
+      """SELECT CASE event_id % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+              WHEN 2 THEN 'purchase' WHEN 3 THEN 'scroll' ELSE 'hover'
+            END AS event_type,
+            count(*) AS n,
+            CAST(sum(event_id) AS BIGINT) AS sum_ids,
+            CAST(sum((event_id * 31) % 10000) AS BIGINT) AS sum_cents,
+            min(event_id) AS min_id, max(event_id) AS max_id
+          FROM (SELECT range AS event_id FROM range(0, 50000))
           GROUP BY 1 ORDER BY 1""",
     "q_dpp_date" -> sources.Sources.dppDateRollupOracleSql,
     "q_bucket_join" -> sources.Sources.bucketedJoinAggOracleSql,

@@ -88,4 +88,14 @@ object ThetaSketch {
   def aNotBEstimate(a: Array[Byte], b: Array[Byte]): Double =
     Sketches.setOperationBuilder().buildANotB()
       .aNotB(heapify(a), heapify(b)).getEstimate
+
+  /** |A ∪ B ∪ …| estimate from serialized sketches (the mergeable-
+    * rollup readout — one sketch per segment in, one union estimate
+    * out). */
+  def unionEstimate(sketches: Seq[Array[Byte]], lgK: Int = 12): Double = {
+    val u: Union = SetOperation.builder().setLogNominalEntries(lgK)
+      .buildUnion()
+    sketches.foreach(b => u.union(heapify(b)))
+    u.getResult.getEstimate
+  }
 }

@@ -84,10 +84,12 @@ class SyntheticEventsTable(n: Long, slices: Int) extends Table
     new SyntheticScanBuilder(
       Option(options.get("n")).map(_.toLong).getOrElse(n),
       Option(options.get("slices")).map(_.toInt).getOrElse(slices),
-      Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(0L))
+      Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(0L),
+      Option(options.get("redeliver")).exists(_.toBoolean))
 }
 
-class SyntheticScanBuilder(n: Long, slices: Int, rowsPerBatch: Long)
+class SyntheticScanBuilder(n: Long, slices: Int, rowsPerBatch: Long,
+    redeliver: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -210,7 +212,7 @@ class SyntheticScanBuilder(n: Long, slices: Int, rowsPerBatch: Long)
         : MicroBatchStream =
       new SyntheticMicroBatchStream(hi,
         if (rowsPerBatch > 0) rowsPerBatch else math.max(1L, hi / 4),
-        slices, required.fieldNames)
+        slices, required.fieldNames, redeliver)
   }
 }
 
@@ -218,8 +220,15 @@ case class SyntheticOffset(id: Long) extends Offset {
   override def json(): String = id.toString
 }
 
+/** `redeliver = true` simulates an AT-LEAST-ONCE transport: each
+  * micro-batch re-emits the PREVIOUS batch's id range alongside its own
+  * (offsets are unchanged — the overlap is deliberate reader-side
+  * duplication, the shape a Kafka consumer sees after a rebalance or a
+  * producer retry). Deterministic, so the dedup operator downstream is
+  * end-to-end oracle-checkable: kept set == exactly the n unique rows. */
 class SyntheticMicroBatchStream(n: Long, rowsPerBatch: Long, slices: Int,
-    fields: Array[String]) extends MicroBatchStream
+    fields: Array[String], redeliver: Boolean = false)
+    extends MicroBatchStream
     with SupportsTriggerAvailableNow {
   private var advertised = 0L
   // Trigger.AvailableNow contract: pin the end of "available" data at
@@ -255,13 +264,19 @@ class SyntheticMicroBatchStream(n: Long, rowsPerBatch: Long, slices: Int,
       : Array[InputPartition] = {
     val lo = start.asInstanceOf[SyntheticOffset].id
     val hi = end.asInstanceOf[SyntheticOffset].id
-    val span = math.max(0L, hi - lo)
-    val per = math.max(1L, (span + slices - 1) / slices)
-    (0 until slices).iterator
-      .map(s => (lo + s * per, math.min(hi, lo + (s + 1) * per)))
-      .filter { case (a, b) => a < b }
-      .map { case (a, b) => SyntheticRange(a, b, fields): InputPartition }
-      .toArray
+    def slice(a0: Long, b0: Long): Iterator[InputPartition] = {
+      val span = math.max(0L, b0 - a0)
+      val per = math.max(1L, (span + slices - 1) / slices)
+      (0 until slices).iterator
+        .map(s => (a0 + s * per, math.min(b0, a0 + (s + 1) * per)))
+        .filter { case (a, b) => a < b }
+        .map { case (a, b) => SyntheticRange(a, b, fields): InputPartition }
+    }
+    // at-least-once simulation: re-emit the previous batch's range
+    // (ids within one batch stay unique — the two ranges are disjoint)
+    val redelivered = if (redeliver && lo > 0)
+      slice(math.max(0L, lo - rowsPerBatch), lo) else Iterator.empty
+    (redelivered ++ slice(lo, hi)).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     SyntheticReaderFactory

@@ -343,6 +343,54 @@ object StreamingPipeline {
     spark.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
+  /** End-to-end ORACLED streaming dedup (the oracled face of
+    * [[dedupStream]]): the synthetic DSv2 source in `redeliver` mode
+    * re-emits every micro-batch's rows once more in the NEXT batch —
+    * the at-least-once delivery shape (producer retry / consumer
+    * rebalance) the dedup state exists for — and
+    * `dropDuplicatesWithinWatermark` must reduce the ~2n delivered rows
+    * to exactly the n unique events. Each re-delivered row is dropped
+    * by one of two complementary gates: re-deliveries still inside the
+    * watermark hit live dedup state (same event time → within any
+    * delay), and older ones fall below the watermark and are dropped as
+    * late — by then their first delivery has already been emitted, so
+    * the kept set is exactly the unique rows either way. The drained
+    * output aggregates per event_type with count + sum(event_id) + sum
+    * (cents), so ANY leaked duplicate or lost row changes a sum and
+    * hash-fails the oracle (which replays the generator arithmetic over
+    * `range(n)` — ONE delivery per id, i.e. exactly-once semantics).
+    * StreamingSpec additionally pins that the redelivering source
+    * WITHOUT dedup really does emit the extra rows. */
+  def runDedupStream(spark: SparkSession, n: Long = 50000,
+      rowsPerBatch: Long = 10000): DataFrame = {
+    val name = "stream_dedup_out"
+    val q = withStreamPartitions(spark, 8) {
+      spark.readStream
+        .format("graft.sources.SyntheticEventsSource")
+        .option("n", n).option("slices", 4)
+        .option("rowsPerBatch", rowsPerBatch)
+        .option("redeliver", "true")
+        .load()
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_ids"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
   /** Drain the file stream through the SESSION-window aggregation
     * (AvailableNow, complete mode) — streaming/batch parity for
     * [[sessionCounts]]: the state store merges session fragments across

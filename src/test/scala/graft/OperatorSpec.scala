@@ -406,11 +406,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(sorted(operators.Graph.labelPropagation(li, checkpointEvery = 1)) ==
       sorted(operators.Graph.labelPropagation(li)))
     val docs = Tables.load(spark, sf, "documents")
-    val ck = sorted(operators.Pipeline.dedupClusters(docs)) // default k=4
+    val ck = sorted(operators.Pipeline.dedupClusters(docs)) // default k=2
     assert(ck == sorted(operators.Pipeline
       .dedupClusters(docs, checkpointEvery = 0)))
-    // the default (k=4) CC plan is lineage-BOUNDED: at most k rounds of
-    // join/agg subtrees in the final plan vs the full unrolled chain
+    // the default CC plan is lineage-BOUNDED: the pair graph pins as a
+    // LogicalRDD leaf and rounds carry at most k join/agg subtrees,
+    // vs the full unrolled chain re-embedding the jaccard subtree
     // string-count over the planned physical plan (the PlanStats
     // convention — AQE wraps the tree, so node-type collect sees nothing)
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** 64×-scale ORACLED correctness gate (builder tool, the ScalingProbe
+  * companion — r10 VERDICT item 1).
+  *
+  * SCALING.md measures *time* on the k×-scaled corpora; every HASH
+  * certification previously topped out at sf0.1 (~17 MB). This tool
+  * closes that gap: it materializes a consistent k×-scaled COPY of the
+  * fixture tables as parquet (id-shifted per copy, all foreign keys
+  * shifted together so referential integrity holds; document text
+  * salted per word so each copy is genuinely new content with the
+  * fixture's own near-dup structure — the ScaledFixtures conventions),
+  * then runs the most scale-sensitive catalog queries against the
+  * scaled directory and dumps Verify-shaped results + oracle_sql.json,
+  * so `tools/check_oracle.py <out>/tables <out>` replays the DRIVER'S
+  * OWN gate (DuckDB, schema+rows+exact cells) at 64× scale — 38M-row
+  * lineitem, 6.4M-row events, 320k-doc corpus at the default base.
+  *
+  * Run:  sbt "Test/runMain graft.ScaledGate 64"
+  * then: python3 tools/check_oracle.py /tmp/graft_scaled_gate_64/tables \
+  *         /tmp/graft_scaled_gate_64
+  * Args: [k] [outDir] [comma-joined query subset]
+  * Base fixtures come from SPARK_GRAFT_SF_DIR (default sf0.1).
+  *
+  * The default list covers the families whose PLANS differ most from a
+  * naive quadratic/global form (dedup, PPJoin at both thresholds, the
+  * CC fixpoint family, trained kmeans/IVF, sampling/waterfill,
+  * decontamination, BFS) plus three high-volume relational anchors.
+  * `q_label_prop_full` is the UNCAPPED LPA variant (partCap = ∞): the
+  * catalog's capped default would degenerate to the copy-0 subgraph at
+  * k×, so the gate swaps in the parameterization whose graph actually
+  * grows with the corpus — its oracle comes from the same SQL
+  * generator with the same parameter. `q_semdedup` is oracle-bounded
+  * (the DuckDB side is quadratic within label clusters, which grow
+  * k×), so it belongs to a smaller-k run: include it explicitly, e.g.
+  * `sbt "Test/runMain graft.ScaledGate 8 /tmp/gate8 q_semdedup"`.
+  */
+object ScaledGate {
+  /** Per-table key columns that shift by copy·idShift (all foreign
+    * keys move together; region/nation stay — shared dimensions). */
+  val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Nil,
+    "nation" -> Nil,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  val defaultQueries: Seq[String] = Seq(
+    // high-volume relational anchors (38M-row lineitem at k=64)
+    "q1_pricing_summary", "q_join_priority", "q_sessionize",
+    // dedup family
+    "q_dedup_exact", "q_dedup_digest", "q_minhash_neutral",
+    "q_dedup_incremental", "q_containment", "q_substring_dedup",
+    "q_sorted_neighborhood", "q_jaccard_prefix", "q_jaccard_prefix_hi",
+    // CC fixpoint family (recursive-CTE oracles)
+    "q_dedup_clusters", "q_cluster_canonical", "q_dedup_weights",
+    "q_split_leakage",
+    // curation / selection
+    "q_decontaminate", "q_waterfill", "q_weighted_sample",
+    // vector training / serving
+    "q_kmeans", "q_knn_ivf_trained",
+    // iterative graph
+    "q_bfs_hops", "q_label_prop_full")
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(64)
+    val outDir = if (args.length > 1) args(1)
+      else s"/tmp/graft_scaled_gate_$k"
+    val only: Seq[String] = if (args.length > 2)
+      args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else defaultQueries
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- build the scaled tables once per (base, k) ----
+    val tablesDir = s"$outDir/tables"
+    val marker = Paths.get(s"$tablesDir/_built")
+    val spec = s"base=$base k=$k"
+    if (!Files.exists(marker) || Files.readString(marker).trim != spec) {
+      Tables.all.foreach { t =>
+        val raw = Tables.raw(spark, base, t)
+        val scaled = t match {
+          case "region" | "nation" => raw
+          case "documents" => ScaledFixtures.saltedDocs(raw, k)
+          case other => ScaledFixtures.scaled(raw, k, keyCols(other))
+        }
+        scaled.write.mode("overwrite").parquet(s"$tablesDir/$t.parquet")
+        println(s"GATE built $t x$k")
+      }
+      Files.writeString(marker, spec)
+    } else println(s"GATE reusing tables at $tablesDir ($spec)")
+    // same fixture-drift canary as Verify — a vintage change must fail
+    // loudly here, not as opaque analysis errors
+    Tables.checkContract(spark, tablesDir)
+      .foreach(d => System.err.println(s"GATE SCHEMA DRIFT: $d"))
+
+    // ---- gate-only query/oracle variants ----
+    val qmap = SparkEntry.queries ++ Map[String,
+        (SparkSession, String) => DataFrame](
+      "q_label_prop_full" -> ((s, dir) => operators.Graph
+        .labelPropagation(Tables.load(s, dir, "lineitem"),
+          partCap = Long.MaxValue)))
+    val omap = SparkEntry.oracleSql ++ Map(
+      "q_label_prop_full" -> operators.Graph
+        .labelPropagationOracleSql(partCap = Long.MaxValue))
+
+    only.foreach { name =>
+      val t0 = System.nanoTime()
+      qmap(name)(spark, tablesDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      println(f"GATE ran $name sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    // Verify's JSON escaping (control chars would break the compare
+    // script's json.load)
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = only.filter(omap.contains)
+      .map(n => s"${q(n)}: ${q(omap(n))}").mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"GATE done: python3 tools/check_oracle.py $tablesDir $outDir")
+    spark.stop()
+  }
+}

@@ -555,6 +555,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(1L -> "gold", 2L -> "basic", 3L -> null))
   }
 
+  test("redelivering source + dropDuplicatesWithinWatermark drains to " +
+      "exactly the unique rows (at-least-once in, exactly-once out)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (n, rpb) = (4000L, 1000L)
+    def drain(name: String, dedup: Boolean): Long = {
+      var src = spark.readStream
+        .format("graft.sources.SyntheticEventsSource")
+        .option("n", n).option("slices", 4).option("rowsPerBatch", rpb)
+        .option("redeliver", "true")
+        .load()
+        .withWatermark("ts", "10 minutes")
+      if (dedup) src = src.dropDuplicatesWithinWatermark("event_id")
+      val q = src.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).count()
+    }
+    // the source REALLY redelivers: batches 2..4 re-emit the previous
+    // batch's rpb rows → n + (n/rpb - 1)·rpb raw rows
+    assert(drain("redeliver_raw", dedup = false) == n + (n / rpb - 1) * rpb)
+    // ...and the dedup reduces them to exactly one per id
+    assert(drain("redeliver_dedup", dedup = true) == n)
+    // distinct check: no id kept twice, none lost
+    assert(spark.table("redeliver_dedup")
+      .select(col("event_id")).distinct().count() == n)
+  }
+
   test("streaming session_window drain equals the batch aggregation") {
     // state-store session merging across micro-batches must converge to
     // the one-shot batch session_window result
