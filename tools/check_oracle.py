@@ -8,7 +8,8 @@ the driver's sort-columns-then-hash compare). Floats compared exactly first,
 then with 1e-9 relative tolerance reported separately so near-misses are
 visible.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> \
+         [onlyCsv] [excludeCsv]
 """
 import json
 import math
@@ -68,7 +69,7 @@ def cell_eq(a, b):
     return eq, eq
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None, exclude=None):
     con = duckdb.connect()
     for t in TABLES:
         # driver fixtures are single files; Spark-written scaled-gate
@@ -79,6 +80,10 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+    if exclude:
+        oracle = {k: v for k, v in oracle.items() if k not in exclude}
 
     n_pass = n_close = n_fail = 0
     for name in sorted(oracle):
@@ -145,4 +150,11 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional 3rd/4th args: comma-joined query subset / exclusions —
+    # lets the scaled gate sidestep oracles whose single-node DuckDB
+    # replay can't fit the box at the largest k (those get their own
+    # smaller-k run instead of blocking the rest)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and \
+        sys.argv[3] else None
+    exclude = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only, exclude))
