@@ -3,10 +3,12 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram shingling: one compiled pass per document.
@@ -164,4 +166,90 @@ object JaroWinkler {
 
   def jaroWinkler(a: Column, b: Column): Column =
     Shim.column(JaroWinkler(Shim.expression(a), Shim.expression(b)))
+}
+
+/** Per-document character-entropy summary — total chars, distinct
+  * chars, Shannon entropy (bits/char) — in ONE compiled pass.
+  *
+  * The composable form (`TextAnalysis.charEntropy`'s original
+  * pipeline) explodes one row PER CHARACTER (sequence → transform →
+  * substr), then shuffles twice: a (doc_id, ch) count and a doc-grain
+  * total. At corpus scale that is |total characters| rows through two
+  * exchanges to answer a per-doc question a single projection can.
+  * This expression computes the code-point histogram and the entropy
+  * sum in a tight loop behind one static call that whole-stage codegen
+  * inlines — zero exploded rows, zero entropy-side shuffles.
+  *
+  * Arithmetic is REPLAY-IDENTICAL to the certified composable form
+  * (and so to the DuckDB oracle):
+  *  - chars are code points, matching `substr(text, i, 1)` /
+  *    `length()` semantics in both engines;
+  *  - each per-char term is `(c/n) · log2(n/c)` with Spark's exact
+  *    log2 (`StrictMath.log(x) / StrictMath.log(2)` — verified
+  *    against the catalyst codegen template) rounded to 9 decimals by
+  *    Spark's exact double rounding (`java.math.BigDecimal.valueOf`
+  *    + `setScale(9, HALF_UP)` — the Round codegen template);
+  *  - terms sum as exact BigDecimal (order-independent, the
+  *    decimal(20,9) SUM equivalent), one final `.doubleValue()`
+  *    (Decimal→double cast equivalent).
+  * Empty text yields (0, 0, 0.0) — callers filter empty docs to match
+  * the oracle's `range(1, len+1)` doc-dropping behavior. */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy_stats requires a string input, got $t")
+  }
+  override def dataType: DataType = CharEntropyStats.schema
+  override def prettyName: String = "char_entropy_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropyStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropyStats.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): CharEntropyStats =
+    copy(child = c)
+}
+
+object CharEntropyStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars_tok", LongType, nullable = false),
+    StructField("distinct_chars", LongType, nullable = false),
+    StructField("entropy_bits", DoubleType, nullable = false)))
+
+  private val LOG2 = java.lang.StrictMath.log(2)
+
+  def compute(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]](64)
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1
+    }
+    if (n == 0L)
+      return new GenericInternalRow(Array[Any](0L, 0L, 0.0))
+    val nD = n.toDouble
+    var sum = java.math.BigDecimal.ZERO
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      val term = (c / nD) * (java.lang.StrictMath.log(nD / c) / LOG2)
+      sum = sum.add(java.math.BigDecimal.valueOf(term)
+        .setScale(9, java.math.RoundingMode.HALF_UP))
+    }
+    new GenericInternalRow(
+      Array[Any](n, counts.size.toLong, sum.doubleValue()))
+  }
+
+  def charEntropyStats(text: Column): Column =
+    Shim.column(CharEntropyStats(Shim.expression(text)))
 }

@@ -729,41 +729,38 @@ object TextAnalysis {
     * classic gibberish/boilerplate quality signal (low entropy = repeated
     * filler, high = random noise).
     *
-    * Chars come from an explicit 1..len substring explode (identical in
-    * both engines, unlike empty-separator split edge cases). Per-char
-    * terms `(c/n)·log2(n/c)` are rounded to 9 decimals and summed as
-    * DECIMAL — exact, order-independent — so the result hash-matches
-    * DuckDB despite float partial-agg ordering.
+    * Chars are code points (the `substr(text, i, 1)` / `length()`
+    * grain in both engines). Per-char terms `(c/n)·log2(n/c)` are
+    * rounded to 9 decimals and summed as exact DECIMAL — order-
+    * independent — so the result hash-matches DuckDB despite float
+    * partial-agg ordering.
     *
     * Runs CORPUS-WIDE by default like every other per-doc quality gate
     * (gopherRepetition, qualityScores, lexicalDiversity): a quality
     * gate computed over a sample silently caps coverage (r10 VERDICT
     * item 1 — the previous 200-doc default was the catalog's one such
-    * cap). The char explode is one narrow map + two doc-grain aggs, so
-    * the corpus-wide cost is linear in total characters; `maxDocs` is
+    * cap). Cost is one codegen'd projection in the scan stage, linear
+    * in total characters with no entropy-side shuffle; `maxDocs` is
     * an explicit opt-in bound for interactive sampling only. */
   def charEntropy(documents: DataFrame,
       maxDocs: Long = Long.MaxValue): DataFrame = {
-    val chars = (if (maxDocs == Long.MaxValue) documents
-      else documents.filter(col("doc_id") < maxDocs))
+    // One compiled pass per document (functions.CharEntropyStats): the
+    // code-point histogram and the rounded-term decimal sum run behind
+    // a single codegen'd static call — replay-identical to the original
+    // explode → count → join → decimal-sum pipeline (r11 A/B-pinned in
+    // OperatorSpec), but with ZERO exploded rows and ZERO entropy-side
+    // shuffles: |total chars| rows through two exchanges became a
+    // narrow projection in the scan stage. Empty docs are filtered to
+    // match the oracle's range(1, len+1) doc-dropping behavior (the
+    // explode form dropped them via a different accident of sequence).
+    (if (maxDocs == Long.MaxValue) documents
+     else documents.filter(col("doc_id") < maxDocs))
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), length(col("text"))),
-          i => col("text").substr(i, lit(1)))).as("ch"))
-    val counts = chars.groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("c"))
-    val n = chars.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    counts
-      .join(n, Seq("doc_id"))
-      .withColumn("term",
-        round((col("c").cast("double") / col("n").cast("double")) *
-          log2(col("n").cast("double") / col("c").cast("double")), 9)
-          .cast("decimal(20,9)"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(count(lit(1)).as("distinct_chars"),
-        sum(col("term")).cast("double").as("entropy_bits"))
-      .select(col("doc_id"), col("n").as("n_chars_tok"),
-        col("distinct_chars"), col("entropy_bits"))
+        graft.functions.CharEntropyStats
+          .charEntropyStats(col("text")).as("e"))
+      .select(col("doc_id"), col("e.n_chars_tok"),
+        col("e.distinct_chars"), col("e.entropy_bits"))
       .orderBy(col("doc_id"))
   }
 

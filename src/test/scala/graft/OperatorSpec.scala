@@ -505,6 +505,55 @@ class OperatorSpec extends AnyFunSuite {
       col("entropy_bits") > log2(col("distinct_chars")) + lit(1e-6)).count() == 0)
   }
 
+  test("char entropy: codegen'd single-pass form replays the explode form") {
+    // The r11 CharEntropyStats expression replaced the certified
+    // explode → count → join → decimal-sum pipeline; this pins BIT
+    // equality (every cell, incl. the rounded-term double sums) on the
+    // fixture corpus plus crafted non-ASCII/skew cases. The explode
+    // form is rebuilt inline here as the reference semantics.
+    def explodeForm(documents: org.apache.spark.sql.DataFrame) = {
+      val chars = documents
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), length(col("text"))),
+            i => col("text").substr(i, lit(1)))).as("ch"))
+      val counts = chars.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      val n = chars.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      counts.join(n, Seq("doc_id"))
+        .withColumn("term",
+          round((col("c").cast("double") / col("n").cast("double")) *
+            log2(col("n").cast("double") / col("c").cast("double")), 9)
+            .cast("decimal(20,9)"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(count(lit(1)).as("distinct_chars"),
+          sum(col("term")).cast("double").as("entropy_bits"))
+        .select(col("doc_id"), col("n").as("n_chars_tok"),
+          col("distinct_chars"), col("entropy_bits"))
+        .orderBy(col("doc_id"))
+    }
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val crafted = Seq(
+      R(1L, "café déjà-vu — né"),              // multi-byte code points
+      R(2L, "aaaaaaaaaaaaaaaaaaaaaaab"),       // extreme skew
+      R(3L, "x"),                              // single char
+      R(4L, (0 until 500).map(i => ('a' + i % 26).toChar).mkString))
+    val craftedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(crafted), schema)
+    for (docs <- Seq(craftedDf, Tables.load(spark, sf, "documents"))) {
+      val got = text.TextAnalysis.charEntropy(docs).collect().toSeq
+      val want = explodeForm(docs).collect().toSeq
+      assert(got == want)
+    }
+    // empty text: dropped (the DuckDB range(1, len+1) behavior)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(R(9L, ""))), schema)
+    assert(text.TextAnalysis.charEntropy(empty).count() == 0)
+  }
+
   test("bigram LM: probabilities <= 1 so avg log-prob <= 0; repeated text scores 0") {
     import org.apache.spark.sql.{Row => R}
     import org.apache.spark.sql.types._

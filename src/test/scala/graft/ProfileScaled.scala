@@ -38,7 +38,9 @@ object ProfileScaled {
       "cluster_canonical" ->
         (d => operators.Pipeline.clusterCanonical(d).count()),
       "substring_dedup" ->
-        (d => graft.dedup.Dedup.substringDedup(d).count()))
+        (d => graft.dedup.Dedup.substringDedup(d).count()),
+      "char_entropy" ->
+        (d => graft.text.TextAnalysis.charEntropy(d).count()))
     val docs = Tables.load(spark, sfDir, "documents")
     args.drop(1).foreach { op =>
       // untimed 1× warmup pass first — same methodology as
