@@ -980,8 +980,10 @@ object Similarity {
 
   /** Power iteration on the embedding covariance — completes the PCA
     * story in-engine: [[fixedPointCovariance]] is the corpus-scale Gram
-    * accumulation; a FIXED number of v ← C·v rounds then runs as one
-    * in-engine job per round, yielding the top principal direction and
+    * accumulation; a FIXED number of v ← C·v rounds then runs as
+    * driver-local model arithmetic over the collected d·d matrix (r11,
+    * decSum-identical — see iterateRoundsLocal), yielding the top
+    * principal direction and
     * its eigenvalue estimate λ = ‖C·v‖/‖v‖ (the Rayleigh-quotient limit
     * for a converged v).
     *
@@ -1053,30 +1055,58 @@ object Similarity {
     } yield e
   }
 
-  /** The in-engine iteration rounds over a (local, model-sized) matrix:
-    * scaled v ← 2⁷·C·v rounds with per-round re-literalization, then the
-    * final normalization + eigenvalue in one plan. */
+  /** The iteration rounds over the (local, model-sized) cov matrix:
+    * scaled v ← 2⁷·C·v rounds, then normalization + eigenvalue.
+    *
+    * Runs as PURE DRIVER ARITHMETIC (r11): the cov matrix is already a
+    * collected d·d Seq (≤6 KB at d=32 — the kmeans ≤640-double model
+    * precedent), so the former per-round in-engine matvec was ~10 tiny
+    * Spark jobs of pure scheduler overhead per PCA query (measured
+    * 2.8 s warm at sf0.1, now model-time ~0). Arithmetic is REPLAY-
+    * IDENTICAL to the decSum form it replaces (the pcaTopK decDot
+    * precedent): each product quantized by `BigDecimal.valueOf` +
+    * `setScale(12, HALF_UP)` — Spark's double→decimal(28,12) cast —
+    * summed exactly, one terminal double conversion; rounds round via
+    * the same valueOf/setScale (Spark's Round codegen for doubles).
+    * Only the corpus-scale Gram pass touches the cluster. */
+  private def iterateRoundsLocal(covRows: Seq[(Int, Int, Double)],
+      iters: Int): Seq[(Int, Double, Double)] = {
+    val d = pcaDim
+    val cov = Array.ofDim[Double](d, d)
+    covRows.foreach { case (i, j, c) => cov(i)(j) = c }
+    def dec12(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    def round(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+    def mul(v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var s = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < d) { s = s.add(dec12(cov(i)(j) * v(j))); j += 1 }
+        s.doubleValue
+      }
+    def norm(v: Array[Double]): Double = {
+      var s = java.math.BigDecimal.ZERO
+      var j = 0
+      while (j < d) { s = s.add(dec12(v(j) * v(j))); j += 1 }
+      math.sqrt(s.doubleValue)
+    }
+    var v = Array.fill(d)(0.125)
+    for (_ <- 1 until iters) v = mul(v).map(w => round(w * 128d, 12))
+    val w = mul(v)
+    val nw = norm(w)
+    val nv = norm(v)
+    val lambda = round(nw / nv, 9)
+    (0 until d).map(i => (i, round(w(i) / nw, 12), lambda))
+  }
+
   private def iterateRounds(spark: org.apache.spark.sql.SparkSession,
       covRows: Seq[(Int, Int, Double)], iters: Int): DataFrame = {
     import spark.implicits._
-    val cov = covRows.toDF("i", "j", "cov")
-    def mul(v: DataFrame): DataFrame = cov.join(broadcast(v), "j")
-      .groupBy(col("i"))
-      .agg(decSum(col("cov") * col("v")).as("w"))
-    var v = (0 until pcaDim).map(j => (j, 0.125)).toDF("j", "v")
-    for (_ <- 1 until iters) {
-      val rows = mul(v)
-        .select(col("i").as("j"), round(col("w") * 128d, 12).as("v"))
-        .collect().map(r => (r.getInt(0), r.getDouble(1)))
-      v = rows.toSeq.toDF("j", "v")
-    }
-    val w = mul(v)
-    val nw = w.agg(sqrt(decSum(col("w") * col("w"))).as("nw"))
-    val nv = v.agg(sqrt(decSum(col("v") * col("v"))).as("nv"))
-    w.crossJoin(broadcast(nw)).crossJoin(broadcast(nv))
-      .select(col("i").as("dim"),
-        round(col("w") / col("nw"), 12).as("component"),
-        round(col("nw") / col("nv"), 9).as("eigenvalue"))
+    iterateRoundsLocal(covRows, iters)
+      .toDF("dim", "component", "eigenvalue")
       .orderBy(col("dim"))
   }
 
@@ -1085,15 +1115,15 @@ object Similarity {
     * 9 decimals — cov's own scale, and tie-free against v₀, see the
     * covRows2 comment — so both engines iterate the identical matrix), iterate
     * again for (v₂, λ₂). One corpus Gram pass serves both eigenpairs;
-    * the deflation itself is dimension-sized model arithmetic on the
-    * driver (k-means-seeds precedent), the rounds run in-engine.
-    * Output: (k, dim, component, eigenvalue), 2·d rows. */
+    * the deflation and the rounds are dimension-sized model arithmetic
+    * on the driver (k-means-seeds precedent; decSum-identical — see
+    * iterateRoundsLocal). Output: (k, dim, component, eigenvalue),
+    * 2·d rows. */
   def pcaTop2(embeddings: DataFrame, iters: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val covRows = gramCov(embeddings)
-    val f = iterateRounds(spark, covRows, iters).collect().map(r =>
-      (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val f = iterateRoundsLocal(covRows, iters)
     val comp = f.map(t => t._1 -> t._2).toMap
     val lambda = f.head._3
     val covRows2 = covRows.map { case (i, j, c) =>
@@ -1106,14 +1136,10 @@ object Similarity {
       // 12 decimals — nothing to round, tie-free by construction.
       (i, j, roundAt(c - lambda * comp(i) * comp(j), 9))
     }
-    val second = iterateRounds(spark, covRows2, iters)
-    // k=1 rows replayed from the already-collected eigenpair (model
-    // values) — unioning the first chain's DataFrame would RE-EXECUTE
-    // its final norm subqueries per reference
-    f.toSeq.map { case (d, c, l) => (1, d, c, l) }
+    val second = iterateRoundsLocal(covRows2, iters)
+    (f.map { case (dm, c, l) => (1, dm, c, l) } ++
+        second.map { case (dm, c, l) => (2, dm, c, l) })
       .toDF("k", "dim", "component", "eigenvalue")
-      .unionAll(second.select(lit(2).as("k"), col("dim"),
-        col("component"), col("eigenvalue")))
       .orderBy(col("k"), col("dim"))
   }
 
@@ -1155,7 +1181,8 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val d = pcaDim
-    val cov = gramCov(embeddings).toDF("i", "j", "cov")
+    val cov = Array.ofDim[Double](d, d)
+    gramCov(embeddings).foreach { case (i, j, c) => cov(i)(j) = c }
     // exact scale-12 dot: quantize each product (HALF_UP, decSum's cast
     // semantics), sum exactly, one terminal double conversion
     def decDot(a: Array[Double], b: Array[Double]): Double = {
@@ -1168,18 +1195,12 @@ object Similarity {
       }
       s.doubleValue
     }
-    // W = C·V: one in-engine job per round over the broadcast block
-    def matmul(u: Array[Array[Double]]): Array[Array[Double]] = {
-      val block = (for (c <- 0 until k; j <- 0 until d)
-        yield (c, j, u(c)(j))).toDF("c", "j", "v")
-      val w = Array.ofDim[Double](k, d)
-      cov.join(broadcast(block), "j")
-        .groupBy(col("c"), col("i"))
-        .agg(decSum(col("cov") * col("v")).as("w"))
-        .collect()
-        .foreach(r => w(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      w
-    }
+    // W = C·V: driver-local like the QR itself (r11 — the block is
+    // k·d ≤ 192 doubles; the former per-round in-engine matvec was one
+    // tiny Spark job of scheduler overhead per round). decDot IS
+    // decSum's arithmetic, so rows replay the oracle unchanged.
+    def matmul(u: Array[Array[Double]]): Array[Array[Double]] =
+      Array.tabulate(k, d)((c, i) => decDot(cov(i), u(c)))
     // classical Gram-Schmidt: project each column off the already
     // orthonormalized previous ones (left-to-right subtraction chain),
     // quantize once after the chain and once after normalization
@@ -1401,8 +1422,8 @@ object Similarity {
   def pcaProject(embeddings: DataFrame, iters: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val comp = powerIteration(embeddings, iters)
-      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val comp = iterateRoundsLocal(gramCov(embeddings), iters)
+      .map(t => (t._1, t._2))
       .toDF("dim", "component")
     embeddings
       .select(col("vec_id"), posexplode(asDouble(col("embedding"))))
