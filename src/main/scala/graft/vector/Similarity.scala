@@ -1062,12 +1062,18 @@ object Similarity {
     * collected d·d Seq (≤6 KB at d=32 — the kmeans ≤640-double model
     * precedent), so the former per-round in-engine matvec was ~10 tiny
     * Spark jobs of pure scheduler overhead per PCA query (measured
-    * 2.8 s warm at sf0.1, now model-time ~0). Arithmetic is REPLAY-
-    * IDENTICAL to the decSum form it replaces (the pcaTopK decDot
-    * precedent): each product quantized by `BigDecimal.valueOf` +
-    * `setScale(12, HALF_UP)` — Spark's double→decimal(28,12) cast —
-    * summed exactly, one terminal double conversion; rounds round via
-    * the same valueOf/setScale (Spark's Round codegen for doubles).
+    * 2.8 s warm at sf0.1, now model-time ~0). Each product is
+    * quantized by `BigDecimal.valueOf` + `setScale(12, HALF_EVEN)` —
+    * the ORACLE'S convention: DuckDB's CAST(double AS DECIMAL) rounds
+    * the shortest decimal repr HALF_EVEN (established empirically in
+    * r11 when the 16× scaled gate hit a shortest-repr tie,
+    * 8.49340205e-05, that Spark's HALF_UP in-engine cast rounds the
+    * other way — the two conventions agree on every non-tie value, so
+    * all certified corpora are unchanged); products sum exactly with
+    * one terminal double conversion. The display/scale rounds keep
+    * valueOf/HALF_UP (Spark's Round), which mirrors DuckDB's
+    * `round(double, s)` on every certified corpus — that residual
+    * convention pair is the documented SCALING.md boundary.
     * Only the corpus-scale Gram pass touches the cluster. */
   private def iterateRoundsLocal(covRows: Seq[(Int, Int, Double)],
       iters: Int): Seq[(Int, Double, Double)] = {
@@ -1076,7 +1082,7 @@ object Similarity {
     covRows.foreach { case (i, j, c) => cov(i)(j) = c }
     def dec12(x: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(x)
-        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .setScale(12, java.math.RoundingMode.HALF_EVEN)
     def round(x: Double, s: Int): Double =
       java.math.BigDecimal.valueOf(x)
         .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
@@ -1183,14 +1189,18 @@ object Similarity {
     val d = pcaDim
     val cov = Array.ofDim[Double](d, d)
     gramCov(embeddings).foreach { case (i, j, c) => cov(i)(j) = c }
-    // exact scale-12 dot: quantize each product (HALF_UP, decSum's cast
-    // semantics), sum exactly, one terminal double conversion
+    // exact scale-12 dot: quantize each product with the ORACLE'S cast
+    // convention (r11: DuckDB CAST(double AS DECIMAL) rounds the
+    // shortest decimal repr HALF_EVEN — verified empirically; Spark's
+    // in-engine cast rounds it HALF_UP, so the two disagree exactly on
+    // shortest-repr ties, one of which the 16x scaled gate hit), sum
+    // exactly, one terminal double conversion
     def decDot(a: Array[Double], b: Array[Double]): Double = {
       var s = java.math.BigDecimal.ZERO
       var j = 0
       while (j < d) {
         s = s.add(java.math.BigDecimal.valueOf(a(j) * b(j))
-          .setScale(12, java.math.RoundingMode.HALF_UP))
+          .setScale(12, java.math.RoundingMode.HALF_EVEN))
         j += 1
       }
       s.doubleValue
