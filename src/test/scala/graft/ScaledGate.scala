@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** 64×-scale ORACLED correctness gate (builder tool, the ScalingProbe
   * companion — r10 VERDICT item 1).
@@ -75,9 +76,13 @@ object ScaledGate {
     val k = args.headOption.map(_.toInt).getOrElse(64)
     val outDir = if (args.length > 1) args(1)
       else s"/tmp/graft_scaled_gate_$k"
-    val only: Seq[String] = if (args.length > 2)
-      args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      else defaultQueries
+    // "ALL" sweeps the entire catalog — the blanket-certification mode
+    // (pair with a modest k: the curated default list is the deep-k
+    // path, this is the breadth path)
+    val only: Seq[String] = if (args.length > 2) {
+      if (args(2) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    } else defaultQueries
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -91,7 +96,8 @@ object ScaledGate {
     // ---- build the scaled tables once per (base, k) ----
     val tablesDir = s"$outDir/tables"
     val marker = Paths.get(s"$tablesDir/_built")
-    val spec = s"base=$base k=$k"
+    // v2: events written as a time-ordered arrival sequence
+    val spec = s"base=$base k=$k v2"
     if (!Files.exists(marker) || Files.readString(marker).trim != spec) {
       Tables.all.foreach { t =>
         val raw = Tables.raw(spark, base, t)
@@ -100,7 +106,32 @@ object ScaledGate {
           case "documents" => ScaledFixtures.saltedDocs(raw, k)
           case other => ScaledFixtures.scaled(raw, k, keyCols(other))
         }
-        scaled.write.mode("overwrite").parquet(s"$tablesDir/$t.parquet")
+        // events feed FILE-STREAM queries with 10-minute watermarks
+        // (q_stream_sessions et al., maxFilesPerTrigger=1): the part
+        // files must form a time-ordered arrival sequence like real
+        // ingestion (and like the single-file driver fixture), or the
+        // watermark correctly drops the "late" rows a time-shuffled
+        // k-copy union produces — the blanket 8× gate caught exactly
+        // that (q_stream_sessions 191k vs 764k rows). Range-partition
+        // by event time so path order == time order.
+        val ordered = if (t == "events")
+          scaled.repartitionByRange(32, col(scaled.columns
+            .find(c => c == "ts" || c == "event_ts").getOrElse("ts")))
+        else scaled
+        ordered.write.mode("overwrite").parquet(s"$tablesDir/$t.parquet")
+        if (t == "events") {
+          // FileStreamSource consumes oldest-mtime-first and task
+          // finish order is random, so stamp an ascending mtime
+          // staircase in path order (path order == range order after
+          // repartitionByRange) — deterministic arrival sequence
+          // under either file-ordering convention
+          val dir = new java.io.File(s"$tablesDir/$t.parquet")
+          val parts = dir.listFiles()
+            .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+          val t0 = System.currentTimeMillis() - parts.length * 2000L
+          parts.zipWithIndex.foreach { case (f, i) =>
+            f.setLastModified(t0 + i * 2000L) }
+        }
         println(s"GATE built $t x$k")
       }
       Files.writeString(marker, spec)
