@@ -483,14 +483,23 @@ object SparkEntry {
     "q_knn_ivf_refined" -> t("embeddings")(V.ivfRefinedTopK(_)),
     // Multi-round Lloyd trainer (R=3): per-(round, cluster) member
     // counts + inertia; total inertia non-increasing pinned in
-    // SimilaritySpec.
-    "q_kmeans" -> t("embeddings")(V.kmeansTrain(_)),
+    // SimilaritySpec. The cacheKey shares the trained centroid
+    // sequence with the other Lloyd-family queries in this session
+    // (q_knn_ivf_trained / q_ann_recall_ivf train a 2-round PREFIX of
+    // the same model — VERDICT r11 item 3: train once, serve all).
+    "q_kmeans" -> ((s, dir) => V.kmeansTrain(
+      Tables.load(s, dir, "embeddings"),
+      cacheKey = Some(s"lloyd:$dir/embeddings"))),
     // IVF serving the trained quantizer: lists = final-round Lloyd
     // assignment, probe = d²-nearest trained centroid.
-    "q_knn_ivf_trained" -> t("embeddings")(V.ivfTrainedTopK(_)),
+    "q_knn_ivf_trained" -> ((s, dir) => V.ivfTrainedTopK(
+      Tables.load(s, dir, "embeddings"),
+      cacheKey = Some(s"lloyd:$dir/embeddings"))),
     // recall@k of the trained index vs brute force at nprobe 1 and 2 —
     // the probe-budget acceptance curve (trains once, serves both).
-    "q_ann_recall_ivf" -> t("embeddings")(V.ivfTrainedRecall(_)),
+    "q_ann_recall_ivf" -> ((s, dir) => V.ivfTrainedRecall(
+      Tables.load(s, dir, "embeddings"),
+      cacheKey = Some(s"lloyd:$dir/embeddings"))),
     "q_ann_recall" -> t("embeddings")(V.annRecall(_)),
     "q_pq_recall" -> t("embeddings")(V.pqRecall(_)),
     // fixture embeddings are near-random (max within-cluster cos ≈0.5),

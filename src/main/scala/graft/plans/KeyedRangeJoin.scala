@@ -153,7 +153,9 @@ object KeyedRangeJoin {
     * BETWEEN build.loCol AND build.hiCol` (bounds inclusive; null keys
     * and null bounds match nothing). Build-side columns are re-aliased
     * with `prefix` (fresh exprIds — the asofJoin contract). The build
-    * side must be broadcast-sized.
+    * side degrades to the binned shuffle plan past the
+    * `spark.graft.rangeJoin.maxBuildBytes` size estimate
+    * ([[BinnedRangeFallback]]).
     *
     * `leftOuter = true` keeps every probe row — unmatched rows (no key
     * group, out-of-range value, null key or null probe value) emit
@@ -167,6 +169,19 @@ object KeyedRangeJoin {
       leftOuter: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = probe.sparkSession
+    // FP keys are rejected ahead of the size branch so both plans hold
+    // the same contract (the exec's byte-equality lookup cannot
+    // normalize -0.0/NaN; the fallback's native equi-join WOULD, and a
+    // ceiling change must never flip match semantics)
+    val keyDt = probe.schema(probeKeyCol).dataType
+    require(keyDt != org.apache.spark.sql.types.FloatType &&
+      keyDt != org.apache.spark.sql.types.DoubleType,
+      s"keyed range join keys must not be floating-point, got $keyDt " +
+        "(byte-equality lookup cannot normalize -0.0/NaN the way the " +
+        "native equi-join does)")
+    if (BinnedRangeFallback.overCeiling(build))
+      return BinnedRangeFallback.keyedRangeJoin(probe, build,
+        probeKeyCol, probeCol, keyCol, loCol, hiCol, prefix, leftOuter)
     Strategies.ensureRegistered(spark, KeyedRangeJoinStrategy)
     val renamed = build.select(
       build.columns.toIndexedSeq.map(c => col(c).as(prefix + c)): _*)

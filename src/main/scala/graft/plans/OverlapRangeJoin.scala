@@ -128,6 +128,9 @@ object OverlapJoin {
       hiCol: String, prefix: String = "r_"): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = probe.sparkSession
+    if (BinnedRangeFallback.overCeiling(build))
+      return BinnedRangeFallback.overlapJoin(probe, build, probeLoCol,
+        probeHiCol, loCol, hiCol, prefix)
     Strategies.ensureRegistered(spark, OverlapJoinStrategy)
     val renamed = build.select(
       build.columns.toIndexedSeq.map(c => col(c).as(prefix + c)): _*)

@@ -499,35 +499,78 @@ object Similarity {
     df.orderBy(col("cluster")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
 
-  def kmeansTrain(embeddings: DataFrame, rounds: Int = 3): DataFrame = {
+  /** Session-scoped Lloyd MODEL cache (VERDICT r11 item 3, the
+    * SessionDirs weak-key pattern): q_kmeans, q_knn_ivf_trained and
+    * q_ann_recall_ivf each ran the same multi-round trainer over the
+    * same corpus — ~11 s of the r11 bench retraining one model. The
+    * cached value is the centroid SEQUENCE cent₀..cent_R (≤ R·k·d
+    * doubles — model-sized, never data), keyed by a caller-supplied
+    * corpus identity; a request for more rounds EXTENDS the cached
+    * prefix (Lloyd round r depends only on cent_{r-1}, so the 2-round
+    * and 3-round trainings share their first two rounds bit-exactly).
+    * Weak session keys: dropping the session drops its models. */
+  private val lloydCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String,
+        IndexedSeq[Seq[(Int, Seq[Double])]]]])
+
+  /** cent₀ (per-label seed means) through cent_rounds over `corpus`
+    * (`vec_id`, `label`, `v`), reusing/extending the session cache when
+    * `cacheKey` identifies the corpus. The caller keeps `corpus`
+    * persisted while this trains. */
+  private def lloydSeq(corpus: DataFrame, rounds: Int,
+      cacheKey: Option[String]): IndexedSeq[Seq[(Int, Seq[Double])]] = {
+    val spark = corpus.sparkSession
+    val perSession = cacheKey.map { _ =>
+      var m = lloydCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[String, IndexedSeq[Seq[(Int, Seq[Double])]]]
+        val prev = lloydCache.putIfAbsent(spark, m)
+        if (prev != null) m = prev
+      }
+      m
+    }
+    var seq = perSession.flatMap(m => cacheKey.flatMap(m.get))
+      .getOrElse(IndexedSeq.empty)
+    if (seq.isEmpty)
+      seq = IndexedSeq(collectCent(
+        exactMeans(corpus.select(col("label"), col("v")), "label")
+          .withColumnRenamed("label", "cluster")))
+    while (seq.length - 1 < rounds) {
+      val assigned = assignToCentroids(corpus, seq.last)
+      seq = seq :+ collectCent(exactMeans(
+        assigned.select(col("cluster"), col("v")), "cluster"))
+    }
+    for (m <- perSession; k <- cacheKey)
+      if (m.get(k).forall(_.length < seq.length)) m.put(k, seq)
+    seq
+  }
+
+  def kmeansTrain(embeddings: DataFrame, rounds: Int = 3,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val corpus = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .persist()
-    var cent = collectCent(
-      exactMeans(corpus.select(col("label"), col("v")), "label")
-        .withColumnRenamed("label", "cluster"))
+    val seq = lloydSeq(corpus, rounds, cacheKey)
     // each round's k-row inertia result is COLLECTED in-loop (model-
-    // sized driver reads, like the centroids themselves) so the
-    // round's corpus-sized assignment cache is released immediately
-    // and NOTHING stays cached after training — peak storage is
-    // corpus + ONE assignment regardless of R, and the returned frame
-    // is a local relation with no live cache entries (r9 advice: the
-    // persisted per-round frames accumulated for the session)
+    // sized driver reads, like the centroids themselves); assignments
+    // are recomputed per round from the model sequence — a map-only
+    // k·d-FMA scan of the PERSISTED corpus, cheaper than the persist/
+    // unpersist churn of caching each round's assignment frame — so
+    // peak storage is the corpus alone and the returned frame is a
+    // local relation with no live cache entries (r9 advice)
     val perRound = (1 to rounds).flatMap { r =>
-      val assigned = assignToCentroids(corpus, cent).persist()
-      cent = collectCent(exactMeans(
-        assigned.select(col("cluster"), col("v")), "cluster"))
-      val mDf = cent.toDF("cluster", "centroid")
-      val rows = assigned.join(broadcast(mDf), "cluster")
+      val assigned = assignToCentroids(corpus, seq(r - 1))
+      val mDf = seq(r).toDF("cluster", "centroid")
+      assigned.join(broadcast(mDf), "cluster")
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"),
           round(decSum(dist2(col("v"), col("centroid"))), 6).as("inertia"))
         .collect()
         .map(x => (r, x.getInt(0), x.getLong(1), x.getDouble(2)))
-      assigned.unpersist()
-      rows
     }
     corpus.unpersist()
     perRound.toDF("round", "cluster", "n_members", "inertia")
@@ -612,18 +655,11 @@ object Similarity {
     * FINAL assignment frame (the inverted lists) and the final trained
     * centroids. The caller persists `corpus` for the loop's 2R+1 eager
     * collect actions and releases it afterwards. */
-  private def trainQuantizer(corpus: DataFrame,
-      rounds: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
-    var cent = collectCent(
-      exactMeans(corpus.select(col("label"), col("v")), "label")
-        .withColumnRenamed("label", "cluster"))
-    var assigned: DataFrame = null
-    for (_ <- 1 to rounds) {
-      assigned = assignToCentroids(corpus, cent)
-      cent = collectCent(exactMeans(
-        assigned.select(col("cluster"), col("v")), "cluster"))
-    }
-    (assigned, cent)
+  private def trainQuantizer(corpus: DataFrame, rounds: Int,
+      cacheKey: Option[String] = None)
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val seq = lloydSeq(corpus, rounds, cacheKey)
+    (assignToCentroids(corpus, seq(rounds - 1)), seq(rounds))
   }
 
   /** Serve path over a trained quantizer: each query probes its
@@ -655,7 +691,8 @@ object Similarity {
   }
 
   def ivfTrainedTopK(embeddings: DataFrame, rounds: Int = 2,
-      nQueries: Int = 5, k: Int = 10, nprobe: Int = 1): DataFrame = {
+      nQueries: Int = 5, k: Int = 10, nprobe: Int = 1,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // persisted for the training loop's rounds+1 eager collect actions
@@ -666,7 +703,7 @@ object Similarity {
     val corpus = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .persist()
-    val (assigned, cent) = trainQuantizer(corpus, rounds)
+    val (assigned, cent) = trainQuantizer(corpus, rounds, cacheKey)
     corpus.unpersist()
     serveTrained(corpus, assigned, cent.toDF("cluster", "centroid"),
       nQueries, k, nprobe)
@@ -679,7 +716,8 @@ object Similarity {
     * ONCE, serves both probe budgets from the same lists; composes two
     * oracled paths so the recall itself is oracle-checked. */
   def ivfTrainedRecall(embeddings: DataFrame, rounds: Int = 2,
-      nQueries: Int = 5, k: Int = 10): DataFrame = {
+      nQueries: Int = 5, k: Int = 10,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // corpus stays cached through BOTH the training loop and the
@@ -690,7 +728,7 @@ object Similarity {
     val corpus = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .persist()
-    val (assigned, cent) = trainQuantizer(corpus, rounds)
+    val (assigned, cent) = trainQuantizer(corpus, rounds, cacheKey)
     val mDf = cent.toDF("cluster", "centroid")
     // ground truth derived FROM the cached corpus frame (a fresh
     // bruteForceTopK(embeddings) plans a different projection and

@@ -375,4 +375,113 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  // ---- broadcast-ceiling guard: over-threshold builds take the exact
+  // binned equi-join shuffle plan (plans/BinnedRangeFallback) ----
+
+  /** Run `body` with the range-join build-size ceiling forced to -1
+    * (every build side "over ceiling" → binned plan), restoring the
+    * default afterwards. */
+  private def forcedFallback[T](body: => T): T = {
+    spark.conf.set(plans.BinnedRangeFallback.CeilingConf, "-1")
+    try body
+    finally spark.conf.unset(plans.BinnedRangeFallback.CeilingConf)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("ceiling gate: binned fallback matches the broadcast exec on " +
+      "every containment edge case (boundary, multi-match, nulls, " +
+      "empty build)") {
+    val sq = spark; import sq.implicits._
+    val build = intervals(Seq((1L, 10L, 20L), (2L, 15L, 30L), (3L, 40L, 40L)))
+    val nullBuild = Seq((1L, Some(10L), Some(20L)), (2L, None, Some(30L)),
+      (3L, Some(5L), None)).toDF("band_id", "lo", "hi")
+    val ps = probes(Seq(10L, 20L, 17L, 35L, 40L, 41L, null))
+    def run() = Seq(
+      rows(plans.RangeJoin.broadcastRangeJoin(ps, build, "x", "lo", "hi")),
+      rows(plans.RangeJoin
+        .broadcastRangeJoin(ps, nullBuild, "x", "lo", "hi")),
+      rows(plans.RangeJoin
+        .broadcastRangeJoin(ps, intervals(Seq.empty), "x", "lo", "hi")))
+    val broadcastForm = run()
+    val binnedForm = forcedFallback(run())
+    assert(binnedForm == broadcastForm)
+    assert(broadcastForm.head.nonEmpty)
+  }
+
+  test("ceiling gate: keyed fallback matches the exec, inner and LEFT " +
+      "OUTER (SCD2 miss rows null-padded exactly once)") {
+    val build = keyedIntervals(Seq(
+      ("a", 1L, 10L, 20L), ("a", 2L, 15L, 30L), ("b", 9L, 0L, 100L)))
+    val ps = keyedProbes(Seq(("a", 17L), ("a", 99L), ("c", 5L),
+      (null, 5L), ("a", null), ("b", 50L)))
+    def run() = Seq(
+      rows(plans.KeyedRangeJoin.broadcastKeyedRangeJoin(
+        ps, build, "pk", "x", "k", "lo", "hi")),
+      rows(plans.KeyedRangeJoin.broadcastKeyedRangeJoin(
+        ps, build, "pk", "x", "k", "lo", "hi", leftOuter = true)),
+      rows(plans.KeyedRangeJoin.broadcastKeyedRangeJoin(
+        ps, keyedIntervals(Seq.empty), "pk", "x", "k", "lo", "hi",
+        leftOuter = true)))
+    val broadcastForm = run()
+    val binnedForm = forcedFallback(run())
+    assert(binnedForm == broadcastForm)
+    // the left-outer empty-build leg must keep every probe row
+    assert(broadcastForm(2).size == 6)
+  }
+
+  test("ceiling gate: overlap fallback matches the exec across the " +
+      "taxonomy, including the reversed probe spanned by a wide build") {
+    val build = intervals(Seq((1L, 0L, 9L), (2L, 10L, 19L), (3L, 20L, 29L)))
+    val wide = intervals(Seq((7L, 0L, 100L)))
+    val ps = ivProbes(Seq((0L, 5L), (5L, 10L), (8L, 12L), (12L, 18L),
+      (5L, 25L), (18L, 25L), (20L, 30L), (21L, 30L), (25L, 15L),
+      (null, 15L), (15L, null)))
+    def run() = Seq(
+      rows(plans.OverlapJoin
+        .broadcastOverlapJoin(ps, build, "s", "e", "lo", "hi")),
+      rows(plans.OverlapJoin
+        .broadcastOverlapJoin(ps, wide, "s", "e", "lo", "hi")),
+      rows(plans.OverlapJoin.broadcastOverlapJoin(
+        ps, intervals(Seq.empty), "s", "e", "lo", "hi")))
+    val broadcastForm = run()
+    val binnedForm = forcedFallback(run())
+    assert(binnedForm == broadcastForm)
+    // reversed probe (25,15) vs [0,100] must match under BOTH plans
+    assert(broadcastForm(1).exists(_.contains("7")))
+  }
+
+  test("ceiling gate: the four catalog range queries are row-identical " +
+      "both sides of the threshold on real event data") {
+    val events = Tables.load(spark, TestSpark.sf, "events")
+    def run() = Seq(
+      rows(operators.EventsPipeline.rangeBandCounts(events)),
+      rows(operators.EventsPipeline.keyedRangeBandCounts(events)),
+      rows(operators.EventsPipeline.sessionOverlapWindows(events)),
+      rows(operators.EventsPipeline.scd2RateLookup(events)))
+    val broadcastForm = run()
+    val binnedForm = forcedFallback(run())
+    assert(binnedForm == broadcastForm)
+    assert(broadcastForm.forall(_.nonEmpty))
+  }
+
+  test("ceiling gate: the fallback plans an equi-join — no driver-built " +
+      "index, no BroadcastNestedLoopJoin") {
+    val plan = forcedFallback {
+      plans.RangeJoin.broadcastRangeJoin(probes(Seq(1L)),
+        intervals(Seq((1L, 0L, 5L))), "x", "lo", "hi")
+        .queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("BroadcastRangeJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("Join"), plan.take(800))
+    // under the default ceiling the dimension-sized build still takes
+    // the index plan
+    val normal = plans.RangeJoin.broadcastRangeJoin(probes(Seq(1L)),
+      intervals(Seq((1L, 0L, 5L))), "x", "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(normal.contains("BroadcastRangeJoin"), normal.take(800))
+  }
 }

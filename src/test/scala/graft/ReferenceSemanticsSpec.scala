@@ -8,8 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * sequentially under sbt's forked test JVM). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[4,2]: maxFailures=2, so a task may retry ONCE before the
+    // job fails — RetrySpec injects first-attempt failures under each
+    // custom exec to prove retried tasks reproduce the same result
+    // (the silent-wrong-answer class speculation/retry hits at scale).
+    // Deterministically-failing tests (corrupt file, abort taxonomy)
+    // still fail their jobs, one extra attempt later.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

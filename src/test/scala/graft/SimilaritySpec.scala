@@ -407,4 +407,29 @@ class SimilaritySpec extends AnyFunSuite {
       s"4 rounds should reach at least half the converged lambda " +
         s"($engLambda vs $lambda)")
   }
+
+  test("Lloyd model cache: warm-path results are bit-identical to the " +
+      "uncached training, across the family and across round counts") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val key = Some(s"lloyd-spec:${TestSpark.sf}/embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // cold baselines (no cache key — always retrain)
+    val kmeansCold = rows(vector.Similarity.kmeansTrain(emb, rounds = 3))
+    val topkCold = rows(vector.Similarity.ivfTrainedTopK(emb, rounds = 2))
+    val recallCold = rows(vector.Similarity.ivfTrainedRecall(emb, rounds = 2))
+    // first keyed call populates (2 rounds), kmeans EXTENDS to 3, the
+    // recall query then reuses the 2-round prefix warm
+    assert(rows(vector.Similarity
+      .ivfTrainedTopK(emb, rounds = 2, cacheKey = key)) == topkCold)
+    assert(rows(vector.Similarity
+      .kmeansTrain(emb, rounds = 3, cacheKey = key)) == kmeansCold)
+    assert(rows(vector.Similarity
+      .ivfTrainedRecall(emb, rounds = 2, cacheKey = key)) == recallCold)
+    // fully-warm repeats stay identical
+    assert(rows(vector.Similarity
+      .kmeansTrain(emb, rounds = 3, cacheKey = key)) == kmeansCold)
+    assert(rows(vector.Similarity
+      .ivfTrainedTopK(emb, rounds = 2, cacheKey = key)) == topkCold)
+  }
 }
