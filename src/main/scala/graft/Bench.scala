@@ -127,7 +127,13 @@ object Bench {
     // loadavg + cpu_sec (process CPU over the measured loop) make
     // external contention visible as wall >> cpu evidence.
     val health = s""""calibration":{"before":$calBefore,"mid":$calMid,"after":$calAfter},"loadavg":{"before":$loadBefore,"after":$loadAfter},"cpu_sec":$totalCpu"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$health,"sf":"$sfDir"}"""
+    // Self-describing artifact phase (VERDICT r11 item 7): mid-round
+    // builder runs and the committed end-of-round record carry different
+    // schemas' worth of trust — stamp which one this is so round-over-
+    // round diffs never mistake a mid-round probe for a final number.
+    val phase = sys.env.getOrElse("SPARK_GRAFT_BENCH_PHASE", "midround")
+    val stamp = java.time.Instant.now().toString
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","run_at":"$stamp","queries":$qs,"errors":$errs,$health,"sf":"$sfDir"}"""
     println(full)
     // Short self-contained FINAL line: tail-capture of the output always
     // retains the headline total even if the per-query map line is long.
@@ -138,9 +144,11 @@ object Bench {
     // regardless of stdout handling. Best-effort: an unwritable path
     // must not fail the bench itself.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // NonFatal only (ADVICE r11): an OutOfMemoryError/LinkageError here
+    // must propagate, not be logged as a failed file write.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), full + "\n")
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()

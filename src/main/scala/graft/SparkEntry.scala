@@ -214,6 +214,27 @@ object SparkEntry {
     // custom operator #5: interval x interval OVERLAP join (sessions
     // vs maintenance windows) - no equi key exists, native plan is BNLJ.
     "q_overlap_join" -> t("events")(E.sessionOverlapWindows),
+    // the same three range-join queries with the broadcast ceiling
+    // forced to -1, so the BINNED EQUI-JOIN fallback (the over-ceiling
+    // plan a 100x build side takes — plans/BinnedRangeFallback) is
+    // driver-oracled end-to-end, not just spec-pinned. The ceiling conf
+    // is read EAGERLY at operator-construction time, so set/unset
+    // around the (lazy) DataFrame build scopes the flip to this query.
+    "q_range_bands_binned" -> ((s, dir) => {
+      s.conf.set(plans.BinnedRangeFallback.CeilingConf, "-1")
+      try E.rangeBandCounts(Tables.load(s, dir, "events"))
+      finally s.conf.unset(plans.BinnedRangeFallback.CeilingConf)
+    }),
+    "q_scd2_lookup_binned" -> ((s, dir) => {
+      s.conf.set(plans.BinnedRangeFallback.CeilingConf, "-1")
+      try E.scd2RateLookup(Tables.load(s, dir, "events"))
+      finally s.conf.unset(plans.BinnedRangeFallback.CeilingConf)
+    }),
+    "q_overlap_join_binned" -> ((s, dir) => {
+      s.conf.set(plans.BinnedRangeFallback.CeilingConf, "-1")
+      try E.sessionOverlapWindows(Tables.load(s, dir, "events"))
+      finally s.conf.unset(plans.BinnedRangeFallback.CeilingConf)
+    }),
     "q_ewma" -> t("events")(E.ewma),
     "q_transitions" -> t("events")(E.transitions),
     "q_skyline" -> t("part")(operators.Extended.skylineParts),
@@ -1088,6 +1109,12 @@ object SparkEntry {
     "q_range_bands_keyed" -> E.keyedRangeBandCountsOracleSql,
     "q_scd2_lookup" -> E.scd2RateLookupOracleSql,
     "q_overlap_join" -> E.sessionOverlapWindowsOracleSql,
+    // the binned-fallback twins are EXACT plan alternatives, so the
+    // same oracles pin them — a fallback bug shows as a hash mismatch
+    // on the _binned row while the broadcast row stays green
+    "q_range_bands_binned" -> E.rangeBandCountsOracleSql,
+    "q_scd2_lookup_binned" -> E.scd2RateLookupOracleSql,
+    "q_overlap_join_binned" -> E.sessionOverlapWindowsOracleSql,
     "q_cdc_apply" ->
       """WITH c AS (
            SELECT user_id, ts, event_id, value,

@@ -398,8 +398,15 @@ object Extended {
   // DuckDB independently recomputes the exact side and asserts the
   // booleans are literally TRUE. A bound violation (or drift in the
   // exact side) hash-fails the driver gate — the SketchSpec invariants,
-  // promoted to the oracle. Sketches are deterministic given the data,
-  // so the booleans are stable, and each bound is ≥3σ of the sketch's
+  // promoted to the oracle. Determinism (ADVICE r11): HLL / HLL++ /
+  // theta are pure hash functions of the data, so their booleans are
+  // bit-stable across runs; KLL is NOT — DataSketches' KLL compaction
+  // draws from an unseeded shared Random with no public seeding API, so
+  // q_kll_bound's booleans are PROBABILISTIC per run. The certified
+  // band is ±6pp against a ≈1.65%-at-99% rank error (≥3.6× the 99%
+  // bound), so a flip needs a >3σ excursion — the gate treats that
+  // residual flake probability as negligible by design, not as an
+  // unnoticed assumption. Each other bound is ≥3σ of its sketch's
   // configured accuracy. ------------------------------------------------
 
   /** HLL distinct-count error bounds, per event_type and for the

@@ -1101,17 +1101,23 @@ object Similarity {
     * precedent), so the former per-round in-engine matvec was ~10 tiny
     * Spark jobs of pure scheduler overhead per PCA query (measured
     * 2.8 s warm at sf0.1, now model-time ~0). Each product is
-    * quantized by `BigDecimal.valueOf` + `setScale(12, HALF_EVEN)` —
-    * the ORACLE'S convention: DuckDB's CAST(double AS DECIMAL) rounds
-    * the shortest decimal repr HALF_EVEN (established empirically in
-    * r11 when the 16× scaled gate hit a shortest-repr tie,
-    * 8.49340205e-05, that Spark's HALF_UP in-engine cast rounds the
-    * other way — the two conventions agree on every non-tie value, so
-    * all certified corpora are unchanged); products sum exactly with
-    * one terminal double conversion. The display/scale rounds keep
-    * valueOf/HALF_UP (Spark's Round), which mirrors DuckDB's
-    * `round(double, s)` on every certified corpus — that residual
-    * convention pair is the documented SCALING.md boundary.
+    * quantized by `BigDecimal.valueOf` + `setScale(12, HALF_EVEN)`.
+    * Cross-engine convention (ADVICE r11, characterized by
+    * tools/dec12_boundary.py + the PropertySpec boundary test): DuckDB's
+    * CAST(double AS DECIMAL(28,12)) agrees with this on every double
+    * that is not parked within ~2 ulps of a scale-12 midpoint
+    * (0/20000 divergences in the random sweep) — which is why every
+    * certified corpus hashes exactly — but INSIDE that band DuckDB
+    * matches neither shortest-repr nor exact-binary HALF_EVEN (~25%
+    * band divergence; its scale-0 cast even truncates), so no Scala
+    * model can track it exactly: a future gate mismatch there is a
+    * convention tie, not an algorithm bug (SCALING.md). HALF_EVEN was
+    * adopted in r11 when the 16× gate hit 8.49340205e-05, whose exact
+    * binary value sits BELOW the apparent midpoint — both engines
+    * round down; Spark's in-engine HALF_UP cast was the outlier.
+    * Products sum exactly with one terminal double conversion. The
+    * display/scale rounds keep valueOf/HALF_UP (Spark's Round), which
+    * mirrors DuckDB's `round(double, s)` on every certified corpus.
     * Only the corpus-scale Gram pass touches the cluster. */
   private def iterateRoundsLocal(covRows: Seq[(Int, Int, Double)],
       iters: Int): Seq[(Int, Double, Double)] = {

@@ -430,15 +430,54 @@ class OperatorSpec extends AnyFunSuite {
   test("label propagation result is distributed (no driver-side " +
       "materialization) and releases the adjacency cache") {
     val li = Tables.load(spark, sf, "lineitem")
+    // ADVICE r11: RDD names are never set, so a name-based census is
+    // vacuous — assert on the persisted-RDD COUNT delta instead. One
+    // new entry is LEGITIMATE: localCheckpoint persists its RDD (it
+    // does show in getPersistentRDDs, contrary to the advice's
+    // assumption — verified by this test failing at delta 1), and that
+    // entry IS the returned result, which must stay alive. A leaked
+    // adjacency cache would make the delta 2.
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val out = operators.Graph.labelPropagation(li)
     // LogicalRDD (localCheckpoint), not LocalRelation (collect round-trip)
     val plan = out.queryExecution.optimizedPlan
     assert(plan.collectLeaves().forall(l =>
       !l.getClass.getSimpleName.contains("LocalRelation")),
       s"LPA result came back through the driver: $plan")
-    // no cache left pinned by the call
-    assert(spark.sparkContext.getPersistentRDDs.values
-      .forall(r => !Option(r.name).exists(_.contains("adj"))))
+    assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore + 1,
+      "labelPropagation left a persisted RDD pinned beyond its result")
+  }
+
+  test("bpeTrain vocab cap: a bitten cap truncates deterministically " +
+      "and merges stay well-defined (the driver-read contract)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val capped = text.TextAnalysis.bpeTrain(docs, k = 5, vocabCap = 3)
+      .collect().map(_.toString).toSeq
+    // well-defined under a cap that drops ~the whole vocabulary:
+    // consecutive ranks from 1, no degenerate pairs, positive freqs
+    assert(capped.nonEmpty && capped.size <= 5)
+    val ranks = text.TextAnalysis.bpeTrain(docs, k = 5, vocabCap = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(ranks.map(_._1).toSeq == (1 to ranks.length))
+    assert(ranks.forall(m => m._2 != m._3 || m._2.length > 1))
+    assert(ranks.forall(_._4 > 0))
+    // the capped training equals training on the corpus REBUILT from
+    // just the top-3 (freq desc, word asc) vocabulary — i.e. the cap
+    // IS the deterministic truncation it claims to be
+    val top3 = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(3)
+      .select(explode(expr("array_repeat(word, cast(freq as int))"))
+        .as("text"))
+    val rebuilt = text.TextAnalysis.bpeTrain(top3, k = 5,
+      vocabCap = 1 << 18).collect().map(_.toString).toSeq
+    assert(rebuilt == capped)
+    // determinism across runs
+    assert(text.TextAnalysis.bpeTrain(docs, k = 5, vocabCap = 3)
+      .collect().map(_.toString).toSeq == capped)
   }
 
   test("source quota keeps exactly cap docs per source, md5-stable") {

@@ -372,4 +372,61 @@ class PropertySpec extends AnyFunSuite {
       assert(a == b, s"operator $i diverged under repartition")
     }
   }
+
+  test("dec12 convention boundary (ADVICE r11): shortest-repr HALF_EVEN " +
+      "and exact-binary HALF_EVEN diverge ONLY at shortest-repr " +
+      "scale-12 midpoints, by at most one quantum; ordinary doubles " +
+      "never diverge") {
+    // The PCA iteration quantizes with BigDecimal.valueOf (= shortest
+    // decimal repr) + HALF_EVEN. tools/dec12_boundary.py measures the
+    // DuckDB side of the same boundary (its CAST matches NEITHER
+    // convention inside the midpoint band and truncates at scale 0, so
+    // no Scala model can track it exactly; outside the band all
+    // conventions agree — 0/20000 in the random sweep). This test pins
+    // the ENGINE-side convention so a refactor can't silently change
+    // which values sit on the boundary.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val quantum = new JBD("1E-12")
+    val half = new JBD("5E-13")
+    def shortest(x: Double) =
+      JBD.valueOf(x).setScale(12, RoundingMode.HALF_EVEN)
+    def exact(x: Double) =
+      new JBD(x).setScale(12, RoundingMode.HALF_EVEN)
+    def nudge(x: Double, ulps: Int): Double = java.lang.Double
+      .longBitsToDouble(java.lang.Double.doubleToLongBits(x) + ulps)
+    var checked = 0
+    var diverged = 0
+    for {
+      k <- 1 to 20000 by 7
+      base <- Seq(k * 1e-12 + 5e-13, k * 1e-9 + 5e-13, k * 1e-6 + 5e-13)
+      u <- -2 to 2
+    } {
+      val x = nudge(base, u)
+      checked += 1
+      val s = shortest(x)
+      val e = exact(x)
+      if (s.compareTo(e) != 0) {
+        diverged += 1
+        // a divergence is allowed only when the SHORTEST repr sits
+        // exactly on the scale-12 midpoint (the binary value never
+        // does for these probes), and is at most one quantum wide
+        val bd = JBD.valueOf(x)
+        val frac = bd.subtract(bd.setScale(12, RoundingMode.FLOOR))
+        assert(frac.compareTo(half) == 0,
+          s"diverged off-midpoint: x=$x shortest=$s exact=$e frac=$frac")
+        assert(s.subtract(e).abs.compareTo(quantum) <= 0)
+      }
+    }
+    assert(checked > 40000)
+    assert(diverged > 0, "sweep never hit the boundary — not exercising it")
+    // ordinary doubles (no midpoint parking): the conventions agree
+    var state = 123456789L
+    val m = (1L << 62)
+    for (_ <- 1 to 20000) {
+      state = 6364136223846793005L * state + 1442695040888963407L
+      val x = ((state >>> 2).toDouble / m.toDouble - 0.5) * 1e-3
+      assert(shortest(x).compareTo(exact(x)) == 0,
+        s"ordinary double diverged: $x")
+    }
+  }
 }

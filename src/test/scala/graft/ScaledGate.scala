@@ -78,9 +78,15 @@ object ScaledGate {
       else s"/tmp/graft_scaled_gate_$k"
     // "ALL" sweeps the entire catalog — the blanket-certification mode
     // (pair with a modest k: the curated default list is the deep-k
-    // path, this is the breadth path)
+    // path, this is the breadth path). "INVARIANTS" runs the in-engine
+    // CC-fixpoint invariant gate (CcInvariants) instead of the DuckDB
+    // replay — the certification path for k where the oracle cannot
+    // follow the recursive CTE (VERDICT r11 item 4; 256× = >78 GB
+    // oracle spill). Only the documents table is built in that mode.
+    val invariantMode = args.length > 2 && args(2) == "INVARIANTS"
     val only: Seq[String] = if (args.length > 2) {
       if (args(2) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else if (invariantMode) Seq.empty
       else args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     } else defaultQueries
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -95,11 +101,13 @@ object ScaledGate {
 
     // ---- build the scaled tables once per (base, k) ----
     val tablesDir = s"$outDir/tables"
-    val marker = Paths.get(s"$tablesDir/_built")
+    val marker = Paths.get(
+      if (invariantMode) s"$tablesDir/_built_docs" else s"$tablesDir/_built")
     // v2: events written as a time-ordered arrival sequence
     val spec = s"base=$base k=$k v2"
+    val toBuild = if (invariantMode) Seq("documents") else Tables.all
     if (!Files.exists(marker) || Files.readString(marker).trim != spec) {
-      Tables.all.foreach { t =>
+      toBuild.foreach { t =>
         val raw = Tables.raw(spark, base, t)
         val scaled = t match {
           case "region" | "nation" => raw
@@ -136,6 +144,29 @@ object ScaledGate {
       }
       Files.writeString(marker, spec)
     } else println(s"GATE reusing tables at $tablesDir ($spec)")
+
+    if (invariantMode) {
+      // ---- CC-fixpoint invariant gate (no oracle at this k) ----
+      val docs = Tables.load(spark, tablesDir, "documents")
+      val t0 = System.nanoTime()
+      val results = CcInvariants.check(docs)
+      val sec = (System.nanoTime() - t0) / 1e9
+      results.foreach { case (name, v) =>
+        println(s"GATE INVARIANT $name violations=$v " +
+          (if (v == 0) "PASS" else "FAIL"))
+      }
+      val json = results
+        .map { case (n, v) => s""""$n":$v""" }
+        .mkString(s"""{"k":$k,"n_docs":${docs.count()},"sec":$sec,""", ",",
+          "}")
+      Files.writeString(Paths.get(s"$outDir/invariants.json"), json)
+      val bad = results.count(_._2 != 0)
+      println(f"GATE INVARIANTS done: ${results.size - bad}/${results.size} " +
+        f"pass in $sec%.1f s -> $outDir/invariants.json")
+      spark.stop()
+      if (bad > 0) sys.exit(1)
+      return
+    }
     // same fixture-drift canary as Verify — a vintage change must fail
     // loudly here, not as opaque analysis errors
     Tables.checkContract(spark, tablesDir)
