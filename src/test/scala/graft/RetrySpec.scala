@@ -118,6 +118,51 @@ class RetrySpec extends AnyFunSuite {
       Seq("event_type"), Seq(("value", true), ("event_id", false)), k = 3))
   }
 
+  test("streaming stateful aggregation: state-store tasks that die on " +
+      "their first attempt in EVERY micro-batch still drain to exact " +
+      "batch parity") {
+    // The filter sits ABOVE the stateful agg in the same stage as the
+    // StateStoreSave, so the injected first-attempt death aborts the
+    // store mid-commit; the retried attempt must re-run the update from
+    // the shuffle data and commit exactly once — the streaming twin of
+    // the batch retry cases (state-store visibility is all-or-nothing
+    // per attempt).
+    val dieOnce = udf(() => {
+      val tc = TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0)
+        throw new RuntimeException(
+          "graft-retry-injection: state task first attempt killed")
+      true
+    })
+    val agg = spark.readStream
+      .format("graft.sources.SyntheticEventsSource")
+      .option("n", 2000).option("slices", 2).option("rowsPerBatch", 500)
+      .load()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      .filter(dieOnce())
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("cnt"), col("sum_cents"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("retry_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain under retries")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected several real micro-batches")
+    val streamed = spark.table("retry_stream")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = spark.read.format("graft.sources.SyntheticEventsSource")
+      .option("n", 2000).load()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("cnt"), col("sum_cents"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("DSv2 audited sink: a write task that dies mid-write publishes " +
       "exactly once after retry (2-phase commit)") {
     val sq = spark; import sq.implicits._
