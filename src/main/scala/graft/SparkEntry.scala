@@ -302,22 +302,30 @@ object SparkEntry {
       Tables.load(s, dir, "customer"), Tables.load(s, dir, "orders"),
       Tables.load(s, dir, "lineitem"))),
     "q_mad_outliers" -> t("events")(R.madOutliers(_)),
-    "q_dedup_clusters" -> t("documents")(operators.Pipeline.dedupClusters(_)),
-    "q_dedup_weights" -> t("documents")(operators.Pipeline.dedupWeights(_)),
+    // the four CC-labeling consumers share one session-cached label
+    // artifact (disk-backed parquet via SessionDirs — see dedupClusters)
+    "q_dedup_clusters" -> ((s, dir) => operators.Pipeline.dedupClusters(
+      Tables.load(s, dir, "documents"),
+      cacheKey = Some(s"$dir/documents"))),
+    "q_dedup_weights" -> ((s, dir) => operators.Pipeline.dedupWeights(
+      Tables.load(s, dir, "documents"),
+      cacheKey = Some(s"$dir/documents"))),
     "q_budget_select" -> t("documents")(operators.Pipeline.budgetSelect(_)),
     // DSIR-style target-affinity selection via exact integer
     // likelihood-ratio votes (no libm log anywhere)
     "q_importance" -> t("documents")(operators.Pipeline.importanceScore(_)),
-    "q_cluster_canonical" ->
-      t("documents")(operators.Pipeline.clusterCanonical(_)),
+    "q_cluster_canonical" -> ((s, dir) => operators.Pipeline
+      .clusterCanonical(Tables.load(s, dir, "documents"),
+        cacheKey = Some(s"$dir/documents"))),
     "q_heavy_hitters" -> t("documents")(T.heavyHitters(_)),
     "q_tfidf" -> t("documents")(T.topTfidfTerms(_)),
     "q_chunked" -> t("documents")(T.chunkDocuments(_)),
     "q_pii_scrub" -> t("documents")(T.scrubPii),
     "q_pack_greedy" -> t("documents")(operators.Pipeline.packGreedy(_)),
     "q_pack_bpe" -> t("documents")(operators.Pipeline.packGreedyBpe(_)),
-    "q_split_leakage" ->
-      t("documents")(operators.Pipeline.leakageSafeSplits(_)),
+    "q_split_leakage" -> ((s, dir) => operators.Pipeline
+      .leakageSafeSplits(Tables.load(s, dir, "documents"),
+        cacheKey = Some(s"$dir/documents"))),
     "q_stratified_sample" -> t("documents")(operators.Pipeline.stratifiedSample),
     "q_contamination" -> t("documents")(operators.Pipeline.contaminationScan(_)),
     // fractional n-gram benchmark decontamination (the per-doc decision)

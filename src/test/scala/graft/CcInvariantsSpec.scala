@@ -95,6 +95,26 @@ class CcInvariantsSpec extends AnyFunSuite {
     assert(cp("splits_gate_mismatch") > 0)
   }
 
+  test("CC label cache: disk-cached labels are bit-identical to the " +
+      "uncached computation across the whole family, warm and cold") {
+    val key = Some(s"cc-spec:${TestSpark.sf}/documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // first keyed call builds the parquet artifact; all four consumers
+    // must match their uncached twins exactly
+    assert(rows(operators.Pipeline.dedupClusters(docs, cacheKey = key))
+      == rows(clusters))
+    assert(rows(operators.Pipeline.dedupWeights(docs, cacheKey = key))
+      == rows(weights))
+    assert(rows(operators.Pipeline.leakageSafeSplits(docs, cacheKey = key))
+      == rows(splits))
+    assert(rows(operators.Pipeline.clusterCanonical(docs, cacheKey = key))
+      == rows(operators.Pipeline.clusterCanonical(docs)))
+    // fully-warm repeat stays identical
+    assert(rows(operators.Pipeline.dedupClusters(docs, cacheKey = key))
+      == rows(clusters))
+  }
+
   test("a split that ignores clusters fires the straddle counter") {
     // hash the DOC id instead of the cluster id — the classic leaky
     // split the operator exists to prevent
