@@ -69,6 +69,8 @@ object ScaledGate {
     "q_decontaminate", "q_waterfill", "q_weighted_sample",
     // vector training / serving
     "q_kmeans", "q_knn_ivf_trained",
+    // over-ceiling binned fallback plans (the path a 100x build takes)
+    "q_range_bands_binned", "q_scd2_lookup_binned", "q_overlap_join_binned",
     // iterative graph
     "q_bfs_hops", "q_label_prop_full")
 
