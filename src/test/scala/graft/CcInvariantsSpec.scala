@@ -115,6 +115,25 @@ class CcInvariantsSpec extends AnyFunSuite {
       == rows(clusters))
   }
 
+  test("CC label cache: concurrent first calls race safely (at worst " +
+      "a double build of identical content; results identical)") {
+    // two threads may both miss the TrieMap and build — SessionDirs'
+    // getOrElseUpdate keeps ONE path cached; a double build writes the
+    // same deterministic parquet to two temp roots, one of which wins.
+    // The contract is result identity, not single execution.
+    val key = Some(s"cc-race:${TestSpark.sf}/documents")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 4).map(_ => Future {
+      operators.Pipeline.dedupClusters(docs, cacheKey = key)
+        .collect().map(_.toString).sorted.toSeq
+    })
+    val results = Await.result(Future.sequence(fs), 300.seconds)
+    val expected = clusters.collect().map(_.toString).sorted.toSeq
+    results.foreach(r => assert(r == expected))
+  }
+
   test("a split that ignores clusters fires the straddle counter") {
     // hash the DOC id instead of the cluster id — the classic leaky
     // split the operator exists to prevent
