@@ -204,37 +204,32 @@ object SparkEntry {
     "q_trailing_1h" -> t("events")(E.trailingHourSum),
     "q_scd2" -> t("events")(E.scd2Build),
     "q_cdc_apply" -> t("events")(E.cdcApply),
-    "q_range_bands" -> t("events")(E.rangeBandCounts),
+    "q_range_bands" -> t("events")(E.rangeBandCounts(_)),
     // custom operator #4: key equality + range containment in one
     // probe (the SCD2 / per-category-grid lookup shape).
-    "q_range_bands_keyed" -> t("events")(E.keyedRangeBandCounts),
+    "q_range_bands_keyed" -> t("events")(E.keyedRangeBandCounts(_)),
     // custom operator #4 LEFT OUTER: SCD2 lookup where facts outside
     // every version's validity window survive as version -1.
-    "q_scd2_lookup" -> t("events")(E.scd2RateLookup),
+    "q_scd2_lookup" -> t("events")(E.scd2RateLookup(_)),
     // custom operator #5: interval x interval OVERLAP join (sessions
     // vs maintenance windows) - no equi key exists, native plan is BNLJ.
-    "q_overlap_join" -> t("events")(E.sessionOverlapWindows),
-    // the same three range-join queries with the broadcast ceiling
-    // forced to -1, so the BINNED EQUI-JOIN fallback (the over-ceiling
-    // plan a 100x build side takes — plans/BinnedRangeFallback) is
-    // driver-oracled end-to-end, not just spec-pinned. The ceiling conf
-    // is read EAGERLY at operator-construction time, so set/unset
-    // around the (lazy) DataFrame build scopes the flip to this query.
-    "q_range_bands_binned" -> ((s, dir) => {
-      s.conf.set(plans.BinnedRangeFallback.CeilingConf, "-1")
-      try E.rangeBandCounts(Tables.load(s, dir, "events"))
-      finally s.conf.unset(plans.BinnedRangeFallback.CeilingConf)
-    }),
-    "q_scd2_lookup_binned" -> ((s, dir) => {
-      s.conf.set(plans.BinnedRangeFallback.CeilingConf, "-1")
-      try E.scd2RateLookup(Tables.load(s, dir, "events"))
-      finally s.conf.unset(plans.BinnedRangeFallback.CeilingConf)
-    }),
-    "q_overlap_join_binned" -> ((s, dir) => {
-      s.conf.set(plans.BinnedRangeFallback.CeilingConf, "-1")
-      try E.sessionOverlapWindows(Tables.load(s, dir, "events"))
-      finally s.conf.unset(plans.BinnedRangeFallback.CeilingConf)
-    }),
+    "q_overlap_join" -> t("events")(E.sessionOverlapWindows(_)),
+    // the same three range-join queries with the BINNED EQUI-JOIN
+    // fallback (the over-ceiling plan a 100x build side takes —
+    // plans/BinnedRangeFallback) forced through the explicit
+    // forceBinned parameter, so the fallback is driver-oracled
+    // end-to-end, not just spec-pinned. The parameter scopes the flip
+    // to THIS call — no session-conf mutation that a concurrent
+    // range-join construction could observe (ADVICE r12).
+    "q_range_bands_binned" -> ((s, dir) =>
+      E.rangeBandCounts(Tables.load(s, dir, "events"),
+        forceBinned = true)),
+    "q_scd2_lookup_binned" -> ((s, dir) =>
+      E.scd2RateLookup(Tables.load(s, dir, "events"),
+        forceBinned = true)),
+    "q_overlap_join_binned" -> ((s, dir) =>
+      E.sessionOverlapWindows(Tables.load(s, dir, "events"),
+        forceBinned = true)),
     "q_ewma" -> t("events")(E.ewma),
     "q_transitions" -> t("events")(E.transitions),
     "q_skyline" -> t("part")(operators.Extended.skylineParts),

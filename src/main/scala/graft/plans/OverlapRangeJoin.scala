@@ -120,15 +120,22 @@ object OverlapJoin {
     * endpoints count; rows with a null endpoint match nothing; a
     * reversed probe interval (s > e) matches exactly what the SQL
     * predicate says (usually nothing unless a build interval spans the
-    * whole reversal). Build-side columns are re-aliased with `prefix`
-    * (fresh exprIds — the asofJoin contract). The build side must be
-    * broadcast-sized. */
+    * whole reversal); so does a reversed BUILD interval (hi < lo,
+    * matched exactly when the probe spans the whole reversal — kept by
+    * BOTH plans, RangeJoinSpec pins it). Build-side columns are
+    * re-aliased with `prefix` (fresh exprIds — the asofJoin contract).
+    * A build side past the size ceiling degrades to the binned shuffle
+    * plan when the bound type supports it ([[BinnedRangeFallback]]);
+    * `forceBinned` scopes the flip to this call. */
   def broadcastOverlapJoin(probe: DataFrame, build: DataFrame,
       probeLoCol: String, probeHiCol: String, loCol: String,
-      hiCol: String, prefix: String = "r_"): DataFrame = {
+      hiCol: String, prefix: String = "r_",
+      forceBinned: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = probe.sparkSession
-    if (BinnedRangeFallback.overCeiling(build))
+    val boundDt = build.schema(loCol).dataType
+    if (forceBinned || (BinnedRangeFallback.overCeiling(build) &&
+        BinnedRangeFallback.supportedBoundType(boundDt)))
       return BinnedRangeFallback.overlapJoin(probe, build, probeLoCol,
         probeHiCol, loCol, hiCol, prefix)
     Strategies.ensureRegistered(spark, OverlapJoinStrategy)

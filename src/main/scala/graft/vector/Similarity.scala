@@ -542,8 +542,18 @@ object Similarity {
       seq = seq :+ collectCent(exactMeans(
         assigned.select(col("cluster"), col("v")), "cluster"))
     }
-    for (m <- perSession; k <- cacheKey)
-      if (m.get(k).forall(_.length < seq.length)) m.put(k, seq)
+    // atomic install-if-strictly-longer: a plain check-then-put could
+    // let a shorter concurrent training overwrite a longer cached
+    // sequence (ADVICE r12 — results stayed correct since extension is
+    // deterministic, but the train-once benefit silently regressed)
+    for (m <- perSession; k <- cacheKey) {
+      var done = false
+      while (!done) m.get(k) match {
+        case None => done = m.putIfAbsent(k, seq).isEmpty
+        case Some(cur) =>
+          done = cur.length >= seq.length || m.replace(k, cur, seq)
+      }
+    }
     seq
   }
 

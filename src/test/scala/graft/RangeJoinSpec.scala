@@ -484,4 +484,90 @@ class RangeJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(normal.contains("BroadcastRangeJoin"), normal.take(800))
   }
+
+  test("overlap: reversed BUILD intervals match identically under both " +
+      "plans (kept by the binned fallback, binned over physical span)") {
+    // band 5 is REVERSED (hi < lo): the inclusive overlap predicate
+    // lo <= e AND hi >= s matches it exactly when the probe spans the
+    // whole reversal (s <= 10 AND e >= 20) — the broadcast exec keeps
+    // it in the index, so the binned plan must keep it too (ADVICE r12)
+    val build = intervals(Seq((1L, 0L, 9L), (5L, 20L, 10L), (2L, 30L, 40L)))
+    val ps = ivProbes(Seq(
+      (5L, 25L),   // spans the reversal -> matches band 5
+      (10L, 20L),  // spans it exactly at the endpoints -> matches
+      (12L, 18L),  // inside the reversal but spans neither end -> no
+      (15L, 35L),  // e >= 20 but s > 10 -> no (matches band 2 only)
+      (25L, 5L)))  // reversed probe vs reversed build -> impossible
+    def run(force: Boolean) = rows(plans.OverlapJoin.broadcastOverlapJoin(
+      ps, build, "s", "e", "lo", "hi", forceBinned = force))
+    val broadcastForm = run(force = false)
+    val binnedForm = run(force = true)
+    assert(binnedForm == broadcastForm)
+    // non-vacuous: the reversed band matches exactly the two spanning
+    // probes under the broadcast exec (so the fallback dropping it
+    // would be a real divergence, not a no-op)
+    assert(broadcastForm.count(_.endsWith("5,20,10]")) == 2)
+  }
+
+  test("ceiling gate: unsupported bound types keep the broadcast plan " +
+      "regardless of the size estimate") {
+    val sq = spark; import sq.implicits._
+    // string bounds: orderable by the exec's GenerateOrdering, not
+    // bucketable by the binned plan — the size flip must not fire
+    // (previously threw IllegalArgumentException, ADVICE r12)
+    val build = Seq((1L, "b", "d"), (2L, "m", "p")).toDF("band_id", "lo", "hi")
+    val ps = Seq((1L, "c"), (2L, "n"), (3L, "z")).toDF("pid", "x")
+    val out = forcedFallback {
+      plans.RangeJoin.broadcastRangeJoin(ps, build, "x", "lo", "hi")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastRangeJoin"), plan.take(800))
+    assert(out.select(col("pid"), col("r_band_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("forceBinned on an unsupported bound type throws at " +
+      "construction (pre-convert the bounds)") {
+    val sq = spark; import sq.implicits._
+    val build = Seq((1L, "b", "d")).toDF("band_id", "lo", "hi")
+    val ps = Seq((1L, "c")).toDF("pid", "x")
+    val e = intercept[IllegalArgumentException] {
+      plans.RangeJoin.broadcastRangeJoin(ps, build, "x", "lo", "hi",
+        forceBinned = true)
+    }
+    assert(e.getMessage.contains("integral or timestamp"))
+  }
+
+  test("keyed: floating-point BUILD-side keys are rejected like " +
+      "probe-side keys (no implicit-cast bypass)") {
+    val sq = spark; import sq.implicits._
+    val build = Seq((1.0d, 1L, 0L, 10L)).toDF("k", "band_id", "lo", "hi")
+    val ps = Seq((1L, 1L, 5L)).toDF("pid", "pk", "x")
+    val e = intercept[IllegalArgumentException] {
+      plans.KeyedRangeJoin.broadcastKeyedRangeJoin(
+        ps, build, "pk", "x", "k", "lo", "hi")
+    }
+    assert(e.getMessage.contains("build side"))
+  }
+
+  test("forceBinned takes the binned plan with no conf mutation and " +
+      "matches the broadcast form (keyed, inner + left outer)") {
+    val build = keyedIntervals(Seq(
+      ("a", 1L, 10L, 20L), ("a", 2L, 15L, 30L), ("b", 9L, 0L, 100L)))
+    val ps = keyedProbes(Seq(("a", 17L), ("a", 99L), ("c", 5L),
+      (null, 5L), ("a", null), ("b", 50L)))
+    def run(force: Boolean) = Seq(
+      rows(plans.KeyedRangeJoin.broadcastKeyedRangeJoin(
+        ps, build, "pk", "x", "k", "lo", "hi", forceBinned = force)),
+      rows(plans.KeyedRangeJoin.broadcastKeyedRangeJoin(
+        ps, build, "pk", "x", "k", "lo", "hi", leftOuter = true,
+        forceBinned = force)))
+    assert(run(force = true) == run(force = false))
+    // and the forced plan really is the equi-join, not the exec
+    val plan = plans.KeyedRangeJoin.broadcastKeyedRangeJoin(
+      ps, build, "pk", "x", "k", "lo", "hi", forceBinned = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("KeyedBroadcastRangeJoin"), plan.take(800))
+  }
 }
