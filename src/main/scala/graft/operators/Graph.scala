@@ -239,7 +239,7 @@ object Graph {
     * nothing. */
   def bfsHops(lineitem: DataFrame, partCap: Long = 2000,
       seedCap: Long = 3, iters: Int = 3,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0, seedModulo: Long = 0): DataFrame = {
     // Rounds iterate over PACKED LONG ids (2p for parts, 2s+1 for
     // suppliers): joins/aggs on an 8-byte key, the label string is
     // reconstructed only in the final tiny projection. At 100 TB a
@@ -254,7 +254,13 @@ object Graph {
         (col("p") * 2).as("dst")))
     // Only settled (reached) nodes flow through the rounds: unreached
     // nodes would just carry null distances through every aggregation.
-    var dist = e0.filter(col("p") <= seedCap)
+    // `seedModulo` > 0 seeds `p % seedModulo <= seedCap` instead of
+    // `p <= seedCap` — the k×-scaled gate's knob: scaled copies shift
+    // part keys by copy·10⁷, so the plain cap would seed only copy 0
+    // and certify a base-sized frontier on a 256× graph.
+    val seedPred = if (seedModulo > 0) col("p") % seedModulo <= seedCap
+      else col("p") <= seedCap
+    var dist = e0.filter(seedPred)
       .select((col("p") * 2).as("nid"))
       .distinct()
       .select(col("nid"), lit(0L).as("d"))
@@ -277,7 +283,9 @@ object Graph {
 
   /** DuckDB oracle for [[bfsHops]] — rounds unrolled as chained CTEs. */
   def bfsHopsOracleSql(partCap: Long = 2000, seedCap: Long = 3,
-      iters: Int = 3): String = {
+      iters: Int = 3, seedModulo: Long = 0): String = {
+    val seedPred = if (seedModulo > 0) s"p % $seedModulo <= $seedCap"
+      else s"p <= $seedCap"
     val round = (prev: String, cur: String) =>
       s"""$cur AS (
            SELECT node, min(d) AS d FROM (
@@ -296,7 +304,7 @@ object Graph {
          UNION ALL SELECT 's' || s, 'p' || p FROM e0),
        d0 AS (
          SELECT DISTINCT 'p' || p AS node, 0::BIGINT AS d
-         FROM e0 WHERE p <= $seedCap),
+         FROM e0 WHERE $seedPred),
        $rounds
        SELECT node, d FROM d$iters ORDER BY d, node"""
   }

@@ -30,9 +30,19 @@ import org.apache.spark.sql.functions._
   * dedicated counter. CcInvariantsSpec proves the checker catches
   * seeded violations of every class. */
 object CcInvariants {
-  /** (invariant name, violation count) — every count must be 0. */
-  def check(documents: DataFrame, threshold: Double = 0.5)
-      : Seq[(String, Long)] = {
+  /** (invariant name, violation count) — every count must be 0.
+    *
+    * `cacheKey` (r13): the catalog's four CC consumers share ONE
+    * session-cached labeling (SparkEntry passes `$dir/documents`), so
+    * the production path computes the fixpoint once; a gate that
+    * recomputes it per consumer certifies a shape nobody ships AND
+    * triples the 1024× cost. Passing the scaled corpus identity here
+    * reproduces the production plan exactly — the pair graph the
+    * invariants probe is still computed INDEPENDENTLY of the labeling
+    * under test. No key = per-call recompute (the spec's corrupted-
+    * input paths need isolated frames). */
+  def check(documents: DataFrame, threshold: Double = 0.5,
+      cacheKey: Option[String] = None): Seq[(String, Long)] = {
     val spark = documents.sparkSession
     // the pair graph, pinned once (every downstream check probes it)
     val pairs = graft.dedup.Dedup
@@ -40,13 +50,13 @@ object CcInvariants {
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val clusters = graft.operators.Pipeline
-      .dedupClusters(documents, threshold)
+      .dedupClusters(documents, threshold, cacheKey = cacheKey)
       .localCheckpoint(true)
     val weights = graft.operators.Pipeline
-      .dedupWeights(documents, threshold)
+      .dedupWeights(documents, threshold, cacheKey = cacheKey)
       .localCheckpoint(true)
     val splits = graft.operators.Pipeline
-      .leakageSafeSplits(documents, threshold)
+      .leakageSafeSplits(documents, threshold, cacheKey = cacheKey)
       .localCheckpoint(true)
     checkLabeled(documents, pairs, clusters, weights, splits)
   }

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** In-engine invariant gate for the iterative graph family (VERDICT r12
+  * item 4 — the CcInvariants recipe applied to q_pagerank / q_bfs_hops /
+  * q_label_prop): at 256× the DuckDB unrolled-CTE oracles hit the same
+  * spill wall the CC recursive CTE did, so correctness there is
+  * certified in-engine. The three operators run a FIXED 3 rounds (not
+  * to convergence), so "one more round changes nothing" does not apply;
+  * the certificates are instead:
+  *
+  *  - **BFS: pure output properties that provably pin the answer.**
+  *    (a) d = 0 exactly on the seed set; (b) every d ∈ [0, iters];
+  *    (c) no edge joins two reached nodes more than 1 hop apart;
+  *    (d) every node with d > 0 has a neighbor at d − 1 (parent
+  *    witness — gives d ≥ true distance by descent to a seed);
+  *    (e) every neighbor of a node with d ≤ iters−1 is reached
+  *    (completeness); (f) one row per node. Induction over (a)-(f)
+  *    forces d(v) = min-hop(v) for every v within iters hops and the
+  *    reached set to be exactly that ball — no recomputation needed.
+  *  - **PageRank / LPA: independent dual computation.** The checker
+  *    re-derives the final round from the same pair generator (the
+  *    consumed input, like jaccardPairs in the CC gate) through a
+  *    DIFFERENT formulation — PageRank via node-grain contribution
+  *    precompute in SQL text (engine: per-edge expression in the
+  *    DataFrame loop), LPA argmax via a row_number window (engine:
+  *    min(struct(-cnt, lbl)) fold) — and the outputs must agree
+  *    multiset-exactly. The per-round ARITHMETIC is already
+  *    cross-engine-oracled at 64× (q_pagerank / q_label_prop_full);
+  *    what this gate certifies at 256× is the iteration machinery
+  *    (loop composition, caching, checkpoint, ReusedExchange, AQE
+  *    re-plan) where scale bugs actually live.
+  *
+  * Every check returns a VIOLATION COUNT; all must be 0.
+  * GraphInvariantsSpec proves each counter fires on a seeded violation
+  * of its class. */
+object GraphInvariants {
+  def check(lineitem: DataFrame, partCap: Long = 2000,
+      seedCap: Long = 3, seedModulo: Long = 0, iters: Int = 3)
+      : Seq[(String, Long)] = {
+    val pr = operators.Graph
+      .pagerank(lineitem, partCap = partCap, iters = iters)
+      .localCheckpoint(true)
+    val bfs = operators.Graph
+      .bfsHops(lineitem, partCap = partCap, seedCap = seedCap,
+        iters = iters, seedModulo = seedModulo)
+      .localCheckpoint(true)
+    val lpa = operators.Graph
+      .labelPropagation(lineitem, partCap = partCap, iters = iters)
+    checkOutputs(lineitem, partCap, seedCap, seedModulo, iters,
+      pr, bfs, lpa)
+  }
+
+  /** Same checks over ALREADY-COMPUTED operator outputs (so the spec
+    * can corrupt one output and watch the right counter fire).
+    * `pr` is the catalog-shaped top-100 (node, rank); `bfs` is
+    * (node, d); `lpa` is (node, community). */
+  def checkOutputs(lineitem: DataFrame, partCap: Long, seedCap: Long,
+      seedModulo: Long, iters: Int, pr: DataFrame, bfs: DataFrame,
+      lpa: DataFrame): Seq[(String, Long)] = {
+    val spark = lineitem.sparkSession
+
+    // ---- shared pair generator (the consumed input) ----
+    val e0 = lineitem.filter(col("l_partkey") <= partCap)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // ---- PageRank: independent chain, node-grain contribs in SQL ----
+    val edges = e0.select(
+        concat(lit("p"), col("p").cast("string")).as("src"),
+        concat(lit("s"), col("s").cast("string")).as("dst"))
+      .unionAll(e0.select(
+        concat(lit("s"), col("s").cast("string")).as("src"),
+        concat(lit("p"), col("p").cast("string")).as("dst")))
+      .localCheckpoint(true)
+    edges.createOrReplaceTempView("gi_edges")
+    spark.sql(
+      "SELECT src AS node, count(*) AS d FROM gi_edges GROUP BY src")
+      .createOrReplaceTempView("gi_deg")
+    var rv = spark.sql(
+      "SELECT node, CAST(1000000 AS BIGINT) AS r FROM gi_deg")
+    for (_ <- 1 to iters) {
+      rv.createOrReplaceTempView("gi_r")
+      // node-grain contribution precompute, then edge fan-out — a
+      // different plan shape than the engine's per-edge expression
+      rv = spark.sql(
+        """SELECT e.dst AS node,
+             150000 + (850000 * sum(c.contrib)) div 1000000 AS r
+           FROM gi_edges e
+           JOIN (SELECT r.node, r.r div d.d AS contrib
+                 FROM gi_r r JOIN gi_deg d ON r.node = d.node) c
+             ON e.src = c.node
+           GROUP BY e.dst""").localCheckpoint(true)
+    }
+    val checkTop = rv.select(col("node"), col("r").as("rank"))
+      .orderBy(col("rank").desc, col("node")).limit(100)
+      .localCheckpoint(true)
+    val prFloor = pr.filter(col("rank") < 150000).count()
+    val prMismatch = pr.exceptAll(checkTop).count() +
+      checkTop.exceptAll(pr).count()
+
+    // ---- BFS: output properties over the string-labeled edge set ----
+    val dist = bfs.select(col("node"), col("d")).localCheckpoint(true)
+    val dupNode = dist.groupBy(col("node")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    val depthBad = dist.filter(col("d") < 0 || col("d") > iters).count()
+    val seedPred = if (seedModulo > 0) col("p") % seedModulo <= seedCap
+      else col("p") <= seedCap
+    val expectedSeeds = e0.filter(seedPred)
+      .select(concat(lit("p"), col("p").cast("string")).as("node"))
+      .distinct()
+    val engineSeeds = dist.filter(col("d") === 0).select(col("node"))
+    val seedWrong = engineSeeds.exceptAll(expectedSeeds).count() +
+      expectedSeeds.exceptAll(engineSeeds).count()
+    // both-reached endpoints of an edge differ by at most 1 hop
+    val du = dist.select(col("node").as("src"), col("d").as("du"))
+    val dv = dist.select(col("node").as("dst"), col("d").as("dv"))
+    val edgeGap = edges.join(du, "src").join(dv, "dst")
+      .filter(abs(col("du") - col("dv")) > 1).count()
+    // every d > 0 node has a neighbor at d − 1
+    val witness = dist.filter(col("d") > 0)
+      .join(edges, dist("node") === edges("src"), "left_outer")
+      .join(dv, Seq("dst"), "left_outer")
+      .groupBy(col("node"), col("d"))
+      .agg(max(when(col("dv") === col("d") - 1, 1).otherwise(0))
+        .as("has_parent"))
+      .filter(col("has_parent") =!= 1).count()
+    // every neighbor of a node with d <= iters−1 is reached
+    val incomplete = dist.filter(col("d") <= iters - 1)
+      .join(edges, dist("node") === edges("src"))
+      .select(col("dst").as("node")).distinct()
+      .join(dist.select(col("node")), Seq("node"), "left_anti")
+      .count()
+
+    // ---- LPA: independent chain, window argmax ----
+    val suppPerPart = 2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(col("s"))
+    val ps = e0.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= suppPerPart).drop("rn")
+    val ee = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("u"), col("y.s").as("v"))
+      .distinct()
+    val adj = ee.unionAll(ee.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    adj.createOrReplaceTempView("gi_adj")
+    var lv = spark.sql("SELECT DISTINCT u AS n, u AS lbl FROM gi_adj")
+    for (_ <- 1 to iters) {
+      lv.createOrReplaceTempView("gi_l")
+      lv = spark.sql(
+        """SELECT u AS n, lbl FROM (
+             SELECT u, lbl,
+               row_number() OVER (PARTITION BY u
+                 ORDER BY cnt DESC, lbl) AS rn
+             FROM (SELECT a.u, l.lbl, count(*) AS cnt
+                   FROM gi_adj a JOIN gi_l l ON a.v = l.n
+                   GROUP BY a.u, l.lbl))
+           WHERE rn = 1""").localCheckpoint(true)
+    }
+    val lpaCheck = lv.select(col("n").as("node"), col("lbl").as("community"))
+    val lpaEngine = lpa.select(col("node"), col("community"))
+      .localCheckpoint(true)
+    val lpaMismatch = lpaEngine.exceptAll(lpaCheck).count() +
+      lpaCheck.exceptAll(lpaEngine).count()
+    val nodeSet = adj.select(col("u").as("node")).distinct()
+    // exactly one engine row per graph node: a missing node, an extra
+    // node, or a duplicated node each breaks the count/flag predicate
+    val lpaCoverage = lpaEngine.select(col("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n"))
+      .join(nodeSet.withColumn("s", lit(1)), Seq("node"), "full_outer")
+      .filter(col("n").isNull || col("s").isNull || col("n") =!= 1)
+      .count()
+    val lpaLabelBad = lpaEngine
+      .join(nodeSet.select(col("node").as("community")),
+        Seq("community"), "left_anti").count()
+
+    Seq(
+      "pr_top100_mismatch" -> prMismatch,
+      "pr_rank_below_floor" -> prFloor,
+      "bfs_duplicate_node" -> dupNode,
+      "bfs_depth_out_of_range" -> depthBad,
+      "bfs_seed_set_wrong" -> seedWrong,
+      "bfs_edge_gap_gt1" -> edgeGap,
+      "bfs_parent_witness_missing" -> witness,
+      "bfs_reach_incomplete" -> incomplete,
+      "lpa_final_mismatch" -> lpaMismatch,
+      "lpa_coverage_mismatch" -> lpaCoverage,
+      "lpa_label_not_member" -> lpaLabelBad)
+  }
+}

@@ -86,9 +86,16 @@ object ScaledGate {
     // follow the recursive CTE (VERDICT r11 item 4; 256× = >78 GB
     // oracle spill). Only the documents table is built in that mode.
     val invariantMode = args.length > 2 && args(2) == "INVARIANTS"
+    // GRAPH-INVARIANTS: the same in-engine certification recipe for the
+    // fixed-round graph family (GraphInvariants) — pagerank/LPA by
+    // independent dual computation, BFS by output properties that pin
+    // the answer. partCap lifts to MaxValue (the q_label_prop_full
+    // rationale: the catalog cap would degenerate to the copy-0
+    // subgraph) and BFS seeds per copy via seedModulo = the id shift.
+    val graphMode = args.length > 2 && args(2) == "GRAPH-INVARIANTS"
     val only: Seq[String] = if (args.length > 2) {
       if (args(2) == "ALL") SparkEntry.queries.keys.toSeq.sorted
-      else if (invariantMode) Seq.empty
+      else if (invariantMode || graphMode) Seq.empty
       else args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     } else defaultQueries
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -104,10 +111,13 @@ object ScaledGate {
     // ---- build the scaled tables once per (base, k) ----
     val tablesDir = s"$outDir/tables"
     val marker = Paths.get(
-      if (invariantMode) s"$tablesDir/_built_docs" else s"$tablesDir/_built")
+      if (invariantMode) s"$tablesDir/_built_docs"
+      else if (graphMode) s"$tablesDir/_built_lineitem"
+      else s"$tablesDir/_built")
     // v2: events written as a time-ordered arrival sequence
     val spec = s"base=$base k=$k v2"
-    val toBuild = if (invariantMode) Seq("documents") else Tables.all
+    val toBuild = if (invariantMode) Seq("documents")
+      else if (graphMode) Seq("lineitem") else Tables.all
     if (!Files.exists(marker) || Files.readString(marker).trim != spec) {
       toBuild.foreach { t =>
         val raw = Tables.raw(spark, base, t)
@@ -147,11 +157,38 @@ object ScaledGate {
       Files.writeString(marker, spec)
     } else println(s"GATE reusing tables at $tablesDir ($spec)")
 
+    if (graphMode) {
+      val li = Tables.load(spark, tablesDir, "lineitem")
+      val t0 = System.nanoTime()
+      val results = GraphInvariants.check(li,
+        partCap = Long.MaxValue, seedCap = 3,
+        seedModulo = ScaledFixtures.idShift, iters = 3)
+      val sec = (System.nanoTime() - t0) / 1e9
+      results.foreach { case (name, v) =>
+        println(s"GATE INVARIANT $name violations=$v " +
+          (if (v == 0) "PASS" else "FAIL"))
+      }
+      val json = results
+        .map { case (n, v) => s""""$n":$v""" }
+        .mkString(s"""{"k":$k,"n_lineitem":${li.count()},"sec":$sec,""",
+          ",", "}")
+      Files.writeString(Paths.get(s"$outDir/graph_invariants.json"), json)
+      val bad = results.count(_._2 != 0)
+      println(f"GATE GRAPH-INVARIANTS done: ${results.size - bad}/" +
+        f"${results.size} pass in $sec%.1f s -> " +
+        s"$outDir/graph_invariants.json")
+      spark.stop()
+      if (bad > 0) sys.exit(1)
+      return
+    }
     if (invariantMode) {
       // ---- CC-fixpoint invariant gate (no oracle at this k) ----
       val docs = Tables.load(spark, tablesDir, "documents")
       val t0 = System.nanoTime()
-      val results = CcInvariants.check(docs)
+      // shared label cache = the catalog's production shape (one
+      // fixpoint for clusters/weights/splits, not three)
+      val results = CcInvariants.check(docs,
+        cacheKey = Some(s"$tablesDir/documents"))
       val sec = (System.nanoTime() - t0) / 1e9
       results.foreach { case (name, v) =>
         println(s"GATE INVARIANT $name violations=$v " +

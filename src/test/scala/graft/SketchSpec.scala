@@ -87,6 +87,26 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("KllStability: q_kll_bound output is bit-identical across 10 " +
+      "consecutive runs (each draws fresh compaction randomness)") {
+    // The gate is formally probabilistic (Extended.scala allowlist
+    // comment: per-run flake <= 3e-16 under the fitted Gaussian model,
+    // <= 2.4e-8 under a hostile 1pp-sigma model). Ten in-session runs
+    // each consume a DIFFERENT segment of the shared stateful
+    // java.util.Random stream, so they are 10 independent samples of
+    // the compaction distribution — all must land inside the +-6pp
+    // band and hash identically (the booleans and the exact columns
+    // are the only outputs).
+    val ev = Tables.load(spark, sf, "events")
+    val runs = (1 to 10).map { _ =>
+      operators.Extended.kllBound(ev).collect().map(_.toString).toSeq
+    }
+    assert(runs.forall(_ == runs.head),
+      s"kllBound output varied across runs: ${runs.distinct.size} variants")
+    // non-vacuous: every within-band boolean is true on this corpus
+    assert(runs.head.nonEmpty && runs.head.forall(_.contains("true")))
+  }
+
   test("KLL merge associativity: daily-sketch union == direct sketch quantile") {
     import graft.functions.QuantileSketch
     val ev = Tables.load(spark, sf, "events")
