@@ -42,7 +42,7 @@ object Bench {
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString("[", ",", "]")
-      catch { case _: Throwable => "[]" }
+      catch { case scala.util.control.NonFatal(_) => "[]" }
     // Wall-vs-CPU skew: a starved box shows wall >> cpu/cores. Process
     // CPU time via the JDK OS MXBean (public java.lang.management API).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -104,8 +104,12 @@ object Bench {
       if (i == midpoint && plan.size > 1) calMid = calibrate()
       val c0 = cpuNanos()
       val t0 = System.nanoTime()
+      // NonFatal: a query-level analysis/runtime failure records as a
+      // negative time + errors entry; an OutOfMemoryError/LinkageError
+      // must CRASH the bench — timings from a JVM that has already
+      // OOM'd are garbage and must not masquerade as a measurement.
       val ok = try { fn(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
+      catch { case scala.util.control.NonFatal(_) => false }
       val dt = (System.nanoTime() - t0) / 1e9
       totalCpu += (cpuNanos() - c0) / 1e9
       (name, if (ok) dt else -dt, ok)

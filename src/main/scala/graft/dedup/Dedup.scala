@@ -82,7 +82,24 @@ object Dedup {
     * is Σ df² over surviving shingles. The doc-size table is N-sized
     * (one row per document), so it is NOT broadcast-hinted: the join is
     * keyed by doc_id and left to the planner — AQE broadcasts it at
-    * small scale and shuffle-joins 12-byte rows at corpus scale. */
+    * small scale and shuffle-joins 12-byte rows at corpus scale.
+    *
+    * Pair expansion is a df-pruned SELF-EQUI-JOIN on the shingle hash,
+    * not collect_list postings + i<j explode (r13): the posting-list
+    * form plans an ObjectHashAggregateExec whose sort-based fallback
+    * OOM'd the default 8 GiB heap at 1024× (each spill READER buffers
+    * ~1 MB × hundreds of spill files × 32 concurrent tasks — the
+    * UnsafeSorterSpillReader allocation is where the heap actually
+    * died, SCALING.md). The self-join emits the identical Σ df² pair
+    * stream through whole-stage-codegen'd join operators whose per-key
+    * group buffer is bounded by maxDf rows and spills row-at-a-time —
+    * nothing in the plan materializes a per-group object. Output is
+    * pair-for-pair identical: shingles() is array_distinct'ed, so the
+    * sorted-list i<j walk and the doc_a < doc_b join predicate
+    * enumerate the same multiset (the one divergence is an intra-doc
+    * 64-bit hash collision, which the old form turned into a spurious
+    * self-pair and this form drops — strictly closer to the declared
+    * semantics). */
   def jaccardPairs(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val sh = documents
@@ -93,19 +110,17 @@ object Dedup {
     // second time just to count it.
     val sizes = documents
       .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
-    val postings = sh.groupBy(col("h"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
-    // i<j pair expansion as two chained GENERATORS (posexplode, then
-    // explode of the tail slice): generators are compiled operators,
-    // where the equivalent nested-transform lambda runs in the
-    // interpreted HOF path per posting row (measured ~2× slower on the
-    // Σdf² hot loop).
-    val pairs = postings
-      .select(col("ids"), posexplode(col("ids")))
-      .select(col("col").as("doc_a"),
-        explode(slice(col("ids"), col("pos") + 2, size(col("ids"))))
-          .as("doc_b"))
+    // df-prune FIRST with a plain codegen'd count aggregate (no object
+    // state), so hot shingles never reach the pair join; the groupBy
+    // and the prune join share the hash-partitioning on h.
+    val dfOk = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("h"))
+    val indexed = sh.join(dfOk, Seq("h"))
+    val pairs = indexed.as("a").join(indexed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
@@ -166,13 +181,12 @@ object Dedup {
       .filter(col("rk") <=
         col("n_sh") - ceil(col("n_sh") * threshold) + lit(1))
       .select(col("doc_id"), col("h"))
-    val cand = prefix.groupBy(col("h"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(col("ids"), posexplode(col("ids")))
-      .select(col("col").as("doc_a"),
-        explode(slice(col("ids"), col("pos") + 2, size(col("ids"))))
-          .as("doc_b"))
+    // candidate pairs via self-equi-join on the prefix-token hash (the
+    // r13 posting-list-free form — see jaccardPairs: no per-group
+    // object aggregation, the pair stream spills row-at-a-time)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // PPJoin LENGTH filter before any array ships: J(A,B) ≥ t forces
     // min(|A|,|B|) ≥ t·max(|A|,|B|) — provably lossless, and the size
@@ -258,11 +272,12 @@ object Dedup {
     * C(A→B) stays high). One row per DIRECTED containment ≥
     * `threshold`: (doc_id, container_id, n_common, containment).
     *
-    * Scale: identical machinery to [[jaccardPairs]] — candidate pairs
-    * from df-capped inverted posting lists (never all-pairs), one
-    * grouped intersection count per unordered pair, then BOTH
-    * directions evaluated from the same (n_common, |A|, |B|) row, so
-    * asymmetry costs zero extra joins. */
+    * Scale: identical machinery to [[jaccardPairs]] — df-capped
+    * candidate pairs via the df-pruned self-equi-join (never
+    * all-pairs, no posting-list objects — the r13 spill-merge fix,
+    * see jaccardPairs), one grouped intersection count per unordered
+    * pair, then BOTH directions evaluated from the same (n_common,
+    * |A|, |B|) row, so asymmetry costs zero extra joins. */
   def containmentPairs(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.9, maxDf: Int = 1000): DataFrame = {
     val sh = documents
@@ -270,14 +285,14 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val sizes = documents
       .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
-    val postings = sh.groupBy(col("h"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
-    val pairs = postings
-      .select(col("ids"), posexplode(col("ids")))
-      .select(col("col").as("doc_a"),
-        explode(slice(col("ids"), col("pos") + 2, size(col("ids"))))
-          .as("doc_b"))
+    val dfOk = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("h"))
+    val indexed = sh.join(dfOk, Seq("h"))
+    val pairs = indexed.as("a").join(indexed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs

@@ -38,15 +38,23 @@ object Graph {
     * OperatorSpec pins checkpointed == unrolled. */
   def pagerank(lineitem: DataFrame, partCap: Long = 2000, iters: Int = 3,
       topK: Int = 100, checkpointEvery: Int = 0): DataFrame = {
+    // Rounds iterate over PACKED LONG ids (2p for parts, 2s+1 for
+    // suppliers — the bfsHops convention, r13): every round's shuffle
+    // joins/aggs hash an 8-byte key instead of a "p<digits>" string,
+    // and the 256× gate's 280M-row edge relation carries 16-byte rows
+    // instead of ~50-byte strings. The label string is reconstructed
+    // only at the node-grain projection feeding the final top-K — and
+    // BEFORE the orderBy, because the rank tie-break is defined on the
+    // LABEL's lexicographic order ("p10" < "p2"), which the oracle
+    // replays; sorting by nid would cut ties at the top-K boundary
+    // differently.
     val e0 = lineitem.filter(col("l_partkey") <= partCap)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
-    val edges = e0.select(
-        concat(lit("p"), col("p").cast("string")).as("src"),
-        concat(lit("s"), col("s").cast("string")).as("dst"))
-      .unionAll(e0.select(
-        concat(lit("s"), col("s").cast("string")).as("src"),
-        concat(lit("p"), col("p").cast("string")).as("dst")))
+    val edges = e0.select((col("p") * 2).as("src"),
+        (col("s") * 2 + 1).as("dst"))
+      .unionAll(e0.select((col("s") * 2 + 1).as("src"),
+        (col("p") * 2).as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val withDeg = edges.join(deg, "src")
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
@@ -59,7 +67,10 @@ object Graph {
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true)
     }
-    ranks.select(col("node"), col("r").as("rank"))
+    ranks.select(concat(
+          when(col("node") % 2 === 0, lit("p")).otherwise(lit("s")),
+          expr("node div 2").cast("string")).as("node"),
+        col("r").as("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(topK)
   }

@@ -43,10 +43,13 @@ object GraphInvariants {
     val pr = operators.Graph
       .pagerank(lineitem, partCap = partCap, iters = iters)
       .localCheckpoint(true)
+    // NOT checkpointed: checkOutputs parses this node-grain string
+    // frame into the packed-id `dist` exactly once and checkpoints
+    // THAT — pinning the string form too would hold both copies in
+    // storage (150M rows at 256×) for no extra reuse.
     val bfs = operators.Graph
       .bfsHops(lineitem, partCap = partCap, seedCap = seedCap,
         iters = iters, seedModulo = seedModulo)
-      .localCheckpoint(true)
     val lpa = operators.Graph
       .labelPropagation(lineitem, partCap = partCap, iters = iters)
     checkOutputs(lineitem, partCap, seedCap, seedModulo, iters,
@@ -62,20 +65,40 @@ object GraphInvariants {
       lpa: DataFrame): Seq[(String, Long)] = {
     val spark = lineitem.sparkSession
 
+    // Corpus-scale pins are SERIALIZED (r13): the default deserialized
+    // localCheckpoint stores each partition as ONE array of row
+    // objects, held whole on every read — at 256× the 86-partition e0
+    // (140M rows) and its 172-partition edge union are ~100 MB of
+    // objects PER BLOCK, and AQE materializes independent exchange
+    // branches concurrently (3 jobs × 32 tasks × a whole block each ≈
+    // the 8 GiB heap — the stage-147/151 OOM in the first gate run,
+    // see SCALING.md). MEMORY_AND_DISK_SER blocks are compact bytes,
+    // stream-deserialized row-at-a-time on read, and evict to disk
+    // without object churn.
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
     // ---- shared pair generator (the consumed input) ----
     val e0 = lineitem.filter(col("l_partkey") <= partCap)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, ser)
+
+    // Packed-long node ids (2p / 2s+1 — the engine's own bfs/pagerank
+    // packing) THROUGHOUT the checker (r13): the first 256× gate run
+    // carried ~50-byte "p<digits>" strings through a 280M-row edge
+    // relation, its localCheckpoint blocks, and every join/sort of the
+    // BFS checks — and died of heap pressure in the spill path. The
+    // numeric relation is 16-byte rows; labels are reconstructed only
+    // at the tiny top-100 boundary (before its orderBy — rank ties cut
+    // on the LABEL's lexicographic order) and parsed back once from
+    // the engine's node-grain BFS output.
+    val edges = e0.select((col("p") * 2).as("src"),
+        (col("s") * 2 + 1).as("dst"))
+      .unionAll(e0.select((col("s") * 2 + 1).as("src"),
+        (col("p") * 2).as("dst")))
+      .localCheckpoint(true, ser)
 
     // ---- PageRank: independent chain, node-grain contribs in SQL ----
-    val edges = e0.select(
-        concat(lit("p"), col("p").cast("string")).as("src"),
-        concat(lit("s"), col("s").cast("string")).as("dst"))
-      .unionAll(e0.select(
-        concat(lit("s"), col("s").cast("string")).as("src"),
-        concat(lit("p"), col("p").cast("string")).as("dst")))
-      .localCheckpoint(true)
     edges.createOrReplaceTempView("gi_edges")
     spark.sql(
       "SELECT src AS node, count(*) AS d FROM gi_edges GROUP BY src")
@@ -95,22 +118,29 @@ object GraphInvariants {
              ON e.src = c.node
            GROUP BY e.dst""").localCheckpoint(true)
     }
-    val checkTop = rv.select(col("node"), col("r").as("rank"))
+    val checkTop = rv.select(concat(
+          when(col("node") % 2 === 0, lit("p")).otherwise(lit("s")),
+          expr("node div 2").cast("string")).as("node"),
+        col("r").as("rank"))
       .orderBy(col("rank").desc, col("node")).limit(100)
       .localCheckpoint(true)
     val prFloor = pr.filter(col("rank") < 150000).count()
     val prMismatch = pr.exceptAll(checkTop).count() +
       checkTop.exceptAll(pr).count()
 
-    // ---- BFS: output properties over the string-labeled edge set ----
-    val dist = bfs.select(col("node"), col("d")).localCheckpoint(true)
+    // ---- BFS: output properties, engine labels parsed to packed ids ----
+    val nid = when(substring(col("node"), 1, 1) === "p",
+        expr("CAST(substring(node, 2) AS BIGINT) * 2"))
+      .otherwise(expr("CAST(substring(node, 2) AS BIGINT) * 2 + 1"))
+    val dist = bfs.select(nid.as("node"), col("d"))
+      .localCheckpoint(true, ser)
     val dupNode = dist.groupBy(col("node")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).count()
     val depthBad = dist.filter(col("d") < 0 || col("d") > iters).count()
     val seedPred = if (seedModulo > 0) col("p") % seedModulo <= seedCap
       else col("p") <= seedCap
     val expectedSeeds = e0.filter(seedPred)
-      .select(concat(lit("p"), col("p").cast("string")).as("node"))
+      .select((col("p") * 2).as("node"))
       .distinct()
     val engineSeeds = dist.filter(col("d") === 0).select(col("node"))
     val seedWrong = engineSeeds.exceptAll(expectedSeeds).count() +

@@ -100,9 +100,39 @@ object ScaledGate {
     } else defaultQueries
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
+    // Shuffle-partition count scales with k (r13): partition sizing is
+    // the one deploy-time knob that MUST track the corpus. At k=1024
+    // a 32-partition shuffle of the exploded shingle index gives each
+    // task a ~64M-row sort whose spill-MERGE phase opens every spill
+    // file at once — UnsafeSorterSpillReader allocates 2×1 MB of
+    // read-ahead buffers per open file, and ~50 files × 32 concurrent
+    // tasks is ~3 GB of transient buffers before any row moves: that
+    // allocation (not the data) is what killed the default 8 GiB heap
+    // (SCALING.md "CC family on the default heap"). k×4 partitions
+    // keeps per-task sort volume roughly flat in k, while AQE (on by
+    // default) coalesces small post-shuffle stages back down, so
+    // low-k gates keep their plans and cost.
+    val shuffleParts = math.min(2048, math.max(32, k * 4))
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
+      // Per-task memory sizing for a 32-slot single JVM (r13): AQE
+      // coalesces every shuffle back to its 64 MB advisory target, so
+      // raising shuffle.partitions alone cannot shrink a task's sort
+      // below ~64 MB compressed (~3-6× that raw) — while local[32] on
+      // the default heap gives each slot only heap×0.6/32 ≈ 50-150 MB
+      // of execution memory. The resulting 10+ spill files per sort
+      // are then MERGED with 2×1 MB read-ahead buffers per open file
+      // (G1-humongous allocations), and 32 concurrent tasks × 2 SMJ
+      // sorts × 10 files × 2 MB ≈ 1.3 GB of transient buffers — the
+      // allocation that actually killed the 1024× run on the default
+      // heap (SCALING.md). A 16 MB advisory target (fewer spills per
+      // task) + read-ahead off (1 buffer per open spill file instead
+      // of 2; the 1 MB buffer size itself is Spark's enforced minimum)
+      // sizes tasks to the slot quota — the same arithmetic a real
+      // cluster does per executor core.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
