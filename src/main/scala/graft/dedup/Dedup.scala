@@ -118,6 +118,16 @@ object Dedup {
       .filter(col("df").between(2, maxDf))
       .select(col("h"))
     val indexed = sh.join(dfOk, Seq("h"))
+    // `indexed` appears on BOTH sides of the self-join. In the
+    // at-scale shuffle-join form both consumers request the same
+    // hash-partitioning on h and Spark dedups the identical exchange
+    // into one Exchange + a ReusedExchange — DedupSpec pins this
+    // ("reads the shingle index once via ReusedExchange", forced
+    // no-broadcast). At sf0.01 AQE instead broadcasts one side and the
+    // cheap explode subtree runs per side (PLANSTATS reused=0 there is
+    // expected, not a regression). If a plan change upstream of
+    // `indexed` breaks the at-scale reuse, the dominant stage silently
+    // doubles — the spec fails first. (r13 ADVICE, low.)
     val pairs = indexed.as("a").join(indexed.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -290,6 +300,8 @@ object Dedup {
       .filter(col("df").between(2, maxDf))
       .select(col("h"))
     val indexed = sh.join(dfOk, Seq("h"))
+    // Both self-join sides read `indexed` once via ReusedExchange on h
+    // — same dependency (and same re-check rule) as jaccardPairs above.
     val pairs = indexed.as("a").join(indexed.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

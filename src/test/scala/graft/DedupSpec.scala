@@ -82,6 +82,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0).getDouble(3) > 0.5)
   }
 
+  test("at-scale (no-broadcast) jaccard self-join reads the shingle " +
+      "index once via ReusedExchange") {
+    // The pair join references `indexed` on both sides (Dedup.scala);
+    // in the shuffle-join form that is safe ONLY because Spark dedups
+    // the two identical exchanges on h into one + a ReusedExchange
+    // (r13 ADVICE, low). Force the SMJ form (sf0.01 AQE broadcasts and
+    // instead recomputes the cheap explode per side) and pin the reuse
+    // so a plan change upstream of `indexed` that silently doubles the
+    // dominant stage fails here.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = dedup.Dedup.jaccardPairs(
+        docs(Seq(base, base.replace("lazy", "sleepy"))), n = 3,
+        threshold = 0.3)
+      df.collect() // drive THIS QueryExecution's AQE to the final plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan never executed:\n$plan")
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"exchange not reused:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedup clusters merge transitive chains A~B~C into one component") {
     // A~B and B~C each differ by one word (jaccard ≈ 0.7, above 0.6);
     // A and C differ by TWO words (jaccard ≈ 0.5, below 0.6) — so A and C

@@ -129,11 +129,18 @@ object GraphInvariants {
       checkTop.exceptAll(pr).count()
 
     // ---- BFS: output properties, engine labels parsed to packed ids ----
-    val nid = when(substring(col("node"), 1, 1) === "p",
-        expr("CAST(substring(node, 2) AS BIGINT) * 2"))
-      .otherwise(expr("CAST(substring(node, 2) AS BIGINT) * 2 + 1"))
-    val dist = bfs.select(nid.as("node"), col("d"))
+    // Parse is regex-gated (r13 ADVICE): a malformed engine label
+    // (wrong prefix / non-numeric suffix) maps to NULL and fires its
+    // own counter instead of silently aliasing to a packed id the
+    // otherwise-prefix CAST would fabricate.
+    val nid = when(col("node").rlike("^[ps][0-9]+$"),
+      when(substring(col("node"), 1, 1) === "p",
+          expr("CAST(substring(node, 2) AS BIGINT) * 2"))
+        .otherwise(expr("CAST(substring(node, 2) AS BIGINT) * 2 + 1")))
+    val distAll = bfs.select(nid.as("node"), col("d"))
       .localCheckpoint(true, ser)
+    val labelBad = distAll.filter(col("node").isNull).count()
+    val dist = distAll.filter(col("node").isNotNull)
     val dupNode = dist.groupBy(col("node")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).count()
     val depthBad = dist.filter(col("d") < 0 || col("d") > iters).count()
@@ -211,6 +218,7 @@ object GraphInvariants {
     Seq(
       "pr_top100_mismatch" -> prMismatch,
       "pr_rank_below_floor" -> prFloor,
+      "bfs_label_unparseable" -> labelBad,
       "bfs_duplicate_node" -> dupNode,
       "bfs_depth_out_of_range" -> depthBad,
       "bfs_seed_set_wrong" -> seedWrong,

@@ -42,6 +42,15 @@ class GraphInvariantsSpec extends AnyFunSuite {
     assert(counts(bad, bfs, lpa)("pr_rank_below_floor") > 0)
   }
 
+  test("a malformed BFS label fires the parse-failure counter instead " +
+      "of aliasing to a fabricated packed id") {
+    val victim = bfs.head().getString(0)
+    val bad = bfs.withColumn("node",
+      when(col("node") === victim, concat(lit("x"), col("node")))
+        .otherwise(col("node")))
+    assert(counts(pr, bad, lpa)("bfs_label_unparseable") > 0)
+  }
+
   test("a duplicated BFS row fires the one-row-per-node counter") {
     val bad = bfs.unionAll(bfs.limit(1))
     assert(counts(pr, bad, lpa)("bfs_duplicate_node") > 0)

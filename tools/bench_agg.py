@@ -41,14 +41,22 @@ def main() -> None:
         c = r["calibration"]
         vals = [v for v in (c["before"], c.get("mid", -1), c["after"])
                 if v and v > 0]
+        if not vals:
+            sys.exit(f"run {p}: no positive calibration probes "
+                     f"(calibration={c!r}) — rerun or drop this file")
         probes.append(statistics.median(vals))
         if max(vals) / min(vals) > 2:
             flags.append(p)
 
-    raw = {n: round(statistics.median([r["queries"][n] for r in runs]), 3)
-           for n in names}
-    norm = {n: round(statistics.median(
-        [r["queries"][n] / pm for r, pm in zip(runs, probes)]), 2)
+    # Bench.scala records a FAILED query's time as a negative number and
+    # computes each run's "value" as sum(abs(t)).  Median over signed
+    # per-run times, then abs(), matches that convention — a query that
+    # failed in the median run contributes its magnitude to the total
+    # instead of subtracting from it (r13 ADVICE, medium).
+    raw = {n: round(abs(statistics.median(
+        [r["queries"][n] for r in runs])), 3) for n in names}
+    norm = {n: round(abs(statistics.median(
+        [r["queries"][n] / pm for r, pm in zip(runs, probes)])), 2)
         for n in names}
     errors = sorted({e for r in runs for e in r.get("errors", [])})
 
