@@ -1,0 +1,234 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming-family scale gate (VERDICT r13 item 5): the q_stream_*
+  * queries are oracled at sf0.01 but had no scaled run — this tool
+  * drains the DSv2 synthetic source at 64× the catalog volume
+  * (n = 3.2M vs the catalog's 50k) under `Trigger.AvailableNow` with
+  * the RocksDB state store, records the per-operator state metrics
+  * from every micro-batch, and proves the TWO claims that matter at
+  * 100 TB:
+  *
+  *  1. **Exactly-once at scale** — the redelivering source emits ~2n
+  *     rows; `dropDuplicatesWithinWatermark` must keep exactly the n
+  *     unique events (checked by per-type count/sum(event_id)/
+  *     sum(cents) against an INDEPENDENT `spark.range(n)` replay of
+  *     the generator arithmetic — any leaked duplicate or lost row
+  *     changes a sum).
+  *  2. **State bounded by keys-in-window, not corpus** — for each
+  *     stateful operator the max `numRowsTotal` across all batches
+  *     must track the watermark-window population (≈ rowsPerBatch +
+  *     600 ids for dedup: ts advances 1 s/id and the delay is 10 min;
+  *     ≈ open windows × 5 types for the windowed agg; ≈ in-flight
+  *     session fragments for session windows) — NOT n. Running the
+  *     same gate at two n values (the k-curve) shows the bound is
+  *     flat in the corpus.
+  *
+  * Paths: dedup (redeliver → dropDuplicatesWithinWatermark → parquet),
+  * windowed agg (append mode — closed windows EVICT, unlike the
+  * catalog's complete-mode demo), session windows (gap 30 min over a
+  * synthetic key `floor(id/3) % 5000`: every session is an exact
+  * triple of 1 s-spaced events, the next triple for the same key is
+  * 15,000 s away, so sessions close fast and fragments still merge
+  * across batch boundaries; emitted sessions are recomputed exactly
+  * from range(n) and compared as a multiset).
+  *
+  * Run: sbt "Test/runMain graft.StreamScaleGate 3200000 100000"
+  * args: [n] [rowsPerBatch] [outRoot]
+  * Output: STREAMGATE lines + <outRoot>/stream_gate.json; exit 1 on
+  * any check failure.
+  */
+object StreamScaleGate {
+  private val BASE = 1704067200L // 2024-01-01T00:00:00Z, the source's base
+
+  private def opStats(q: StreamingQuery): (Long, Double, Long, Int, String) = {
+    val ps = q.recentProgress
+    var maxRows = 0L; var maxMem = 0.0; var dropped = 0L; var wm = ""
+    ps.foreach { p =>
+      p.stateOperators.foreach { op =>
+        maxRows = math.max(maxRows, op.numRowsTotal)
+        maxMem = math.max(maxMem, op.memoryUsedBytes / 1e6)
+        dropped += op.numRowsDroppedByWatermark
+      }
+      val w = p.eventTime.get("watermark")
+      if (w != null && w > wm) wm = w
+    }
+    (maxRows, maxMem, dropped, ps.length, wm)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 3200000L
+    val rowsPerBatch = if (args.length > 1) args(1).toLong else 100000L
+    val outRoot = if (args.length > 2) args(2)
+      else Files.createTempDirectory("graft_streamgate").toString
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // keep ALL progresses: the max-over-batches state metric is the
+      // gate's subject (default retention is 100, batches ≤ ~70 here)
+      .config("spark.sql.streaming.numRecentProgressUpdates", "200")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def source(redeliver: Boolean): DataFrame = spark.readStream
+      .format("graft.sources.SyntheticEventsSource")
+      .option("n", n).option("slices", 4)
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("redeliver", redeliver.toString)
+      .load()
+
+    // independent replay of the generator arithmetic (the oracle's
+    // range() recompute, in-engine so it runs at any n)
+    def rangeEvents: DataFrame = spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(BASE) + col("id")).as("ts"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("scroll"),
+          lit("hover")),
+        (col("id") % 5 + 1).cast("int")).as("event_type"),
+      (col("id") * 31 % 10000).as("cents"))
+
+    val results = scala.collection.mutable.ArrayBuffer[String]()
+    var failures = 0
+    def check(name: String, ok: Boolean, detail: String): Unit = {
+      if (!ok) failures += 1
+      println(s"STREAMGATE CHECK $name ${if (ok) "PASS" else "FAIL"} $detail")
+      results += s""""$name":{"pass":${ok},"detail":"$detail"}"""
+    }
+    def report(path: String, q: StreamingQuery, boundDesc: String,
+        bound: Long): Unit = {
+      val (rows, mem, dropped, batches, wm) = opStats(q)
+      println(f"STREAMGATE OP path=$path max_state_rows=$rows " +
+        f"max_state_mem_mb=$mem%.1f dropped_late=$dropped " +
+        f"batches=$batches watermark=$wm")
+      results += s""""${path}_state":{"max_rows":$rows,""" +
+        f""""max_mem_mb":$mem%.1f,"dropped_late":$dropped,""" +
+        s""""batches":$batches,"bound":$bound}"""
+      check(s"${path}_state_bounded", rows <= bound,
+        s"max_state_rows=$rows $boundDesc=$bound (corpus n=$n)")
+    }
+
+    // ---- 1. dedup path: redeliver ~2n rows -> exactly-once n out ----
+    val t0 = System.nanoTime()
+    val dedupDir = s"$outRoot/dedup_out"
+    val qd = streaming.StreamingPipeline
+      .dedupStream(
+        // adapt the synthetic schema to validated()'s event shape
+        source(redeliver = true)
+          .withColumn("value", col("cents").cast("double")))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$outRoot/dedup_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", dedupDir).start()
+    qd.awaitTermination()
+    val dedupSec = (System.nanoTime() - t0) / 1e9
+    val got = spark.read.parquet(dedupDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"),
+        sum(col("cents")).as("sum_cents"))
+    val want = rangeEvents.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"),
+        sum(col("cents")).as("sum_cents"))
+    val dedupDiff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    check("dedup_exactly_once", dedupDiff == 0,
+      s"per-type count/sum diff rows=$dedupDiff over n=$n (~2n delivered)")
+    // state holds ids within (watermark, now]: one batch of new ids +
+    // the 600 s delay tail; 2x headroom for batch-boundary raggedness
+    report("dedup", qd, "2*(rowsPerBatch+600)", 2 * (rowsPerBatch + 600))
+    println(f"STREAMGATE TIME path=dedup sec=$dedupSec%.1f")
+
+    // ---- 2. windowed agg, APPEND mode: closed windows evict ----
+    val t1 = System.nanoTime()
+    val winDir = s"$outRoot/win_out"
+    val qw = source(redeliver = false)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$outRoot/win_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", winDir).start()
+    qw.awaitTermination()
+    val winSec = (System.nanoTime() - t1) / 1e9
+    val (_, _, _, _, wmW) = opStats(qw)
+    // append emits exactly the windows the FINAL watermark has closed
+    val wmTs = to_timestamp(lit(wmW.replace("T", " ").replace("Z", "")))
+    val wantWin = rangeEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .filter(col("window.end") <= wmTs)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+    val gotWin = spark.read.parquet(winDir)
+    val winDiff = gotWin.exceptAll(wantWin).count() +
+      wantWin.exceptAll(gotWin).count()
+    check("windowed_append_exact", winDiff == 0,
+      s"emitted-closed-windows diff rows=$winDiff " +
+        s"(emitted=${gotWin.count()}, watermark=$wmW)")
+    // open state: windows not yet closed x 5 types; the 1 h window +
+    // 10 min delay spans <= 2 open windows, 10x headroom
+    report("windowed", qw, "10*2*5types", 100)
+    println(f"STREAMGATE TIME path=windowed sec=$winSec%.1f")
+
+    // ---- 3. session windows: exact-triple sessions, cross-batch merge ----
+    val t2 = System.nanoTime()
+    val sesDir = s"$outRoot/ses_out"
+    val qs = source(redeliver = false)
+      .withColumn("skey", (col("event_id") / 3).cast("long") % 5000)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("skey"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+      .select(col("session_window.start").as("w_start"), col("skey"),
+        col("n_events"), col("sum_ids"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$outRoot/ses_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", sesDir).start()
+    qs.awaitTermination()
+    val sesSec = (System.nanoTime() - t2) / 1e9
+    val (_, _, _, _, wmS) = opStats(qs)
+    val wmTsS = to_timestamp(lit(wmS.replace("T", " ").replace("Z", "")))
+    // sessions = consecutive id triples (1 s apart, next triple for the
+    // key 14,998 s away >> the 30 min gap); replay from range(n):
+    // session window = [min ts, max ts + gap)
+    val wantSes = rangeEvents
+      .withColumn("skey", (col("event_id") / 3).cast("long") % 5000)
+      .withColumn("grp", (col("event_id") / 3).cast("long"))
+      .groupBy(col("grp"), col("skey"))
+      .agg(min(col("ts")).as("w_start"),
+        (max(col("ts")) + expr("INTERVAL 30 MINUTES")).as("w_end"),
+        count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+      .filter(col("w_end") <= wmTsS)
+      .select(col("w_start"), col("skey"), col("n_events"), col("sum_ids"))
+    val gotSes = spark.read.parquet(sesDir)
+    val sesDiff = gotSes.exceptAll(wantSes).count() +
+      wantSes.exceptAll(gotSes).count()
+    check("session_append_exact", sesDiff == 0,
+      s"emitted-session diff rows=$sesDiff (emitted=${gotSes.count()}, " +
+        s"watermark=$wmS)")
+    // in-flight fragments: sessions whose window end is still above the
+    // watermark — the gap+delay tail (2400 s of ids) plus one batch
+    report("session", qs, "2*(rowsPerBatch+2400)", 2 * (rowsPerBatch + 2400))
+    println(f"STREAMGATE TIME path=session sec=$sesSec%.1f")
+
+    val json = results.mkString(
+      s"""{"n":$n,"rows_per_batch":$rowsPerBatch,""", ",", "}")
+    Files.writeString(java.nio.file.Paths.get(s"$outRoot/stream_gate.json"),
+      json)
+    println(s"STREAMGATE done failures=$failures -> $outRoot/stream_gate.json")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
