@@ -103,11 +103,20 @@ object PairCostProbe {
     val aggExprs = maxDfs.flatMap { m =>
       Seq(
         sum(when(col("df") <= m,
-          col("df") * (col("df") - 1) / 2)).as(s"cand_$m"),
+          expr("df * (df - 1) div 2"))).as(s"cand_$m"),
         count(when(col("df") <= m, 1)).as(s"survivors_$m"))
     } :+ count(lit(1)).as("shingles_df_ge2")
     val row = hist.agg(aggExprs.head, aggExprs.tail: _*).head()
     val totalSh = row.getAs[Long]("shingles_df_ge2")
+    // df tail shape: WHY the maxDf lever does / does not bite on this
+    // corpus (salted copies have disjoint vocabularies, so df is
+    // bounded by within-copy duplication; a real web corpus has hot
+    // shingles the cap exists for)
+    val tail = hist.agg(max(col("df")).as("df_max"),
+      expr("percentile_approx(df, 0.99)").as("df_p99"),
+      expr("percentile_approx(df, 0.999)").as("df_p999")).head()
+    println(s"PAIRCOST-DFTAIL label=$label df_max=${tail.get(0)} " +
+      s"df_p99=${tail.get(1)} df_p999=${tail.get(2)}")
     maxDfs.foreach { m =>
       val cand = row.getAs[Long](s"cand_$m")
       val surv = row.getAs[Long](s"survivors_$m")

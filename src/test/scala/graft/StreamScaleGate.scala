@@ -177,9 +177,13 @@ object StreamScaleGate {
     check("windowed_append_exact", winDiff == 0,
       s"emitted-closed-windows diff rows=$winDiff " +
         s"(emitted=${gotWin.count()}, watermark=$wmW)")
-    // open state: windows not yet closed x 5 types; the 1 h window +
-    // 10 min delay spans <= 2 open windows, 10x headroom
-    report("windowed", qw, "10*2*5types", 100)
+    // open state: windows whose end is above the (one-batch-lagged)
+    // watermark — ts advances 1 s/id, so one batch spans
+    // rowsPerBatch/3600 h of event time and its windows evict only at
+    // the NEXT batch; x 5 types, 2x headroom. The bound scales with
+    // the per-batch event-time span, not the corpus.
+    report("windowed", qw, "2*5types*(batchSpanWindows+2)",
+      2 * 5 * (rowsPerBatch / 3600 + 2))
     println(f"STREAMGATE TIME path=windowed sec=$winSec%.1f")
 
     // ---- 3. session windows: exact-triple sessions, cross-batch merge ----
