@@ -38,10 +38,21 @@ import org.apache.spark.sql.functions._
   * of its class. */
 object GraphInvariants {
   def check(lineitem: DataFrame, partCap: Long = 2000,
-      seedCap: Long = 3, seedModulo: Long = 0, iters: Int = 3)
-      : Seq[(String, Long)] = {
+      seedCap: Long = 3, seedModulo: Long = 0, iters: Int = 3,
+      checkpointEvery: Int = 0): Seq[(String, Long)] = {
+    // `checkpointEvery` = 1 at gate scale (r14): the unrolled 3-round
+    // pagerank/bfs plans are ONE job each, so every round's edge-scale
+    // shuffle (1.1B rows ≈ 10 GB compressed at 1024×) stays on disk
+    // until the job ends — the 1024× gate filled the box's 69 GB of
+    // free disk inside the pagerank job alone. Per-round checkpoints
+    // split the rounds into separate jobs whose superseded shuffle
+    // files the ContextCleaner frees between rounds; OperatorSpec pins
+    // checkpointed == unrolled bit-exactly, so the certificate is
+    // unchanged. This is the operator's documented deep-iteration
+    // production shape, now exercised by the gate.
     val pr = operators.Graph
-      .pagerank(lineitem, partCap = partCap, iters = iters)
+      .pagerank(lineitem, partCap = partCap, iters = iters,
+        checkpointEvery = checkpointEvery)
       .localCheckpoint(true)
     // NOT checkpointed: checkOutputs parses this node-grain string
     // frame into the packed-id `dist` exactly once and checkpoints
@@ -49,9 +60,11 @@ object GraphInvariants {
     // storage (150M rows at 256×) for no extra reuse.
     val bfs = operators.Graph
       .bfsHops(lineitem, partCap = partCap, seedCap = seedCap,
-        iters = iters, seedModulo = seedModulo)
+        iters = iters, seedModulo = seedModulo,
+        checkpointEvery = checkpointEvery)
     val lpa = operators.Graph
-      .labelPropagation(lineitem, partCap = partCap, iters = iters)
+      .labelPropagation(lineitem, partCap = partCap, iters = iters,
+        checkpointEvery = checkpointEvery)
     checkOutputs(lineitem, partCap, seedCap, seedModulo, iters,
       pr, bfs, lpa)
   }
@@ -92,11 +105,16 @@ object GraphInvariants {
     // at the tiny top-100 boundary (before its orderBy — rank ties cut
     // on the LABEL's lexicographic order) and parsed back once from
     // the engine's node-grain BFS output.
+    // NOT checkpointed (r14): the union is a NARROW map over the pinned
+    // e0 blocks, so every use recomputes it for free — pinning it too
+    // held a second full copy of the edge relation (1.1B × 16-byte rows
+    // ≈ 10 GB serialized at 1024×) on a box whose disk, not heap, is
+    // the gate's binding resource. Downstream exchanges shuffle the
+    // same volume either way.
     val edges = e0.select((col("p") * 2).as("src"),
         (col("s") * 2 + 1).as("dst"))
       .unionAll(e0.select((col("s") * 2 + 1).as("src"),
         (col("p") * 2).as("dst")))
-      .localCheckpoint(true, ser)
 
     // ---- PageRank: independent chain, node-grain contribs in SQL ----
     edges.createOrReplaceTempView("gi_edges")

@@ -113,8 +113,26 @@ object ScaledGate {
     // default) coalesces small post-shuffle stages back down, so
     // low-k gates keep their plans and cost.
     val shuffleParts = math.min(2048, math.max(32, k * 4))
+    // Slots-per-heap sizing for the deep graph gate (r14): at 1024×
+    // the checker's wide joins hit UNABLE_TO_ACQUIRE_MEMORY in a
+    // shuffle sorter — AQE materializes independent exchange branches
+    // concurrently, and 32 task slots sharing the default heap's
+    // ~4.8 GB execution region leave ~150 MB/slot, so a contended task
+    // can fail to acquire even its first page (local mode has no task
+    // retry to absorb it). The gate certifies the DEFAULT heap, so it
+    // trades SLOTS instead of heap — 16 cores on 8 GiB ≈ 0.5 GB of
+    // heap per core, the memory-per-core arithmetic a real cluster
+    // does when sizing executors for graph workloads. Execution also
+    // gets a larger guaranteed share (fraction 0.7, storage floor
+    // 0.3): every corpus-scale pin in the gate is MEMORY_AND_DISK_SER,
+    // so storage evicting to disk is the designed behavior, not a
+    // loss.
+    val deepGraph = graphMode && k >= 512
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(if (deepGraph) "local[16]" else "local[32]")
+      .config("spark.memory.fraction", if (deepGraph) "0.7" else "0.6")
+      .config("spark.memory.storageFraction",
+        if (deepGraph) "0.3" else "0.5")
       .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       // Per-task memory sizing for a 32-slot single JVM (r13): AQE
       // coalesces every shuffle back to its 64 MB advisory target, so
@@ -133,6 +151,25 @@ object ScaledGate {
       // cluster does per executor core.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+      // Disk sizing for the single-box gate (r14): the 1024× GRAPH gate
+      // filled the box's 80 GB of free disk in ~20 min and had to be
+      // killed before finishing. Two defaults are wrong for an
+      // iterative checker that pins corpus-scale frames: (1) serialized
+      // storage blocks (the MEMORY_AND_DISK_SER localCheckpoints of the
+      // 1.1B-row packed-long edge relation) are written UNCOMPRESSED —
+      // spark.rdd.compress is false by default; LZ4 shrinks monotone
+      // packed-long rows several-fold for a few % CPU. (2) Shuffle
+      // files from each finished check job are only deleted when the
+      // driver GC collects their ShuffleDependency and the
+      // ContextCleaner's periodic fallback GC fires every 30 MINUTES by
+      // default — an 18-check gate accumulates every intermediate
+      // shuffle for half an hour on a box that fills in 20 minutes.
+      // 1-minute periodic GC bounds the debris window to roughly one
+      // gate phase (a 1024× edge-scale job writes ~10 GB/min, so a
+      // 5-minute window still accumulated ~50 GB); on a real cluster
+      // the same two knobs size executor local disks.
+      .config("spark.rdd.compress", "true")
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -190,9 +227,15 @@ object ScaledGate {
     if (graphMode) {
       val li = Tables.load(spark, tablesDir, "lineitem")
       val t0 = System.nanoTime()
+      // checkpointEvery = 1: the deep-iteration production shape (each
+      // round a separate job so superseded edge-scale shuffles free
+      // between rounds) — at 1024× the unrolled single-job form needs
+      // more transient disk than the box has (see the session confs
+      // above); OperatorSpec pins checkpointed == unrolled.
       val results = GraphInvariants.check(li,
         partCap = Long.MaxValue, seedCap = 3,
-        seedModulo = ScaledFixtures.idShift, iters = 3)
+        seedModulo = ScaledFixtures.idShift, iters = 3,
+        checkpointEvery = 1)
       val sec = (System.nanoTime() - t0) / 1e9
       results.foreach { case (name, v) =>
         println(s"GATE INVARIANT $name violations=$v " +
