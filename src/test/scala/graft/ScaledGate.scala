@@ -120,17 +120,20 @@ object ScaledGate {
     // ~4.8 GB execution region leave ~150 MB/slot, so a contended task
     // can fail to acquire even its first page (local mode has no task
     // retry to absorb it). The gate certifies the DEFAULT heap, so it
-    // trades SLOTS instead of heap — 16 cores on 8 GiB ≈ 0.5 GB of
+    // trades SLOTS instead of heap — 12 cores on 8 GiB ≈ 0.67 GB of
     // heap per core, the memory-per-core arithmetic a real cluster
     // does when sizing executors for graph workloads. Execution also
-    // gets a larger guaranteed share (fraction 0.7, storage floor
-    // 0.3): every corpus-scale pin in the gate is MEMORY_AND_DISK_SER,
-    // so storage evicting to disk is the designed behavior, not a
-    // loss.
+    // keeps the default unified fraction 0.6 — raising it to 0.7 was
+    // tried and OOM'd the USER region instead (codegen row buffers,
+    // SMJ group arrays and shuffle-fetch buffers are untracked heap;
+    // shrinking (1 − fraction) from ~3.1 GB to ~2.3 GB moved the
+    // failure from the tracked sorter to a raw heap OOM at 16 slots) —
+    // and lowers only the storage IMMUNE floor to 0.3: every
+    // corpus-scale pin in the gate is MEMORY_AND_DISK_SER, so storage
+    // evicting to disk is the designed behavior, not a loss.
     val deepGraph = graphMode && k >= 512
     val spark = SparkSession.builder()
-      .master(if (deepGraph) "local[16]" else "local[32]")
-      .config("spark.memory.fraction", if (deepGraph) "0.7" else "0.6")
+      .master(if (deepGraph) "local[12]" else "local[32]")
       .config("spark.memory.storageFraction",
         if (deepGraph) "0.3" else "0.5")
       .config("spark.sql.shuffle.partitions", shuffleParts.toString)
