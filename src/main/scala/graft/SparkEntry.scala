@@ -472,6 +472,10 @@ object SparkEntry {
     "q_dedup_exact" -> t("documents")(D.exactDedup),
     "q_dedup_digest" -> t("documents")(D.exactDedupByDigest),
     "q_jaccard_pairs" -> t("documents")(D.jaccardPairs(_)),
+    // Hash-sliced sequential form of the same pair join (the
+    // transient-disk knob the 4096× gate runs on) — row-identical to
+    // q_jaccard_pairs by construction, so it shares the exact oracle.
+    "q_jaccard_sliced" -> t("documents")(D.jaccardPairsSliced(_, slices = 4)),
     // Broder's asymmetric companion: |A∩B|/|A| ≥ 0.9 — flags subset
     // duplication (quote inclusion) symmetric Jaccard misses.
     "q_containment" -> t("documents")(D.containmentPairs(_)),
@@ -2614,6 +2618,9 @@ object SparkEntry {
     "q_fertility" -> T.tokenizerFertilityOracleSql,
     "q_bpe_train" -> T.bpeTrainOracleSql(),
     "q_jaccard_pairs" -> jaccardAllPairsOracleSql(0.5),
+    // slicing partitions the shingle-hash space, so Σ slice partials
+    // reproduce the quadratic all-pairs oracle bit-for-bit
+    "q_jaccard_sliced" -> jaccardAllPairsOracleSql(0.5),
     "q_containment" -> D.containmentOracleSql(),
     // Same exact all-pairs oracle at the prefix variants' thresholds —
     // prefix filtering is lossless, so the sub-quadratic plans must

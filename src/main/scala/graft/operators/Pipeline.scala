@@ -49,8 +49,8 @@ object Pipeline {
     * Oracle: DuckDB recursive CTE computing min reachable id over the
     * same pair graph. */
   def dedupClusters(documents: DataFrame, threshold: Double = 0.5,
-      checkpointEvery: Int = 2, cacheKey: Option[String] = None)
-      : DataFrame = {
+      checkpointEvery: Int = 2, cacheKey: Option[String] = None,
+      pairSlices: Int = 1): DataFrame = {
     // Session-scoped LABEL cache (r12, the ivfIndexDir/lloydSeq
     // precedent): four catalog queries (clusters, weights, splits,
     // canonical) consume the SAME labeling — without a key each re-runs
@@ -66,20 +66,32 @@ object Pipeline {
         val dir = graft.SessionDirs.getOrBuild(spark,
           s"cc:$key:t$threshold", "graft_cc_labels") { root =>
           val out = root.toString + "/labels"
-          computeDedupClusters(documents, threshold, checkpointEvery)
+          computeDedupClusters(documents, threshold, checkpointEvery,
+              pairSlices, cacheKey)
             .write.mode("overwrite").parquet(out)
           out
         }
         spark.read.parquet(dir).orderBy(col("doc_id"))
       case None =>
-        computeDedupClusters(documents, threshold, checkpointEvery)
+        computeDedupClusters(documents, threshold, checkpointEvery,
+          pairSlices, cacheKey)
     }
   }
 
   private def computeDedupClusters(documents: DataFrame, threshold: Double,
-      checkpointEvery: Int): DataFrame = {
-    val pairs = graft.dedup.Dedup
-      .jaccardPairs(documents, threshold = threshold)
+      checkpointEvery: Int, pairSlices: Int = 1,
+      pairKey: Option[String] = None): DataFrame = {
+    // pairSlices > 1 = the transient-disk degrade-gracefully knob for
+    // corpora whose ONE-JOB pair stream outruns box disk (r14: 4096×
+    // needs ~400 GB live shuffle+spill vs ~77 GB free) — the sliced
+    // generator is row-identical to jaccardPairs (DedupSpec) and its
+    // persisted partials are keyed by the same corpus identity the
+    // label cache uses, so the invariant gate's probe pairs reuse the
+    // same single slice sweep.
+    val pairs = (if (pairSlices > 1)
+        graft.dedup.Dedup.jaccardPairsSliced(documents,
+          threshold = threshold, slices = pairSlices, cacheKey = pairKey)
+      else graft.dedup.Dedup.jaccardPairs(documents, threshold = threshold))
       .select(col("doc_a"), col("doc_b"))
     // both edge directions from ONE pass over the pair stream — a
     // union with the swapped projection would re-plan (and re-execute)

@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions.col
   * Run:  sbt "Test/runMain graft.ScaledGate 64"
   * then: python3 tools/check_oracle.py /tmp/graft_scaled_gate_64/tables \
   *         /tmp/graft_scaled_gate_64
-  * Args: [k] [outDir] [comma-joined query subset]
+  * Args: [k] [outDir] [comma-joined query subset | ALL | INVARIANTS |
+  *       GRAPH-INVARIANTS] [pairSlices (INVARIANTS mode only)]
   * Base fixtures come from SPARK_GRAFT_SF_DIR (default sf0.1).
   *
   * The default list covers the families whose PLANS differ most from a
@@ -92,7 +93,11 @@ object ScaledGate {
     // the answer. partCap lifts to MaxValue (the q_label_prop_full
     // rationale: the catalog cap would degenerate to the copy-0
     // subgraph) and BFS seeds per copy via seedModulo = the id shift.
-    val graphMode = args.length > 2 && args(2) == "GRAPH-INVARIANTS"
+    // "GRAPH" accepted as an alias (r14 ADVICE: the documented short
+    // form used to fall through to the query-subset path and die on a
+    // nonexistent query key).
+    val graphMode = args.length > 2 &&
+      (args(2) == "GRAPH-INVARIANTS" || args(2) == "GRAPH")
     val only: Seq[String] = if (args.length > 2) {
       if (args(2) == "ALL") SparkEntry.queries.keys.toSeq.sorted
       else if (invariantMode || graphMode) Seq.empty
@@ -154,9 +159,11 @@ object ScaledGate {
       // cluster does per executor core.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
-      // Disk sizing for the single-box gate (r14): the 1024× GRAPH gate
-      // filled the box's 80 GB of free disk in ~20 min and had to be
-      // killed before finishing. Two defaults are wrong for an
+      // Disk sizing for the single-box gate (r14): the 1024× GRAPH
+      // gate's first attempt consumed ~69 GB of transient disk in
+      // ~20 min (the box had ~77 GB free at that run's start — the
+      // same figure GraphInvariants.scala and SCALING.md carry) and
+      // had to be killed before finishing. Two defaults are wrong for an
       // iterative checker that pins corpus-scale frames: (1) serialized
       // storage blocks (the MEMORY_AND_DISK_SER localCheckpoints of the
       // 1.1B-row packed-long edge relation) are written UNCOMPRESSED —
@@ -261,10 +268,20 @@ object ScaledGate {
       // ---- CC-fixpoint invariant gate (no oracle at this k) ----
       val docs = Tables.load(spark, tablesDir, "documents")
       val t0 = System.nanoTime()
+      // Pair-join slicing (r14 VERDICT item 1): past ~2048× the ONE-JOB
+      // pair join's live shuffle+spill (~80 B/candidate × the Σ C(df,2)
+      // count the cost model prices — ~400 GB at 4096×) outruns this
+      // box's ~77 GB of free disk, so the gate runs the pair stream as
+      // K sequential disjoint hash-slices (transient disk ~1/K, output
+      // row-identical — DedupSpec). Optional 4th arg overrides; the
+      // default keeps low-k gates on the one-job plan they certify.
+      val pairSlices = if (args.length > 3) args(3).toInt
+        else if (k >= 2048) 12 else 1
+      if (pairSlices > 1) println(s"GATE pair-join slices=$pairSlices")
       // shared label cache = the catalog's production shape (one
       // fixpoint for clusters/weights/splits, not three)
       val results = CcInvariants.check(docs,
-        cacheKey = Some(s"$tablesDir/documents"))
+        cacheKey = Some(s"$tablesDir/documents"), pairSlices = pairSlices)
       val sec = (System.nanoTime() - t0) / 1e9
       results.foreach { case (name, v) =>
         println(s"GATE INVARIANT $name violations=$v " +
