@@ -439,7 +439,7 @@ object Similarity {
   /** Squared Euclidean distance — sequential double fold (zip_with +
     * aggregate), mirrored bit-for-bit by list_sum/list_transform in the
     * DuckDB oracles (the cosine precedent). */
-  private def dist2(a: Column, b: Column): Column =
+  private[graft] def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
@@ -483,7 +483,7 @@ object Similarity {
     * 3.38 → 2.36 s, the delta being three per-round exchange+sorts).
     * At 100 TB the only per-round shuffle left is the (cluster, pos)
     * re-mean partial-sum — corpus-size-independent. */
-  private def assignToCentroids(corpus: DataFrame,
+  private[graft] def assignToCentroids(corpus: DataFrame,
       cent: Seq[(Int, Seq[Double])]): DataFrame = {
     val centArr = array(cent.map { case (c, m) =>
       struct(typedLit(m).as("m"), lit(c).as("cl")) }: _*)
@@ -665,7 +665,7 @@ object Similarity {
     * FINAL assignment frame (the inverted lists) and the final trained
     * centroids. The caller persists `corpus` for the loop's 2R+1 eager
     * collect actions and releases it afterwards. */
-  private def trainQuantizer(corpus: DataFrame, rounds: Int,
+  private[graft] def trainQuantizer(corpus: DataFrame, rounds: Int,
       cacheKey: Option[String] = None)
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
     val seq = lloydSeq(corpus, rounds, cacheKey)
@@ -675,7 +675,7 @@ object Similarity {
   /** Serve path over a trained quantizer: each query probes its
     * `nprobe` d²-nearest centroids and ranks those lists (disjoint by
     * construction) by exact cosine. One list scan per (query, probe). */
-  private def serveTrained(corpus: DataFrame, assigned: DataFrame,
+  private[graft] def serveTrained(corpus: DataFrame, assigned: DataFrame,
       mDf: DataFrame, nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("q"))

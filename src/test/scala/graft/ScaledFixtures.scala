@@ -26,4 +26,21 @@ object ScaledFixtures {
         array_join(transform(split(col("text"), " "),
           w => concat(w, lit("x"),
             (col("doc_id") / lit(idShift)).cast("long"))), " "))
+
+  /** k× embeddings with deterministic per-(vector, dimension) jitter
+    * (ε ∈ [−0.01, 0.01] from xxhash64(vec_id, dim)) — copies become
+    * genuinely NEW points that keep the base corpus's cluster
+    * structure, the saltedDocs convention for the vector family: plain
+    * id-shifted copies would gate the adversarial all-exact-duplicates
+    * case (every cosine a tie) instead of a grown corpus. Applied to
+    * copy 0 too, so the whole gated corpus is one uniform
+    * distribution; ground truth is computed in-engine, never against
+    * the unjittered base. */
+  def jitteredEmbeddings(emb: DataFrame, k: Int): DataFrame =
+    scaled(emb, k, Seq("vec_id"))
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            (pmod(xxhash64(col("vec_id"), i), lit(2001L)).cast("double") -
+              lit(1000.0)) / lit(1000.0) * lit(0.01)).cast("float")))
 }

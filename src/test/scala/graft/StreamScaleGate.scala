@@ -39,26 +39,45 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * from range(n) and compared as a multiset).
   *
   * Run: sbt "Test/runMain graft.StreamScaleGate 3200000 100000"
-  * args: [n] [rowsPerBatch] [outRoot]
+  * args: [n] [rowsPerBatch] [outRoot] [RESTART]
+  *
+  * RESTART mode (r14 VERDICT item 3 — the reference's real failure
+  * mode is app.py:153-155, a restart that loses data): every path is
+  * KILLED mid-drain (the query is stopped once roughly half its
+  * expected batches have committed — the graceful driver-death local
+  * mode can express), then restarted from the SAME checkpoint, and
+  * the very same diff-0 exact checks must pass over the union of the
+  * two runs' output — checkpoint + RocksDB state + the parquet sink's
+  * batch-commit log must make the kill invisible. Two extra checks
+  * per path pin that the choreography really happened: the kill
+  * landed mid-drain (strictly fewer batches than the drain needs) and
+  * the restart RESUMED (its first batch id is no lower than the last
+  * committed id — not a from-scratch replay of batch 0).
+  *
   * Output: STREAMGATE lines + <outRoot>/stream_gate.json; exit 1 on
   * any check failure.
   */
 object StreamScaleGate {
   private val BASE = 1704067200L // 2024-01-01T00:00:00Z, the source's base
 
-  private def opStats(q: StreamingQuery): (Long, Double, Long, Int, String) = {
-    val ps = q.recentProgress
+  private def opStats(qs: Seq[StreamingQuery])
+      : (Long, Double, Long, Int, String) = {
     var maxRows = 0L; var maxMem = 0.0; var dropped = 0L; var wm = ""
-    ps.foreach { p =>
-      p.stateOperators.foreach { op =>
-        maxRows = math.max(maxRows, op.numRowsTotal)
-        maxMem = math.max(maxMem, op.memoryUsedBytes / 1e6)
-        dropped += op.numRowsDroppedByWatermark
+    var batches = 0
+    qs.foreach { q =>
+      val ps = q.recentProgress
+      batches += ps.length
+      ps.foreach { p =>
+        p.stateOperators.foreach { op =>
+          maxRows = math.max(maxRows, op.numRowsTotal)
+          maxMem = math.max(maxMem, op.memoryUsedBytes / 1e6)
+          dropped += op.numRowsDroppedByWatermark
+        }
+        val w = p.eventTime.get("watermark")
+        if (w != null && w > wm) wm = w
       }
-      val w = p.eventTime.get("watermark")
-      if (w != null && w > wm) wm = w
     }
-    (maxRows, maxMem, dropped, ps.length, wm)
+    (maxRows, maxMem, dropped, batches, wm)
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,6 +85,8 @@ object StreamScaleGate {
     val rowsPerBatch = if (args.length > 1) args(1).toLong else 100000L
     val outRoot = if (args.length > 2) args(2)
       else Files.createTempDirectory("graft_streamgate").toString
+    val restart = args.length > 3 &&
+      (args(3) == "RESTART" || args(3) == "--restart")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -105,7 +126,37 @@ object StreamScaleGate {
       println(s"STREAMGATE CHECK $name ${if (ok) "PASS" else "FAIL"} $detail")
       results += s""""$name":{"pass":${ok},"detail":"$detail"}"""
     }
-    def report(path: String, q: StreamingQuery, boundDesc: String,
+    // Drain a query to completion — or, in RESTART mode, stop it once
+    // ~half its expected batches have committed, rebuild it on the same
+    // checkpoint, and drain the rest; returns every run's query handle
+    // so state metrics and watermarks merge across the kill.
+    def drain(path: String, expectedBatches: Long)(
+        build: () => StreamingQuery): Seq[StreamingQuery] = {
+      val q1 = build()
+      if (!restart) { q1.awaitTermination(); return Seq(q1) }
+      val killAt = math.max(1L, expectedBatches / 2)
+      while (q1.isActive &&
+          Option(q1.lastProgress).map(_.batchId).getOrElse(-1L) < killAt)
+        Thread.sleep(200)
+      val killedAt = Option(q1.lastProgress).map(_.batchId).getOrElse(-1L)
+      if (q1.isActive) q1.stop()
+      q1.awaitTermination()
+      println(s"STREAMGATE KILL path=$path at_batch=$killedAt " +
+        s"(target=$killAt of ~$expectedBatches)")
+      check(s"${path}_kill_middrain",
+        killedAt >= 0 && killedAt < expectedBatches - 1,
+        s"killed_at_batch=$killedAt expected_batches=~$expectedBatches")
+      val q2 = build()
+      q2.awaitTermination()
+      val resumedAt = q2.recentProgress.headOption.map(_.batchId)
+        .getOrElse(-1L)
+      // resumed from the checkpoint: first post-restart batch is the
+      // killed batch (uncommitted re-run) or the next one — never 0
+      check(s"${path}_restart_resumed", resumedAt >= killedAt,
+        s"resumed_at_batch=$resumedAt killed_at_batch=$killedAt")
+      Seq(q1, q2)
+    }
+    def report(path: String, q: Seq[StreamingQuery], boundDesc: String,
         bound: Long): Unit = {
       val (rows, mem, dropped, batches, wm) = opStats(q)
       println(f"STREAMGATE OP path=$path max_state_rows=$rows " +
@@ -121,16 +172,18 @@ object StreamScaleGate {
     // ---- 1. dedup path: redeliver ~2n rows -> exactly-once n out ----
     val t0 = System.nanoTime()
     val dedupDir = s"$outRoot/dedup_out"
-    val qd = streaming.StreamingPipeline
-      .dedupStream(
-        // adapt the synthetic schema to validated()'s event shape
-        source(redeliver = true)
-          .withColumn("value", col("cents").cast("double")))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$outRoot/dedup_ckpt")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet").option("path", dedupDir).start()
-    qd.awaitTermination()
+    // the redelivering source emits ~2n rows -> ~2n/rowsPerBatch batches
+    val qd = drain("dedup", 2 * n / rowsPerBatch) { () =>
+      streaming.StreamingPipeline
+        .dedupStream(
+          // adapt the synthetic schema to validated()'s event shape
+          source(redeliver = true)
+            .withColumn("value", col("cents").cast("double")))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$outRoot/dedup_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", dedupDir).start()
+    }
     val dedupSec = (System.nanoTime() - t0) / 1e9
     val got = spark.read.parquet(dedupDir)
       .groupBy(col("event_type"))
@@ -150,17 +203,18 @@ object StreamScaleGate {
     // ---- 2. windowed agg, APPEND mode: closed windows evict ----
     val t1 = System.nanoTime()
     val winDir = s"$outRoot/win_out"
-    val qw = source(redeliver = false)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_cents"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$outRoot/win_ckpt")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet").option("path", winDir).start()
-    qw.awaitTermination()
+    val qw = drain("windowed", n / rowsPerBatch) { () =>
+      source(redeliver = false)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_cents"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$outRoot/win_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", winDir).start()
+    }
     val winSec = (System.nanoTime() - t1) / 1e9
     val (_, _, _, _, wmW) = opStats(qw)
     // append emits exactly the windows the FINAL watermark has closed
@@ -189,18 +243,19 @@ object StreamScaleGate {
     // ---- 3. session windows: exact-triple sessions, cross-batch merge ----
     val t2 = System.nanoTime()
     val sesDir = s"$outRoot/ses_out"
-    val qs = source(redeliver = false)
-      .withColumn("skey", (col("event_id") / 3).cast("long") % 5000)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(session_window(col("ts"), "30 minutes"), col("skey"))
-      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
-      .select(col("session_window.start").as("w_start"), col("skey"),
-        col("n_events"), col("sum_ids"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$outRoot/ses_ckpt")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet").option("path", sesDir).start()
-    qs.awaitTermination()
+    val qs = drain("session", n / rowsPerBatch) { () =>
+      source(redeliver = false)
+        .withColumn("skey", (col("event_id") / 3).cast("long") % 5000)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("skey"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+        .select(col("session_window.start").as("w_start"), col("skey"),
+          col("n_events"), col("sum_ids"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$outRoot/ses_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", sesDir).start()
+    }
     val sesSec = (System.nanoTime() - t2) / 1e9
     val (_, _, _, _, wmS) = opStats(qs)
     val wmTsS = to_timestamp(lit(wmS.replace("T", " ").replace("Z", "")))
@@ -228,7 +283,8 @@ object StreamScaleGate {
     println(f"STREAMGATE TIME path=session sec=$sesSec%.1f")
 
     val json = results.mkString(
-      s"""{"n":$n,"rows_per_batch":$rowsPerBatch,""", ",", "}")
+      s"""{"n":$n,"rows_per_batch":$rowsPerBatch,"restart":$restart,""",
+      ",", "}")
     Files.writeString(java.nio.file.Paths.get(s"$outRoot/stream_gate.json"),
       json)
     println(s"STREAMGATE done failures=$failures -> $outRoot/stream_gate.json")

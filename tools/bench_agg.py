@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Aggregate N single-run BENCH_full artifacts into the round record.
 
-Usage: python3 tools/bench_agg.py OUT.json RUN1.json RUN2.json ...
+Usage: python3 tools/bench_agg.py [--prev PREV_RECORD.json] OUT.json \
+           RUN1.json RUN2.json ...
 
 Emits the committed round artifact with BOTH series (VERDICT r12
 item 6 — round-over-round diffs were polluted by ~8% box-load drift):
@@ -22,14 +23,61 @@ The per-run probe median is median(before, mid, after) from the run's
 own calibration block; runs whose probes disagree wildly (max/min > 2)
 are flagged in "calibration_flags" but still included — the normalized
 series is exactly what absorbs that.
+
+With --prev (the PREVIOUS round's committed record, e.g.
+BENCH_full_r14.json), the output also carries a "regressions" block —
+every query whose NORMALIZED median moved >1.25x vs that record, plus
+queries added/removed — so round-over-round adjudication is mechanical
+in the committed artifact instead of a judge recomputing it (r14
+VERDICT item 2). Each entry: {query, prev, now, ratio}; dispositions
+belong in SCALING.md next to the round's record.
 """
 import json
 import statistics
 import sys
 
 
+REGRESSION_RATIO = 1.25  # normalized round-over-round flag threshold
+
+
+def regressions_vs(prev_path, norm):
+    """Flag every query whose normalized median moved >1.25x vs the
+    previous round's record (both directions: slowdowns AND speedups
+    need a disposition — an unexplained speedup is a measurement or
+    semantics change until adjudicated). Sub-probe-scale queries
+    (normalized < 0.5 in both rounds, i.e. faster than half the 2M-row
+    calibration probe) are exempt: their medians are dominated by
+    scheduling jitter, not plan cost."""
+    prev = json.load(open(prev_path))
+    pnorm = prev.get("queries_normalized")
+    if not pnorm:
+        return {"prev_record": prev_path,
+                "error": "previous record has no queries_normalized"}
+    flagged = []
+    for q in sorted(set(norm) & set(pnorm)):
+        a, b = pnorm[q], norm[q]
+        if a <= 0 or b <= 0:
+            continue
+        if max(a, b) < 0.5:
+            continue
+        ratio = b / a
+        if ratio > REGRESSION_RATIO or ratio < 1 / REGRESSION_RATIO:
+            flagged.append({"query": q, "prev": a, "now": b,
+                            "ratio": round(ratio, 2)})
+    flagged.sort(key=lambda e: -e["ratio"])
+    return {"prev_record": prev_path, "threshold": REGRESSION_RATIO,
+            "noise_floor_norm": 0.5,
+            "added": sorted(set(norm) - set(pnorm)),
+            "removed": sorted(set(pnorm) - set(norm)),
+            "flagged": flagged}
+
+
 def main() -> None:
-    out_path, run_paths = sys.argv[1], sys.argv[2:]
+    argv = sys.argv[1:]
+    prev_path = None
+    if argv and argv[0] == "--prev":
+        prev_path, argv = argv[1], argv[2:]
+    out_path, run_paths = argv[0], argv[1:]
     runs = [json.load(open(p)) for p in run_paths]
     names = sorted(runs[0]["queries"].keys())
     for r in runs:
@@ -83,12 +131,18 @@ def main() -> None:
         "sf": runs[-1]["sf"],
         "n_queries": len(names),
     }
+    if prev_path:
+        rec["regressions"] = regressions_vs(prev_path, norm)
     with open(out_path, "w") as f:
         json.dump(rec, f)
         f.write("\n")
     print(f"wrote {out_path}: total={rec['value']}s over {len(names)} "
           f"queries, {len(runs)} runs, probe_median={rec['probe_median_sec']}s"
           + (f", FLAGGED: {flags}" if flags else ""))
+    if prev_path:
+        fl = rec["regressions"].get("flagged", [])
+        print(f"regressions vs {prev_path}: {len(fl)} flagged "
+              + ", ".join(f"{e['query']} x{e['ratio']}" for e in fl[:10]))
 
 
 if __name__ == "__main__":
