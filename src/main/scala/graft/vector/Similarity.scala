@@ -655,21 +655,28 @@ object Similarity {
 
   /** IVF over the TRAINED coarse quantizer — [[kmeansTrain]]'s R-round
     * Lloyd centroids as the serving index (the trainer feeding the
-    * index, closing the train→serve loop): inverted lists are the final
-    * round's assignment (the one that produced the final means — the
-    * [[ivfRefinedTopK]] shape generalized to R rounds), each query
-    * probes its d²-nearest trained centroid and ranks that list by
-    * exact cosine. Same scale shape as every IVF variant: R broadcast
-    * assignment scans to train, one list scan per query to serve. */
+    * index, closing the train→serve loop): inverted lists are the
+    * assignment against the FINAL trained means (the textbook IVF
+    * build: train, then index every vector under the centroid the
+    * probe step will see), each query probes its d²-nearest trained
+    * centroid and ranks that list by exact cosine. Same scale shape as
+    * every IVF variant: R broadcast assignment scans to train, one
+    * list scan per query to serve. */
   /** R Lloyd rounds over `corpus` (`vec_id`, `label`, `v`); returns the
-    * FINAL assignment frame (the inverted lists) and the final trained
-    * centroids. The caller persists `corpus` for the loop's 2R+1 eager
-    * collect actions and releases it afterwards. */
+    * inverted-list assignment against the final trained centroids and
+    * those centroids. Lists MUST be keyed by the same means the probe
+    * step ranks (AnnScaleGate's `assignment_optimal` invariant): the
+    * pre-r15 half-step — lists from the LAST TRAINING assignment
+    * (cent_{R−1}) served against cent_R — left ~11% of a 128k-vector
+    * gate corpus outside the list its probe centroid owns, silently
+    * costing recall at every cluster boundary. The caller persists
+    * `corpus` for the loop's 2R+1 eager collect actions and releases
+    * it afterwards. */
   private[graft] def trainQuantizer(corpus: DataFrame, rounds: Int,
       cacheKey: Option[String] = None)
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
     val seq = lloydSeq(corpus, rounds, cacheKey)
-    (assignToCentroids(corpus, seq(rounds - 1)), seq(rounds))
+    (assignToCentroids(corpus, seq(rounds)), seq(rounds))
   }
 
   /** Serve path over a trained quantizer: each query probes its
@@ -783,7 +790,11 @@ object Similarity {
       s"""list_sum(list_transform(range(1, 65), j -> $a[j] * $b[j]))
             / (sqrt(list_sum(list_transform(range(1, 65), j -> $a[j] * $a[j])))
                * sqrt(list_sum(list_transform(range(1, 65), j -> $b[j] * $b[j]))))"""
-    s"""WITH ${lloydCtes(rounds)},
+    // lloydCtes(rounds + 1): asg${rounds+1} is the serve-time
+    // assignment against the FINAL means c$rounds (the same index
+    // build trainQuantizer does); the extra c${rounds+1} CTE is never
+    // referenced, so DuckDB prunes it
+    s"""WITH ${lloydCtes(rounds + 1)},
        q AS (SELECT vec_id AS query_id, e AS qe FROM v
          WHERE vec_id < $nQueries),
        probe AS (SELECT query_id, qe, cluster AS probe_cluster FROM (
@@ -793,7 +804,7 @@ object Similarity {
            FROM q CROSS JOIN c$rounds c) WHERE rn <= $nprobe),
        cand AS (SELECT probe.query_id, a.vec_id,
            round(${cosSql("qe", "a.e")}, 6) AS cos
-         FROM asg$rounds a JOIN probe
+         FROM asg${rounds + 1} a JOIN probe
            ON a.cluster = probe.probe_cluster
           AND a.vec_id <> probe.query_id),
        r2 AS (SELECT query_id, vec_id, cos,

@@ -52,9 +52,11 @@ object AnnScaleGate {
     val k = args.headOption.map(_.toInt).getOrElse(64)
     val outDir = if (args.length > 1) args(1)
       else s"/tmp/graft_ann_gate_$k"
-    // floor measured at 64× and pinned (see SCALING.md §ANN gate);
-    // override to re-measure
-    val recallFloor = if (args.length > 2) args(2).toDouble else 0.55
+    // floor pinned from the 64× measurement (mean recall@10 at
+    // nprobe=2 = 1.000 after the final-means index fix; 0.95 leaves
+    // margin for jitter-density variation across k — SCALING.md §ANN
+    // gate). Override with arg 3 to re-measure.
+    val recallFloor = if (args.length > 2) args(2).toDouble else 0.95
     val nQueries = if (args.length > 3) args(3).toInt else 20
     val kTop = 10
     val rounds = 2 // the catalog's q_knn_ivf_trained training depth
