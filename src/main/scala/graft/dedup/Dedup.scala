@@ -197,16 +197,27 @@ object Dedup {
     * is recomputed per slice and immediately filtered), in exchange
     * for peak transient disk ~1/slices of the unsliced join. A real
     * cluster makes the same trade in SPACE (the shuffle spreads over
-    * executors' local disks); one box makes it in TIME. The partial
-    * parquet is small — pairs post-aggregation, not candidates: a pair
-    * sharing m surviving shingles lands in ≤ min(m, slices) slices as
-    * one row each instead of m candidate rows.
+    * executors' local disks); one box makes it in TIME.
+    *
+    * Partial sizing (measured at 4096×, r15): the per-slice groupBy
+    * barely collapses the candidate stream — most candidate pairs
+    * share exactly ONE surviving shingle, so partial rows ≈ distinct
+    * candidate pairs (~0.7 × the Σ C(df,2) count), tens of GB at that
+    * scale. Two consequences are built in: (1) partials are written
+    * sorted-within-partitions + zstd (raw snappy parquet of the
+    * unsorted agg output measured 5.1 GB/slice at 4096×/K=12; sorted
+    * runs delta/RLE-compress several-fold), and (2) the final
+    * aggregation + threshold is materialized EAGERLY inside the build
+    * and the partials are DELETED before returning — so the fixpoint
+    * (or any downstream consumer) runs with only the thresholded pair
+    * set on disk, and repeated consumers re-read a small final parquet
+    * instead of re-aggregating the partial stream.
     *
     * `cacheKey`: the dedupClusters/SessionDirs convention — a caller-
-    * supplied corpus identity keys the persisted partials so the
+    * supplied corpus identity keys the persisted pair artifact so the
     * CC-invariant gate's probe pairs and the fixpoint's internal pair
     * stream share ONE slice sweep per session (both consume the same
-    * trusted, 64×-oracled pair generator; the partials are generator
+    * trusted, 64×-oracled pair generator; the artifact is generator
     * state, not labeling state, so probe independence is preserved).
     * No key ⇒ a fresh anonymous sweep per call. */
   def jaccardPairsSliced(documents: DataFrame, n: Int = 3,
@@ -215,38 +226,48 @@ object Dedup {
     require(slices >= 1, s"slices must be >= 1, got $slices")
     if (slices == 1) return jaccardPairs(documents, n, threshold, maxDf)
     val spark = documents.sparkSession
-    val key = cacheKey.map(k => s"jps:$k:n$n:df$maxDf:s$slices")
+    val key = cacheKey.map(k => s"jps:$k:n$n:df$maxDf:s$slices:t$threshold")
       .getOrElse(s"jps:anon:${java.util.UUID.randomUUID()}")
     val dir = graft.SessionDirs.getOrBuild(spark, key,
       "graft_pair_slices") { root =>
-      val out = root.toString + "/partials"
+      val partialsDir = root.toString + "/partials"
+      val pairsDir = root.toString + "/pairs"
       var i = 0
       while (i < slices) {
         jaccardSlicePartial(documents, n, maxDf, slices, i)
-          .write.mode("overwrite").parquet(s"$out/slice=$i")
+          // sorted runs compress several-fold under zstd (see scaladoc)
+          .sortWithinPartitions(col("doc_a"), col("doc_b"))
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$partialsDir/slice=$i")
         // free slice i's now-unreferenced shuffle files before slice
         // i+1 starts writing its own (the ContextCleaner acts on GC;
         // this is what bounds LIVE transient disk to ~one slice)
         System.gc()
         i += 1
       }
-      out
+      val partials = spark.read.parquet(partialsDir)
+        .select(col("doc_a"), col("doc_b"), col("n_common"))
+      val sizes = documents
+        .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
+      partials
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("n_common")).as("n_common"))
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
+              .cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+        .write.mode("overwrite").parquet(pairsDir)
+      // the partial stream (≈ the full candidate-pair set) must not
+      // share the disk with downstream fixpoint transients
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(partialsDir))
+      pairsDir
     }
-    val partials = spark.read.parquet(dir)
-      .select(col("doc_a"), col("doc_b"), col("n_common"))
-    val sizes = documents
-      .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
-    partials
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("n_common")).as("n_common"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    spark.read.parquet(dir).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Exact set-similarity join via PREFIX FILTERING (the PPJoin family):
