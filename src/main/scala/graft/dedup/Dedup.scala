@@ -152,7 +152,7 @@ object Dedup {
     * same slice — the slice-local df IS the global df, and the slice's
     * candidate set is exactly the h-restriction of the unsliced one. */
   private def jaccardSlicePartial(documents: DataFrame, n: Int,
-      maxDf: Int, slices: Int, i: Int): DataFrame = {
+      maxDf: Int, slices: Int, i: Int, pairBuckets: Int): DataFrame = {
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
@@ -172,6 +172,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+      // pair-hash bucket for the SLICED final assembly: the global
+      // sum+threshold pass partitions cleanly on the pair key, so it
+      // too runs as sequential partition-pruned jobs (see below)
+      .withColumn("pb",
+        pmod(xxhash64(col("doc_a"), col("doc_b")), lit(pairBuckets.toLong)))
   }
 
   /** [[jaccardPairs]] computed as `slices` SEQUENTIAL disjoint jobs
@@ -203,15 +208,21 @@ object Dedup {
     * barely collapses the candidate stream — most candidate pairs
     * share exactly ONE surviving shingle, so partial rows ≈ distinct
     * candidate pairs (~0.7 × the Σ C(df,2) count), tens of GB at that
-    * scale. Two consequences are built in: (1) partials are written
+    * scale. Three consequences are built in: (1) partials are written
     * sorted-within-partitions + zstd (raw snappy parquet of the
     * unsorted agg output measured 5.1 GB/slice at 4096×/K=12; sorted
-    * runs delta/RLE-compress several-fold), and (2) the final
-    * aggregation + threshold is materialized EAGERLY inside the build
-    * and the partials are DELETED before returning — so the fixpoint
-    * (or any downstream consumer) runs with only the thresholded pair
-    * set on disk, and repeated consumers re-read a small final parquet
-    * instead of re-aggregating the partial stream.
+    * runs delta/RLE-compress 3.6× to 1.4 GB/slice), layout-partitioned
+    * by a pair-hash bucket column; (2) the final sum+threshold
+    * assembly — itself nearly as shuffle-heavy as the pair join when
+    * run as ONE job (the first 4096× attempt died there: groupBy over
+    * ~3.7B partial rows + two sizes joins holds 3–4× the candidate
+    * volume live) — runs as `slices` SEQUENTIAL partition-pruned
+    * bucket passes over disjoint pair-hash ranges, freeing superseded
+    * shuffles between passes exactly like the slice loop; (3) the
+    * thresholded result is materialized EAGERLY and the partials are
+    * DELETED before returning — the fixpoint (or any downstream
+    * consumer) runs with only the small final pair set on disk, and
+    * repeated consumers re-read it instead of re-aggregating.
     *
     * `cacheKey`: the dedupClusters/SessionDirs convention — a caller-
     * supplied corpus identity keys the persisted pair artifact so the
@@ -231,13 +242,19 @@ object Dedup {
     val dir = graft.SessionDirs.getOrBuild(spark, key,
       "graft_pair_slices") { root =>
       val partialsDir = root.toString + "/partials"
+      val sizesDir = root.toString + "/sizes"
       val pairsDir = root.toString + "/pairs"
       var i = 0
       while (i < slices) {
-        jaccardSlicePartial(documents, n, maxDf, slices, i)
-          // sorted runs compress several-fold under zstd (see scaladoc)
-          .sortWithinPartitions(col("doc_a"), col("doc_b"))
+        jaccardSlicePartial(documents, n, maxDf, slices, i, slices)
+          // one extra small shuffle co-locates each pair bucket so
+          // partitionBy writes a few files per bucket instead of
+          // (#shuffle-partitions × buckets) tiny ones; sorted runs
+          // compress several-fold under zstd (see scaladoc)
+          .repartition(math.max(slices, 8), col("pb"))
+          .sortWithinPartitions(col("pb"), col("doc_a"), col("doc_b"))
           .write.mode("overwrite").option("compression", "zstd")
+          .partitionBy("pb")
           .parquet(s"$partialsDir/slice=$i")
         // free slice i's now-unreferenced shuffle files before slice
         // i+1 starts writing its own (the ContextCleaner acts on GC;
@@ -245,22 +262,36 @@ object Dedup {
         System.gc()
         i += 1
       }
-      val partials = spark.read.parquet(partialsDir)
-        .select(col("doc_a"), col("doc_b"), col("n_common"))
-      val sizes = documents
+      // |doc| sizes once, as a small parquet the bucket passes reuse
+      documents
         .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
-      partials
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(sum(col("n_common")).as("n_common"))
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .withColumn("jaccard",
-          col("n_common").cast("double") /
-            (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
-              .cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-        .write.mode("overwrite").parquet(pairsDir)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(sizesDir)
+      val sizesDf = spark.read.parquet(sizesDir)
+      // sliced final assembly: per pair-hash bucket, sum the partial
+      // intersections (exact: buckets partition the PAIR space, slices
+      // partitioned the SHINGLE space), join sizes, threshold, append
+      var j = 0
+      while (j < slices) {
+        spark.read.parquet(partialsDir)
+          .filter(col("pb") === j) // partition-pruned directory read
+          .select(col("doc_a"), col("doc_b"), col("n_common"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("n_common")).as("n_common"))
+          .join(sizesDf.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizesDf.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .withColumn("jaccard",
+            col("n_common").cast("double") /
+              (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
+                .cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_a"), col("doc_b"), col("n_common"),
+            col("jaccard"))
+          .write.mode(if (j == 0) "overwrite" else "append")
+          .parquet(pairsDir)
+        System.gc()
+        j += 1
+      }
       // the partial stream (≈ the full candidate-pair set) must not
       // share the disk with downstream fixpoint transients
       org.apache.commons.io.FileUtils
