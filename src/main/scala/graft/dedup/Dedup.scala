@@ -244,22 +244,34 @@ object Dedup {
       val partialsDir = root.toString + "/partials"
       val sizesDir = root.toString + "/sizes"
       val pairsDir = root.toString + "/pairs"
+      // gc() frees a finished slice job's now-unreferenced shuffle
+      // files before the next job writes its own (the ContextCleaner
+      // acts on GC) — the mechanism that bounds LIVE transient disk to
+      // ~one slice. Skipped when the slice wrote little: a full GC
+      // that frees megabytes buys nothing at catalog scale.
+      def gcIfBig(dir: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val bytes = try java.nio.file.Files
+          .walk(java.nio.file.Paths.get(dir)).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+        catch { case _: java.io.IOException => Long.MaxValue }
+        if (bytes > 64L * 1024 * 1024) System.gc()
+      }
       var i = 0
       while (i < slices) {
         jaccardSlicePartial(documents, n, maxDf, slices, i, slices)
-          // one extra small shuffle co-locates each pair bucket so
-          // partitionBy writes a few files per bucket instead of
-          // (#shuffle-partitions × buckets) tiny ones; sorted runs
-          // compress several-fold under zstd (see scaladoc)
-          .repartition(math.max(slices, 8), col("pb"))
+          // NO repartition: partitionBy splits each AQE-coalesced agg
+          // output task by bucket value (~16 MB targets ⇒ files per
+          // bucket stay bounded), and repartitioning BY the 12-value
+          // bucket key would funnel the whole slice through 12 write
+          // tasks — measured 3× slower than the join itself at 4096×.
+          // Sorted runs compress several-fold under zstd (scaladoc).
           .sortWithinPartitions(col("pb"), col("doc_a"), col("doc_b"))
           .write.mode("overwrite").option("compression", "zstd")
           .partitionBy("pb")
           .parquet(s"$partialsDir/slice=$i")
-        // free slice i's now-unreferenced shuffle files before slice
-        // i+1 starts writing its own (the ContextCleaner acts on GC;
-        // this is what bounds LIVE transient disk to ~one slice)
-        System.gc()
+        gcIfBig(s"$partialsDir/slice=$i")
         i += 1
       }
       // |doc| sizes once, as a small parquet the bucket passes reuse
@@ -289,7 +301,7 @@ object Dedup {
             col("jaccard"))
           .write.mode(if (j == 0) "overwrite" else "append")
           .parquet(pairsDir)
-        System.gc()
+        gcIfBig(s"$partialsDir/slice=0/pb=$j")
         j += 1
       }
       // the partial stream (≈ the full candidate-pair set) must not
