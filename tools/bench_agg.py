@@ -42,31 +42,48 @@ REGRESSION_RATIO = 1.25  # normalized round-over-round flag threshold
 
 def regressions_vs(prev_path, norm):
     """Flag every query whose normalized median moved >1.25x vs the
-    previous round's record (both directions: slowdowns AND speedups
-    need a disposition — an unexplained speedup is a measurement or
-    semantics change until adjudicated). Sub-probe-scale queries
-    (normalized < 0.5 in both rounds, i.e. faster than half the 2M-row
-    calibration probe) are exempt: their medians are dominated by
-    scheduling jitter, not plan cost."""
+    previous round's record AFTER dividing out the catalog-median
+    ratio (the systematic shift). Both directions flag: slowdowns AND
+    speedups need a disposition — an unexplained speedup is a
+    measurement or semantics change until adjudicated.
+
+    Why the double normalization: the calibration probe cancels CPU
+    drift, but a uniform environment change it does not measure
+    (scheduler latency, page cache, IO) shifts EVERY query's
+    probe-multiple by a constant — the first r15 aggregation saw 150
+    of 273 queries 'move' by exactly the catalog-median x0.78. What
+    needs adjudication is what moved DIFFERENTLY from the catalog, so
+    entries flag on ratio / median(ratio). The systematic shift itself
+    is reported once as "systematic_shift" (worth a one-line
+    disposition of its own when far from 1.0).
+
+    Sub-probe-scale queries (normalized < 0.5 in both rounds, i.e.
+    faster than half the 2M-row calibration probe) are exempt: their
+    medians are dominated by scheduling jitter, not plan cost."""
     prev = json.load(open(prev_path))
     pnorm = prev.get("queries_normalized")
     if not pnorm:
         return {"prev_record": prev_path,
                 "error": "previous record has no queries_normalized"}
-    flagged = []
+    ratios = {}
     for q in sorted(set(norm) & set(pnorm)):
         a, b = pnorm[q], norm[q]
-        if a <= 0 or b <= 0:
+        if a <= 0 or b <= 0 or max(a, b) < 0.5:
             continue
-        if max(a, b) < 0.5:
-            continue
-        ratio = b / a
-        if ratio > REGRESSION_RATIO or ratio < 1 / REGRESSION_RATIO:
+        ratios[q] = (b / a, a, b)
+    shift = (statistics.median(r for r, _, _ in ratios.values())
+             if ratios else 1.0)
+    flagged = []
+    for q, (ratio, a, b) in ratios.items():
+        rel = ratio / shift
+        if rel > REGRESSION_RATIO or rel < 1 / REGRESSION_RATIO:
             flagged.append({"query": q, "prev": a, "now": b,
-                            "ratio": round(ratio, 2)})
-    flagged.sort(key=lambda e: -e["ratio"])
+                            "ratio": round(ratio, 2),
+                            "vs_shift": round(rel, 2)})
+    flagged.sort(key=lambda e: -e["vs_shift"])
     return {"prev_record": prev_path, "threshold": REGRESSION_RATIO,
             "noise_floor_norm": 0.5,
+            "systematic_shift": round(shift, 3),
             "added": sorted(set(norm) - set(pnorm)),
             "removed": sorted(set(pnorm) - set(norm)),
             "flagged": flagged}
@@ -140,9 +157,12 @@ def main() -> None:
           f"queries, {len(runs)} runs, probe_median={rec['probe_median_sec']}s"
           + (f", FLAGGED: {flags}" if flags else ""))
     if prev_path:
-        fl = rec["regressions"].get("flagged", [])
-        print(f"regressions vs {prev_path}: {len(fl)} flagged "
-              + ", ".join(f"{e['query']} x{e['ratio']}" for e in fl[:10]))
+        r = rec["regressions"]
+        fl = r.get("flagged", [])
+        print(f"regressions vs {prev_path}: systematic_shift="
+              f"{r.get('systematic_shift')}, {len(fl)} flagged "
+              + ", ".join(f"{e['query']} x{e['ratio']}"
+                          f"({e['vs_shift']} vs shift)" for e in fl[:10]))
 
 
 if __name__ == "__main__":
