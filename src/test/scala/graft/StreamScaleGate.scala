@@ -143,16 +143,23 @@ object StreamScaleGate {
       q1.awaitTermination()
       println(s"STREAMGATE KILL path=$path at_batch=$killedAt " +
         s"(target=$killAt of ~$expectedBatches)")
-      check(s"${path}_kill_middrain",
-        killedAt >= 0 && killedAt < expectedBatches - 1,
-        s"killed_at_batch=$killedAt expected_batches=~$expectedBatches")
       val q2 = build()
       q2.awaitTermination()
       val resumedAt = q2.recentProgress.headOption.map(_.batchId)
         .getOrElse(-1L)
+      val finalBatch = q2.recentProgress.lastOption.map(_.batchId)
+        .getOrElse(-1L)
+      // mid-drain judged against the ACTUAL final batch id, not the
+      // planning estimate (the dedup path's redelivery doubles rows
+      // WITHIN batches, not the batch count — the estimate-based form
+      // of this check once passed a kill 2 batches from the end)
+      check(s"${path}_kill_middrain",
+        killedAt >= 0 && killedAt < finalBatch,
+        s"killed_at_batch=$killedAt final_batch=$finalBatch " +
+          s"(target=$killAt)")
       // resumed from the checkpoint: first post-restart batch is the
       // killed batch (uncommitted re-run) or the next one — never 0
-      check(s"${path}_restart_resumed", resumedAt >= killedAt,
+      check(s"${path}_restart_resumed", resumedAt >= killedAt && resumedAt > 0,
         s"resumed_at_batch=$resumedAt killed_at_batch=$killedAt")
       Seq(q1, q2)
     }
@@ -172,8 +179,9 @@ object StreamScaleGate {
     // ---- 1. dedup path: redeliver ~2n rows -> exactly-once n out ----
     val t0 = System.nanoTime()
     val dedupDir = s"$outRoot/dedup_out"
-    // the redelivering source emits ~2n rows -> ~2n/rowsPerBatch batches
-    val qd = drain("dedup", 2 * n / rowsPerBatch) { () =>
+    // the redelivering source emits ~2n rows but INTERLEAVES the
+    // duplicates within the same ~n/rowsPerBatch batches
+    val qd = drain("dedup", n / rowsPerBatch) { () =>
       streaming.StreamingPipeline
         .dedupStream(
           // adapt the synthetic schema to validated()'s event shape
