@@ -130,6 +130,13 @@ class DedupSpec extends AnyFunSuite {
     val one = dedup.Dedup.jaccardPairsSliced(df, slices = 1)
     assert(!one.queryExecution.analyzed.toString.contains("graft_pair_slices"),
       "slices=1 should return the one-job jaccardPairs plan")
+    // and the CC fixpoint fed by sliced pairs labels identically —
+    // the integration the 4096× gate runs, pinned at unit scale
+    val labelsSliced = operators.Pipeline
+      .dedupClusters(df, pairSlices = 4).collect().toSeq
+    val labels = operators.Pipeline.dedupClusters(df).collect().toSeq
+    assert(labelsSliced == labels,
+      "dedupClusters(pairSlices=4) diverged from the one-job fixpoint")
   }
 
   test("dedup clusters merge transitive chains A~B~C into one component") {
