@@ -137,8 +137,14 @@ object ScaledGate {
     // corpus-scale pin in the gate is MEMORY_AND_DISK_SER, so storage
     // evicting to disk is the designed behavior, not a loss.
     val deepGraph = graphMode && k >= 512
+    // SPARK_GRAFT_GATE_SLOTS overrides the deep-graph slot clamp for
+    // the slots-vs-heap trade's OTHER point: 32 slots need ≥22 GiB by
+    // the 0.67 GB/core rule, i.e. pair it with SPARK_DRIVER_MEM=24g —
+    // the default certifies the default heap and stays at 12.
+    val slots = sys.env.get("SPARK_GRAFT_GATE_SLOTS").map(_.toInt)
+      .getOrElse(if (deepGraph) 12 else 32)
     val spark = SparkSession.builder()
-      .master(if (deepGraph) "local[12]" else "local[32]")
+      .master(s"local[$slots]")
       .config("spark.memory.storageFraction",
         if (deepGraph) "0.3" else "0.5")
       .config("spark.sql.shuffle.partitions", shuffleParts.toString)
