@@ -474,8 +474,15 @@ object SparkEntry {
     "q_jaccard_pairs" -> t("documents")(D.jaccardPairs(_)),
     // Hash-sliced sequential form of the same pair join (the
     // transient-disk knob the 4096× gate runs on) — row-identical to
-    // q_jaccard_pairs by construction, so it shares the exact oracle.
-    "q_jaccard_sliced" -> t("documents")(D.jaccardPairsSliced(_, slices = 4)),
+    // jaccardPairs by construction, so it shares the exact quadratic
+    // oracle shape. Demo'd over the even-doc_id HALF corpus at K=3
+    // (r15 VERDICT item 5: the multi-slice machinery — 3 slice scans,
+    // interleaved merge+prune, final-step threshold-emit — at half
+    // the corpus-scan price of a full-corpus demo; the knob's real
+    // scale lives in the 4096× gate, not the catalog).
+    "q_jaccard_sliced" -> t("documents")(d =>
+      D.jaccardPairsSliced(d.filter("doc_id % 2 = 0"),
+        slices = 2)),
     // Broder's asymmetric companion: |A∩B|/|A| ≥ 0.9 — flags subset
     // duplication (quote inclusion) symmetric Jaccard misses.
     "q_containment" -> t("documents")(D.containmentPairs(_)),
@@ -720,9 +727,11 @@ object SparkEntry {
     * shared oracle for q_jaccard_pairs and both jaccardPrefixPairs
     * variants (prefix filtering is lossless, so the sub-quadratic
     * plans must match this all-pairs form bit-for-bit). */
-  private def jaccardAllPairsOracleSql(threshold: Double): String =
+  private def jaccardAllPairsOracleSql(threshold: Double,
+      where: String = ""): String =
     s"""WITH tok AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           $where),
          sh AS (
            SELECT DISTINCT doc_id,
              unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -2620,7 +2629,8 @@ object SparkEntry {
     "q_jaccard_pairs" -> jaccardAllPairsOracleSql(0.5),
     // slicing partitions the shingle-hash space, so Σ slice partials
     // reproduce the quadratic all-pairs oracle bit-for-bit
-    "q_jaccard_sliced" -> jaccardAllPairsOracleSql(0.5),
+    "q_jaccard_sliced" -> jaccardAllPairsOracleSql(0.5,
+      where = "WHERE doc_id % 2 = 0"),
     "q_containment" -> D.containmentOracleSql(),
     // Same exact all-pairs oracle at the prefix variants' thresholds —
     // prefix filtering is lossless, so the sub-quadratic plans must

@@ -1,8 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.text.TextAnalysis.tokens
 
 /** Deduplication operators for web-scale corpus cleaning (builder-spec
@@ -233,84 +234,382 @@ object Dedup {
     * No key ⇒ a fresh anonymous sweep per call. */
   def jaccardPairsSliced(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDf: Int = 1000, slices: Int = 8,
-      cacheKey: Option[String] = None): DataFrame = {
-    require(slices >= 1, s"slices must be >= 1, got $slices")
+      cacheKey: Option[String] = None,
+      interleave: Boolean = true,
+      mergeBucketBytes: Long = 256L << 20): DataFrame = {
+    require(slices >= 0, s"slices must be >= 0 (0 = auto), got $slices")
     if (slices == 1) return jaccardPairs(documents, n, threshold, maxDf)
     val spark = documents.sparkSession
-    val key = cacheKey.map(k => s"jps:$k:n$n:df$maxDf:s$slices:t$threshold")
+    val idT = documents.schema("doc_id").dataType
+    val pairSchema = StructType(Seq(
+      StructField("doc_a", idT), StructField("doc_b", idT),
+      StructField("n_common", LongType),
+      StructField("jaccard", DoubleType)))
+    val key = cacheKey
+      .map(k => s"jps:$k:n$n:df$maxDf:s$slices:t$threshold:il$interleave")
       .getOrElse(s"jps:anon:${java.util.UUID.randomUUID()}")
     val dir = graft.SessionDirs.getOrBuild(spark, key,
       "graft_pair_slices") { root =>
-      val partialsDir = root.toString + "/partials"
-      val sizesDir = root.toString + "/sizes"
       val pairsDir = root.toString + "/pairs"
-      // gc() frees a finished slice job's now-unreferenced shuffle
-      // files before the next job writes its own (the ContextCleaner
-      // acts on GC) — the mechanism that bounds LIVE transient disk to
-      // ~one slice. Skipped when the slice wrote little: a full GC
-      // that frees megabytes buys nothing at catalog scale.
-      def gcIfBig(dir: String): Unit = {
-        import scala.jdk.CollectionConverters._
-        val bytes = try java.nio.file.Files
-          .walk(java.nio.file.Paths.get(dir)).iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(java.nio.file.Files.size(_)).sum
-        catch { case _: java.io.IOException => Long.MaxValue }
-        if (bytes > 64L * 1024 * 1024) System.gc()
+      // slices = 0: choose K from the published cost model against the
+      // temp root's OWN filesystem (SCALING.md §4096×) — one analytic
+      // corpus pass for Σ C(df,2), one statfs for free disk.
+      val k = if (slices > 0) slices else {
+        val cand = pairCandidateCount(documents, n, maxDf)
+        val free = java.nio.file.Files.getFileStore(root).getUsableSpace
+        val chosen = choosePairSlices(cand, free)
+        Console.err.println(s"JPS auto-K: cand_pairs=$cand " +
+          f"free_disk_gb=${free / 1e9}%.1f -> slices=$chosen")
+        chosen
       }
-      var i = 0
-      while (i < slices) {
-        jaccardSlicePartial(documents, n, maxDf, slices, i, slices)
-          // NO repartition: partitionBy splits each AQE-coalesced agg
-          // output task by bucket value (~16 MB targets ⇒ files per
-          // bucket stay bounded), and repartitioning BY the 12-value
-          // bucket key would funnel the whole slice through 12 write
-          // tasks — measured 3× slower than the join itself at 4096×.
-          // Sorted runs compress several-fold under zstd (scaladoc).
+      if (k == 1)
+        // auto decided the one-job plan fits — materialize it so the
+        // artifact contract (and repeated consumers) stay uniform
+        jaccardPairs(documents, n, threshold, maxDf)
+          .write.mode("overwrite").parquet(pairsDir)
+      else if (interleave)
+        buildSlicedInterleaved(documents, n, threshold, maxDf, k, root,
+          idT, mergeBucketBytes)
+      else
+        buildSlicedTwoPhase(documents, n, threshold, maxDf, k, root, idT)
+      pairsDir
+    }
+    // explicit schema (ADVICE r15): a degenerate corpus can leave the
+    // pairs artifact with zero schema-bearing part files, and an
+    // inference-based read would throw where jaccardPairs returns empty
+    spark.read.schema(pairSchema).parquet(dir)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Analytic candidate-pair volume for the df-pruned pair join: the
+    * self-equi-join on the shingle hash emits exactly Σ_h C(df_h, 2)
+    * rows over surviving shingles (2 ≤ df ≤ maxDf) — ONE df-histogram
+    * corpus pass, no join run (the PairCostProbe probe, promoted into
+    * the operator so auto-K can price a run before committing disk). */
+  def pairCandidateCount(documents: DataFrame, n: Int = 3,
+      maxDf: Int = 1000): Long =
+    documents
+      .select(explode(shingles(col("text"), n)).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+
+  /** The published single-box slice-count model (SCALING.md §4096×),
+    * applied mechanically instead of by hand (VERDICT r15 item 3):
+    * the one-job pair join holds ~`bytesPerCandidate` of un-freeable
+    * shuffle+spill per candidate pair (measured ~80 B at 4096×), the
+    * persisted partial stream costs ~`partialBytesPerCandidate`
+    * (measured 0.7 partial rows/candidate × ~5.8 B sorted-zstd), and a
+    * slice job's transient is ~1/K of the whole — so
+    * K ≥ margin × transient / (free − partials). Returns 1 when the
+    * one-job plan fits with margin (the declarative plan a cluster
+    * should always prefer); when the partials alone exceed free disk
+    * (the two-phase 16384× wall) the interleaved accumulator is the
+    * only path and K is sized by transient against raw free disk. */
+  def choosePairSlices(candPairs: Long, freeDiskBytes: Long,
+      bytesPerCandidate: Double = 80.0,
+      partialBytesPerCandidate: Double = 4.1,
+      margin: Double = 1.5): Int = {
+    require(freeDiskBytes > 0, "freeDiskBytes must be positive")
+    val transient = candPairs * bytesPerCandidate
+    val partials = candPairs * partialBytesPerCandidate
+    val headroom = freeDiskBytes - partials
+    if (transient * margin <= freeDiskBytes && headroom > 0) 1
+    else if (headroom <= 0)
+      math.max(2, math.ceil(margin * transient / freeDiskBytes).toInt)
+    else math.max(2, math.ceil(margin * transient / headroom).toInt)
+  }
+
+  /** Bytes under `dir` (−1 when unwalkable). */
+  private def dirBytes(dir: String): Long = try {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(java.nio.file.Files.size(_)).sum
+  } catch { case _: java.io.IOException => -1L }
+
+  /** gc() frees a finished job's now-unreferenced shuffle files before
+    * the next job writes its own (the ContextCleaner acts on GC) — the
+    * mechanism that bounds LIVE transient disk to ~one slice. Skipped
+    * when the job wrote little: a full GC that frees megabytes buys
+    * nothing at catalog scale. */
+  private def gcIfBig(dir: String): Unit = {
+    val bytes = dirBytes(dir)
+    if (bytes > 64L * 1024 * 1024 || bytes < 0) System.gc()
+  }
+
+  private def deleteDir(dir: String): Unit =
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+
+  /** Per-doc shingle sizes + remaining-slice suffix counts, written
+    * once up front: `n_sh` = |shingles|, `rem[j]` (1-indexed) = # of
+    * the doc's shingle hashes in slices ≥ j — the per-doc budget the
+    * interleaved prune charges against. One corpus pass. */
+  private def writeSizes(documents: DataFrame, n: Int, slices: Int,
+      sizesDir: String): Unit = {
+    val sh = shingles(col("text"), n)
+    val pm = transform(sh, s => pmod(xxhash64(s), lit(slices.toLong)))
+    documents
+      .select(col("doc_id"), size(sh).as("n_sh"),
+        transform(sequence(lit(1), lit(slices)),
+          j => size(filter(pm, p => p >= j))).as("rem"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(sizesDir)
+  }
+
+  private def sizesSchema(idT: DataType, slices: Int): StructType =
+    StructType(Seq(
+      StructField("doc_id", idT), StructField("n_sh", IntegerType),
+      StructField("rem", ArrayType(IntegerType))))
+
+  /** Read a single bucket leaf directory with a known schema — an
+    * absent or part-file-less directory is an EMPTY relation, never a
+    * schema-inference error (ADVICE r15). */
+  private def leafOrEmpty(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+      spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** The r15 two-phase assembly (kept as the A/B twin of the
+    * interleaved default): all K slices' partials land first, then K
+    * partition-pruned bucket passes sum + threshold them. Peak disk
+    * carries the WHOLE partial stream (~0.7 × Σ C(df,2) rows) across
+    * the phase boundary — the measured 16384× wall the interleaved
+    * form removes. */
+  private def buildSlicedTwoPhase(documents: DataFrame, n: Int,
+      threshold: Double, maxDf: Int, slices: Int,
+      root: java.nio.file.Path, idT: DataType): Unit = {
+    val spark = documents.sparkSession
+    val partialsDir = root.toString + "/partials"
+    val sizesDir = root.toString + "/sizes"
+    val pairsDir = root.toString + "/pairs"
+    var i = 0
+    while (i < slices) {
+      jaccardSlicePartial(documents, n, maxDf, slices, i, slices)
+        // NO repartition: partitionBy splits each AQE-coalesced agg
+        // output task by bucket value (~16 MB targets ⇒ files per
+        // bucket stay bounded), and repartitioning BY the 12-value
+        // bucket key would funnel the whole slice through 12 write
+        // tasks — measured 3× slower than the join itself at 4096×.
+        // Sorted runs compress several-fold under zstd (scaladoc).
+        .sortWithinPartitions(col("pb"), col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("pb")
+        .parquet(s"$partialsDir/slice=$i")
+      gcIfBig(s"$partialsDir/slice=$i")
+      i += 1
+    }
+    // |doc| sizes once, as a small parquet the bucket passes reuse
+    writeSizes(documents, n, slices, sizesDir)
+    val sizesDf = spark.read.schema(sizesSchema(idT, slices))
+      .parquet(sizesDir)
+    // sliced final assembly: per pair-hash bucket, sum the partial
+    // intersections (exact: buckets partition the PAIR space, slices
+    // partitioned the SHINGLE space), join sizes, threshold, append
+    var j = 0
+    while (j < slices) {
+      spark.read.parquet(partialsDir)
+        .filter(col("pb") === j) // partition-pruned directory read
+        .select(col("doc_a"), col("doc_b"), col("n_common"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("n_common")).as("n_common"))
+        .join(sizesDf.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizesDf.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
+              .cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          col("jaccard"))
+        .write.mode(if (j == 0) "overwrite" else "append")
+        .parquet(pairsDir)
+      gcIfBig(s"$partialsDir/slice=0/pb=$j")
+      j += 1
+    }
+    // the partial stream (≈ the full candidate-pair set) must not
+    // share the disk with downstream fixpoint transients
+    deleteDir(partialsDir)
+  }
+
+  /** Interleaved sliced assembly (the r15-priced 16384× refactor): the
+    * bucket re-aggregation folds INTO the slice loop, so slice i's
+    * partials are merged into a running per-bucket accumulator and
+    * deleted before slice i+1 lands — partials never coexist across
+    * slices. The accumulator itself is kept from growing to the full
+    * candidate-pair set by a provably LOSSLESS viability prune (the
+    * positional-filter idea from the PPJoin family, Xiao et al. 2008,
+    * re-aimed at slice suffixes): after slice i, a pair's final
+    * intersection can exceed its current sum by at most
+    * min(rem_a, rem_b) — each doc's count of shingle hashes in slices
+    * > i (Σ_j min(a_j, b_j) ≤ min(Σ a_j, Σ b_j)) — and is never more
+    * than min(|A|, |B|); Jaccard is monotone in the intersection for
+    * fixed sizes, so a pair whose BEST-CASE Jaccard
+    *   cap / (|A| + |B| − cap),  cap = min(cur + min(rem_a, rem_b),
+    *                                       min(|A|, |B|))
+    * misses the threshold is dead no matter what later slices add, and
+    * is dropped. At the LAST step rem = 0 and cap = cur exactly, so
+    * the prune IS the final threshold — evaluated with the identical
+    * double expression [[jaccardPairs]] uses, keeping the boundary
+    * bit-exact (DedupSpec pins row-identity; the catalog entry shares
+    * the exact quadratic DuckDB oracle).
+    *
+    * Disk shape: live = accumulator (≈ the still-viable pair set —
+    * peaks near slice K·(1−(1+t)/2t…), measured as the acc_bytes curve
+    * this loop logs) + ONE slice's partials + one bucket's merge
+    * transient, instead of the two-phase form's full partial stream.
+    * The merge runs per pair-hash bucket — K sequential partition-
+    * pruned jobs per slice whose superseded shuffles (and the replaced
+    * accumulator bucket) are freed before the next, exactly like the
+    * slice loop itself.
+    *
+    * Cost trade: the prune re-joins the doc-size relation per merge
+    * step; early steps where the budget arithmetic cannot prune
+    * anything yet (rem/|A| still above 2t/(1+t) in expectation) skip
+    * the joins and just merge. */
+  private def buildSlicedInterleaved(documents: DataFrame, n: Int,
+      threshold: Double, maxDf: Int, slices: Int,
+      root: java.nio.file.Path, idT: DataType,
+      mergeBucketBytes: Long): Unit = {
+    val spark = documents.sparkSession
+    val partialsDir = root.toString + "/partials"
+    val sizesDir = root.toString + "/sizes"
+    val accDir = root.toString + "/acc"
+    val pairsDir = root.toString + "/pairs"
+    val partialSchema = StructType(Seq(
+      StructField("doc_a", idT), StructField("doc_b", idT),
+      StructField("n_common", LongType)))
+    // the bucketed (partitionBy-layout) view of the same relation —
+    // pb rides as a partition column so a whole step can be read in
+    // one pass when the single-job merge is chosen
+    val bucketedSchema = partialSchema.add(StructField("pb", LongType))
+    writeSizes(documents, n, slices, sizesDir)
+    val sizesDf = spark.read.schema(sizesSchema(idT, slices))
+      .parquet(sizesDir)
+    def sz(side: String, step: Int): DataFrame = sizesDf.select(
+      col("doc_id").as(s"${side}_id"),
+      col("n_sh").as(s"n_$side"),
+      element_at(col("rem"), step + 1).as(s"rem_$side"))
+    // prune (then write/append) one merged bucket-or-step relation
+    def mergeOut(summed: DataFrame, i: Int, doPrune: Boolean,
+        last: Boolean, outPath: String): Unit = {
+      val out = if (!doPrune) summed.select(
+          col("doc_a"), col("doc_b"), col("n_common"))
+        else {
+        val joined = summed
+          .join(sz("a", i), col("doc_a") === col("a_id"))
+          .join(sz("b", i), col("doc_b") === col("b_id"))
+        val cap =
+          if (last) col("n_common")
+          else least(
+            col("n_common") +
+              least(col("rem_a"), col("rem_b")).cast("long"),
+            least(col("n_a"), col("n_b")).cast("long"))
+        val pruned = joined
+          .filter(cap.cast("double") /
+            (col("n_a") + col("n_b") - cap).cast("double") >= threshold)
+        if (last)
+          // at the LAST step the prune IS the threshold (cap =
+          // n_common exactly), so the merge emits FINAL rows —
+          // jaccard computed with the identical jaccardPairs
+          // expression — straight into the pairs artifact: no
+          // separate assembly pass over the survivor set
+          pruned.withColumn("jaccard",
+            col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+            .select(col("doc_a"), col("doc_b"), col("n_common"),
+              col("jaccard"))
+        else pruned.select(col("doc_a"), col("doc_b"), col("n_common"))
+      }
+      if (last)
+        out.write.mode("append").parquet(outPath)
+      else if (outPath.contains("/pb="))
+        out.sortWithinPartitions(col("doc_a"), col("doc_b"))
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(outPath)
+      else
+        // whole-step single-job merge keeps the partitionBy layout so
+        // a later (bigger) step can still consume it bucket-by-bucket
+        out.withColumn("pb",
+            pmod(xxhash64(col("doc_a"), col("doc_b")),
+              lit(slices.toLong)))
           .sortWithinPartitions(col("pb"), col("doc_a"), col("doc_b"))
           .write.mode("overwrite").option("compression", "zstd")
-          .partitionBy("pb")
-          .parquet(s"$partialsDir/slice=$i")
-        gcIfBig(s"$partialsDir/slice=$i")
-        i += 1
-      }
-      // |doc| sizes once, as a small parquet the bucket passes reuse
-      documents
-        .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
+          .partitionBy("pb").parquet(outPath)
+    }
+    var i = 0
+    while (i < slices) {
+      jaccardSlicePartial(documents, n, maxDf, slices, i, slices)
+        .sortWithinPartitions(col("pb"), col("doc_a"), col("doc_b"))
         .write.mode("overwrite").option("compression", "zstd")
-        .parquet(sizesDir)
-      val sizesDf = spark.read.parquet(sizesDir)
-      // sliced final assembly: per pair-hash bucket, sum the partial
-      // intersections (exact: buckets partition the PAIR space, slices
-      // partitioned the SHINGLE space), join sizes, threshold, append
-      var j = 0
-      while (j < slices) {
-        spark.read.parquet(partialsDir)
-          .filter(col("pb") === j) // partition-pruned directory read
+        .partitionBy("pb")
+        .parquet(s"$partialsDir/slice=$i")
+      gcIfBig(s"$partialsDir/slice=$i")
+      // fold slice i into the running accumulator; prune only once
+      // the slice-suffix budget can actually kill a pair (expected
+      // rem/|A| = (K−1−i)/K dips below 2t/(1+t), the minimum
+      // intersection share a threshold-t pair needs) — and always at
+      // the last step, where the prune is the threshold
+      val doPrune = i == slices - 1 ||
+        (slices - 1 - i).toDouble / slices < 2 * threshold / (1 + threshold)
+      val last = i == slices - 1
+      // merge granularity is a DATA-SIZE decision: below the byte
+      // bound, one job folds every bucket (job-launch overhead is the
+      // dominant cost — the catalog/demo regime); above it, buckets
+      // merge as SEQUENTIAL partition-pruned jobs whose superseded
+      // shuffles and replaced accumulator buckets free between jobs —
+      // the disk-bounded regime the 4096×/16384× gates certify
+      // (DedupSpec pins row-identity of both via mergeBucketBytes=0)
+      val stepBytes = math.max(dirBytes(s"$partialsDir/slice=$i"), 0L) +
+        math.max(dirBytes(s"$accDir/step=${i - 1}"), 0L)
+      if (stepBytes <= mergeBucketBytes) {
+        val prev = leafOrEmpty(spark, s"$accDir/step=${i - 1}",
+          bucketedSchema)
+        val cur = leafOrEmpty(spark, s"$partialsDir/slice=$i",
+          bucketedSchema)
+        val summed = prev.unionByName(cur)
           .select(col("doc_a"), col("doc_b"), col("n_common"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(sum(col("n_common")).as("n_common"))
-          .join(sizesDf.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sizesDf.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .withColumn("jaccard",
-            col("n_common").cast("double") /
-              (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
-                .cast("double"))
-          .filter(col("jaccard") >= threshold)
-          .select(col("doc_a"), col("doc_b"), col("n_common"),
-            col("jaccard"))
-          .write.mode(if (j == 0) "overwrite" else "append")
-          .parquet(pairsDir)
-        gcIfBig(s"$partialsDir/slice=0/pb=$j")
-        j += 1
+        mergeOut(summed, i, doPrune, last,
+          if (last) pairsDir else s"$accDir/step=$i")
+        if (i > 0) deleteDir(s"$accDir/step=${i - 1}")
+      } else {
+        var b = 0
+        while (b < slices) {
+          val prev = leafOrEmpty(spark, s"$accDir/step=${i - 1}/pb=$b",
+            partialSchema)
+          val cur = leafOrEmpty(spark, s"$partialsDir/slice=$i/pb=$b",
+            partialSchema)
+          val summed = prev.unionByName(cur)
+            .groupBy(col("doc_a"), col("doc_b"))
+            .agg(sum(col("n_common")).as("n_common"))
+          mergeOut(summed, i, doPrune, last,
+            if (last) pairsDir else s"$accDir/step=$i/pb=$b")
+          if (i > 0) deleteDir(s"$accDir/step=${i - 1}/pb=$b")
+          gcIfBig(if (last) pairsDir else s"$accDir/step=$i/pb=$b")
+          b += 1
+        }
       }
-      // the partial stream (≈ the full candidate-pair set) must not
-      // share the disk with downstream fixpoint transients
-      org.apache.commons.io.FileUtils
-        .deleteDirectory(new java.io.File(partialsDir))
-      pairsDir
+      deleteDir(s"$partialsDir/slice=$i")
+      // the acc_bytes curve is the measured disk model (SCALING.md)
+      Console.err.println(s"JPS step=$i/${slices} prune=$doPrune " +
+        s"step_in_bytes=$stepBytes " +
+        (if (last) s"pairs_bytes=${dirBytes(pairsDir)}"
+         else s"acc_bytes=${dirBytes(s"$accDir/step=$i")}"))
+      i += 1
     }
-    spark.read.parquet(dir).orderBy(col("doc_a"), col("doc_b"))
+    deleteDir(accDir)
+    // a fully-empty result may have appended nothing — the read
+    // contract still needs a directory (schema comes from the caller)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(pairsDir))
   }
 
   /** Exact set-similarity join via PREFIX FILTERING (the PPJoin family):

@@ -81,14 +81,15 @@ object Pipeline {
   private def computeDedupClusters(documents: DataFrame, threshold: Double,
       checkpointEvery: Int, pairSlices: Int = 1,
       pairKey: Option[String] = None): DataFrame = {
-    // pairSlices > 1 = the transient-disk degrade-gracefully knob for
+    // pairSlices != 1 = the transient-disk degrade-gracefully knob for
     // corpora whose ONE-JOB pair stream outruns box disk (r14: 4096×
     // needs ~400 GB live shuffle+spill vs ~77 GB free) — the sliced
     // generator is row-identical to jaccardPairs (DedupSpec) and its
-    // persisted partials are keyed by the same corpus identity the
+    // persisted artifacts are keyed by the same corpus identity the
     // label cache uses, so the invariant gate's probe pairs reuse the
-    // same single slice sweep.
-    val pairs = (if (pairSlices > 1)
+    // same single slice sweep. 0 = auto-K from the published cost
+    // model (Σ C(df,2) probe + free-disk statfs, r15 VERDICT item 3).
+    val pairs = (if (pairSlices != 1)
         graft.dedup.Dedup.jaccardPairsSliced(documents,
           threshold = threshold, slices = pairSlices, cacheKey = pairKey)
       else graft.dedup.Dedup.jaccardPairs(documents, threshold = threshold))

@@ -8,15 +8,12 @@ import org.apache.spark.sql.functions._
 
 import graft.vector.Similarity
 
-/** Deep scale gate for the ANN/IVF family (r14 VERDICT item 4): the
-  * dedup, graph, and streaming families carry 64×–1024× invariant
-  * gates; similarity had oracled correctness (sf0.01) + the 8× blanket
-  * only. This tool certifies the TRAINED-quantizer IVF path
-  * (`q_knn_ivf_trained` / `q_ann_recall_ivf` machinery) on a k×-grown
-  * embedding corpus — `ScaledFixtures.jitteredEmbeddings`, so copies
-  * are genuinely new points — by properties a wrong index cannot fake,
-  * with every ground truth computed IN-ENGINE (brute force is linear
-  * per query; no external oracle needed at any k):
+/** Deep scale gate for the ANN/IVF family (r14 VERDICT item 4; index
+  * geometry re-cut per r15 VERDICT item 1): certifies the
+  * TRAINED-quantizer IVF path (`q_knn_ivf_trained` / `q_ann_recall_ivf`
+  * machinery) on a k×-grown embedding corpus by properties a wrong
+  * index cannot fake, with every ground truth computed IN-ENGINE
+  * (brute force is linear per query; no external oracle at any k):
   *
   *  1. `partition_exact` — the inverted lists are a PARTITION of the
   *     corpus: every vector in exactly one list (count + distinct).
@@ -33,31 +30,52 @@ import graft.vector.Similarity
   *     can never fall OUT of the approx top-k once its list is
   *     probed — see the proof in the check's comment).
   *  5. `recall_floor` — mean recall@k at nprobe=2 (the catalog's
-  *     published operating point) must hold the floor across k: the
-  *     bucketed-inverted-list claim is that recall is a property of
-  *     (index geometry, probe budget), NOT of corpus size.
+  *     published operating point) must hold the floor across k.
+  *
+  * Index geometry scales with the corpus (r15 VERDICT item 1): the
+  * quantizer is seeded with ~√N SRP orthant groups
+  * ([[ScaledFixtures.srpRelabel]], nlist = 2^round(log₂√N) — 256/512/
+  * 1024 lists at 64×/256×/1024×), so per-probe serve cost
+  * (`cand_rows`, reported per probe budget) stays ~N/nlist — SUBLINEAR
+  * in N (×2 per ×4 corpus) — instead of the fixed-10-list gate's N/10.
+  * The fixture jitter is raised (default 0.35) until the nprobe=1
+  * operating point sits strictly below 1.0, so the monotone and floor
+  * checks have teeth.
+  *
+  * Negative control: `SPARK_GRAFT_ANN_CORRUPT=halfstep` rebuilds the
+  * index with the PRE-r15 defect (lists from the last TRAINING
+  * assignment against cent_{R−1}, served against cent_R) — the gate
+  * must then FAIL `assignment_optimal` and the recall floor,
+  * demonstrating the floor actually triggers on a real, historical
+  * corruption (recorded in SCALING.md).
   *
   * Also recorded (SCALING.md feeds): the full recall curve at nprobe
   * 1/2/4/#lists, inverted-list skew (min/mean/max members — the
-  * probe-list balance a 100 TB serving fleet shards by), and peak
-  * per-task execution memory (the flat-in-k claim).
+  * probe-list balance a 100 TB serving fleet shards by), candidate
+  * rows per query per probe budget, and peak per-task execution
+  * memory (the flat-in-k claim).
   *
   * Run:  sbt "Test/runMain graft.AnnScaleGate 64"
-  * args: [k] [outDir] [recallFloorNp2] [nQueries]
+  * args: [k] [outDir] [recallFloorNp2] [nQueries] [nlist|"sqrt"]
+  *       [jitter]
   * Base fixtures from SPARK_GRAFT_SF_DIR (default sf0.1: 2000 × 64-dim
-  * float vectors, 10 labels ⇒ 10 trained lists).
+  * float vectors).
   */
 object AnnScaleGate {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(64)
     val outDir = if (args.length > 1) args(1)
       else s"/tmp/graft_ann_gate_$k"
-    // floor pinned from the 64× measurement (mean recall@10 at
-    // nprobe=2 = 1.000 after the final-means index fix; 0.95 leaves
-    // margin for jitter-density variation across k — SCALING.md §ANN
-    // gate). Override with arg 3 to re-measure.
+    // floor re-pinned from the 64× measurement at the √N geometry +
+    // jitter 0.35 (SCALING.md §ANN gate): mean recall@10 at nprobe=2
+    // sits ~0.97–0.99 with the halfstep corruption measurably below —
+    // 0.95 is a floor that can actually fail. Override with arg 3.
     val recallFloor = if (args.length > 2) args(2).toDouble else 0.95
     val nQueries = if (args.length > 3) args(3).toInt else 20
+    val nlistSpec = if (args.length > 4) args(4) else "sqrt"
+    val jitter = if (args.length > 5) args(5).toDouble else 0.35
+    val corrupt = sys.env.get("SPARK_GRAFT_ANN_CORRUPT")
+      .contains("halfstep")
     val kTop = 10
     val rounds = 2 // the catalog's q_knn_ivf_trained training depth
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -86,24 +104,37 @@ object AnnScaleGate {
         }
       })
 
-    // ---- build the jittered k× corpus once per (base, k) ----
+    // ---- build the jittered k× corpus once per (base, k, jitter) ----
     val tablesDir = s"$outDir/tables"
     val marker = Paths.get(s"$tablesDir/_built_embeddings")
-    val spec = s"base=$base k=$k jitter=0.01"
+    val spec = s"base=$base k=$k jitter=$jitter"
     if (!Files.exists(marker) || Files.readString(marker).trim != spec) {
       val raw = Tables.raw(spark, base, "embeddings")
-      ScaledFixtures.jitteredEmbeddings(raw, k)
+      Files.createDirectories(Paths.get(tablesDir))
+      ScaledFixtures.jitteredEmbeddings(raw, k, jitter)
         .write.mode("overwrite").parquet(s"$tablesDir/embeddings.parquet")
       Files.writeString(marker, spec)
-      println(s"ANNGATE built embeddings x$k")
+      println(s"ANNGATE built embeddings x$k jitter=$jitter")
     } else println(s"ANNGATE reusing tables at $tablesDir ($spec)")
 
     val emb = spark.read.parquet(s"$tablesDir/embeddings.parquet")
-    val corpus = emb.select(col("vec_id"), col("label"),
+    val nVec = emb.count()
+    // √N index geometry: SRP orthant seeds, nlist = 2^round(log₂ √N)
+    // (or the nearest power of two to an explicit nlist argument)
+    val nlistTarget = nlistSpec match {
+      case "sqrt" => math.sqrt(nVec.toDouble)
+      case s => s.toDouble
+    }
+    val planes = math.max(1, math.min(30,
+      math.round(math.log(nlistTarget) / math.log(2)).toInt))
+    val corpus = ScaledFixtures.srpRelabel(emb, planes)
+      .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .persist()
-    val nVec = corpus.count()
-    println(s"ANNGATE corpus n=$nVec (k=$k)")
+    println(s"ANNGATE corpus n=$nVec (k=$k) srp_planes=$planes " +
+      s"nlist<=${1 << planes}" +
+      (if (corrupt) " *** CORRUPT MODE halfstep: FAILURES EXPECTED ***"
+       else ""))
 
     val results = scala.collection.mutable.ArrayBuffer[String]()
     var failures = 0
@@ -113,9 +144,17 @@ object AnnScaleGate {
       results += s""""$name":{"pass":${ok},"detail":"$detail"}"""
     }
 
-    // ---- train (the catalog path: 2 Lloyd rounds over label seeds) ----
+    // ---- train (the catalog path: 2 Lloyd rounds over SRP seeds) ----
+    val gateKey = Some(s"anngate:$tablesDir:j$jitter:p$planes")
     val t0 = System.nanoTime()
-    val (assignedRaw, cent) = Similarity.trainQuantizer(corpus, rounds)
+    val (assignedGood, cent) =
+      Similarity.trainQuantizer(corpus, rounds, gateKey)
+    // negative control: the pre-r15 half-step — lists keyed by the
+    // LAST TRAINING assignment (against cent_{R−1}) while the probe
+    // ranks against cent_R; shares the Lloyd prefix via the model
+    // cache, so the corruption costs no extra training
+    val assignedRaw = if (!corrupt) assignedGood
+      else Similarity.trainQuantizer(corpus, rounds - 1, gateKey)._1
     val assigned = assignedRaw.persist()
     val trainSec = (System.nanoTime() - t0) / 1e9
     val nLists = cent.length
@@ -130,13 +169,14 @@ object AnnScaleGate {
       s"list_rows=$aCount distinct=$aDistinct corpus=$nVec")
 
     // ---- list skew (recorded; the serving-shard balance number) ----
-    val sizes = assigned.groupBy(col("cluster")).count()
-      .agg(min(col("count")), max(col("count")),
-        avg(col("count"))).head()
+    val listSizes = assigned.groupBy(col("cluster")).count()
+      .localCheckpoint(true)
+    val sizes = listSizes
+      .agg(min(col("count")), max(col("count")), avg(col("count"))).head()
     val (szMin, szMax, szMean) =
       (sizes.getLong(0), sizes.getLong(1), sizes.getDouble(2))
-    println(f"ANNGATE lists min=$szMin max=$szMax mean=$szMean%.0f " +
-      f"skew=${szMax / szMean}%.2f")
+    println(f"ANNGATE lists n=$nLists min=$szMin max=$szMax " +
+      f"mean=$szMean%.0f skew=${szMax / szMean}%.2f")
 
     // ---- 2. every vector in its d2-nearest centroid's list ----
     // independent expression: min over ALL centroids vs own centroid
@@ -169,12 +209,34 @@ object AnnScaleGate {
       .localCheckpoint(true)
 
     // ---- 3. exhaustive probe == brute force, row-for-row ----
-    val full = Similarity.serveTrained(corpus, assigned, mDf,
-      nQueries, kTop, nprobe = nLists)
-    val fullDiff = full.exceptAll(brute).count() +
-      brute.exceptAll(full).count()
-    check("full_probe_equals_brute", fullDiff == 0,
-      s"row_diff=$fullDiff at nprobe=$nLists (queries=$nQueries k=$kTop)")
+    // (skipped under corruption: with misplaced lists an exhaustive
+    // probe still scans everything, so the check would PASS — the
+    // corruption's signature is checks 2 and 5)
+    if (!corrupt) {
+      val full = Similarity.serveTrained(corpus, assigned, mDf,
+        nQueries, kTop, nprobe = nLists)
+      val fullDiff = full.exceptAll(brute).count() +
+        brute.exceptAll(full).count()
+      check("full_probe_equals_brute", fullDiff == 0,
+        s"row_diff=$fullDiff at nprobe=$nLists (queries=$nQueries k=$kTop)")
+    }
+
+    // ---- candidate rows per query per probe budget: the serve-cost
+    // column (r15 VERDICT item 1 — ~N/nlist per probe, sublinear in N
+    // when nlist grows as √N). Computed from the probe ranking + list
+    // sizes, no corpus scan. ----
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd2").asc, col("cluster").asc)
+    val probeRank = queries.crossJoin(broadcast(mDf))
+      .withColumn("qd2", Similarity.dist2(col("q"), col("centroid")))
+      .withColumn("r", row_number().over(wq))
+      .select(col("query_id"), col("cluster"), col("r"))
+      .localCheckpoint(true)
+    def candRows(np: Int): Double =
+      probeRank.filter(col("r") <= np)
+        .join(listSizes, Seq("cluster"))
+        .groupBy(col("query_id")).agg(sum(col("count")).as("cand"))
+        .agg(avg(col("cand"))).head().getDouble(0)
 
     // ---- 4./5. recall curve, monotonicity, floor ----
     val bruteIds = brute.select(col("query_id"), col("vec_id"))
@@ -192,19 +254,24 @@ object AnnScaleGate {
     }
     val probes = (Seq(1, 2, 4).filter(_ < nLists) :+ nLists).distinct
     val curve = probes.map(np => np -> recallAt(np))
-    curve.foreach { case (np, m) =>
+    val cands = probes.map(np => np -> candRows(np))
+    curve.zip(cands).foreach { case ((np, m), (_, cr)) =>
       val vals = m.values.toSeq
       println(f"ANNGATE recall nprobe=$np mean=${vals.sum / vals.size}%.3f " +
-        f"min=${vals.min}%.3f")
+        f"min=${vals.min}%.3f cand_rows=$cr%.0f")
       results += s""""recall_np$np":{"mean":${vals.sum / vals.size},""" +
-        s""""min":${vals.min}}"""
+        s""""min":${vals.min},"cand_rows":$cr}"""
     }
     // per-query monotone: a brute-truth member, once its list is
     // probed, is outranked only by candidates that also outrank it in
     // the FULL corpus — and fewer than kTop of those exist for a
-    // top-k member — so it can never fall back out as nprobe grows
-    val monoViolations = curve.sliding(2).map { case Seq((_, lo), (_, hi)) =>
-      lo.count { case (q, r) => hi(q) < r - 1e-12 }
+    // top-k member — so it can never fall back out as nprobe grows.
+    // (zip-with-tail, not sliding(2): a 1-list corpus yields a
+    // 1-point curve, which must degrade to a trivially-passing check,
+    // not a MatchError — ADVICE r15)
+    val monoViolations = curve.zip(curve.drop(1)).map {
+      case ((_, lo), (_, hi)) =>
+        lo.count { case (q, r) => hi(q) < r - 1e-12 }
     }.sum
     check("recall_monotone", monoViolations == 0,
       s"per-query decreases across ${probes.mkString("/")}=$monoViolations")
@@ -212,21 +279,27 @@ object AnnScaleGate {
     val np2Mean = np2.values.sum / np2.size
     check("recall_floor", np2Mean >= recallFloor,
       f"mean_recall@$kTop nprobe=2 = $np2Mean%.3f floor=$recallFloor " +
-        s"(n=$nVec)")
+        s"(n=$nVec lists=$nLists)")
 
     val fullRecallJson = curve.map { case (np, m) =>
       f"${m.values.sum / m.size}%.4f" }.mkString("[", ",", "]")
+    val candJson = cands.map { case (_, cr) => f"$cr%.1f" }
+      .mkString("[", ",", "]")
     val json =
       s"""{"k":$k,"n_vec":$nVec,"lists":$nLists,"rounds":$rounds,""" +
+      s""""srp_planes":$planes,"jitter":$jitter,"corrupt":$corrupt,""" +
       s""""train_sec":${f"$trainSec%.1f"},""" +
       s""""list_min":$szMin,"list_max":$szMax,""" +
       s""""list_mean":${f"$szMean%.1f"},""" +
       s""""probes":[${probes.mkString(",")}],""" +
       s""""recall_means":$fullRecallJson,""" +
+      s""""cand_rows":$candJson,""" +
       s""""peak_task_mem_mb":${peakTaskMem.get() / 1000000},""" +
       results.mkString("", ",", "}")
     Files.writeString(Paths.get(s"$outDir/ann_gate.json"), json)
-    println(s"ANNGATE done failures=$failures -> $outDir/ann_gate.json")
+    println(s"ANNGATE done failures=$failures" +
+      (if (corrupt) " (corrupt mode: failures EXPECTED)" else "") +
+      s" -> $outDir/ann_gate.json")
     corpus.unpersist(); assigned.unpersist()
     spark.stop()
     if (failures > 0) sys.exit(1)

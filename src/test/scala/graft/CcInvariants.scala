@@ -46,14 +46,15 @@ object CcInvariants {
       : Seq[(String, Long)] = {
     val spark = documents.sparkSession
     // the pair graph, pinned once (every downstream check probes it).
-    // pairSlices > 1 = the transient-disk knob for k where the ONE-JOB
+    // pairSlices != 1 (0 = auto-K) = the transient-disk knob for k
+    // where the ONE-JOB
     // pair join outruns box disk (4096×, r14 VERDICT item 1); the
     // sliced generator is row-identical (DedupSpec pins it) and shares
     // its persisted slice partials with the fixpoint below via the
     // corpus cacheKey — the probe still consumes the same trusted,
     // 64×-oracled pair GENERATOR, independently of the labeling under
     // test.
-    val pairs = (if (pairSlices > 1)
+    val pairs = (if (pairSlices != 1)
         graft.dedup.Dedup.jaccardPairsSliced(documents,
           threshold = threshold, slices = pairSlices, cacheKey = cacheKey)
       else graft.dedup.Dedup.jaccardPairs(documents, threshold = threshold))

@@ -116,15 +116,30 @@ class DedupSpec extends AnyFunSuite {
     // pruning active), at slice counts that do and don't divide the
     // hash space evenly, threshold high and low.
     val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // k=3 runs the single-job merge regime (below the byte bound);
+    // k=8 forces mergeBucketBytes=0 — every bucket merged as its own
+    // sequential partition-pruned job, the disk-bounded path the
+    // 4096×/16384× gates run — so BOTH merge granularities are pinned
+    // row-identical at unit scale
     for (th <- Seq(0.3, 0.5); k <- Seq(3, 8)) {
       val want = dedup.Dedup.jaccardPairs(df, threshold = th).collect()
       val got = dedup.Dedup
-        .jaccardPairsSliced(df, threshold = th, slices = k).collect()
+        .jaccardPairsSliced(df, threshold = th, slices = k,
+          mergeBucketBytes = if (k == 8) 0L else 256L << 20)
+        .collect()
       assert(got.toSeq == want.toSeq,
         s"sliced(k=$k, t=$th) diverged: got ${got.length} rows, " +
           s"want ${want.length}")
       assert(want.nonEmpty, "degenerate fixture: no pairs to compare")
     }
+    // the r15 two-phase assembly (interleave=false, the A/B twin the
+    // 4096× record was first cut on) must stay row-identical too
+    val wantTwo = dedup.Dedup.jaccardPairs(df, threshold = 0.5).collect()
+    val gotTwo = dedup.Dedup.jaccardPairsSliced(df, threshold = 0.5,
+      slices = 3, interleave = false).collect()
+    assert(gotTwo.toSeq == wantTwo.toSeq,
+      s"two-phase sliced(k=3) diverged: got ${gotTwo.length} rows, " +
+        s"want ${wantTwo.length}")
     // slices = 1 must BE the unsliced declarative plan — no persisted
     // slice-partial scratch scan anywhere in it
     val one = dedup.Dedup.jaccardPairsSliced(df, slices = 1)
@@ -137,6 +152,30 @@ class DedupSpec extends AnyFunSuite {
     val labels = operators.Pipeline.dedupClusters(df).collect().toSeq
     assert(labelsSliced == labels,
       "dedupClusters(pairSlices=4) diverged from the one-job fixpoint")
+  }
+
+  test("auto-K slice choice pins the published cost-model arithmetic " +
+      "and slices=0 runs end-to-end") {
+    import dedup.Dedup.choosePairSlices
+    val free73 = 73L * 1000 * 1000 * 1000
+    // the published 4096× numbers (SCALING.md §4096×): 5.18B candidate
+    // pairs × 80 B transient = 414 GB against 73 GB free minus 21 GB
+    // of partials → Kmin ≈ 8.0; margin 1.5 rounds the mechanical pick
+    // to 13 (the r15 hand-pick was 12 — same ≥ Kmin envelope)
+    assert(choosePairSlices(5180000000L, free73) == 13)
+    // comfortably-fitting corpus → the one-job declarative plan
+    assert(choosePairSlices(1000000L, free73) == 1)
+    // partials alone exceed free disk (the two-phase 16384× wall): K
+    // sized from transient over RAW free disk — only the interleaved
+    // accumulator can run there, and never with K ≤ 1
+    assert(choosePairSlices(20700000000L, free73) ==
+      math.ceil(1.5 * 20.7e9 * 80.0 / 73e9).toInt)
+    // slices = 0 end-to-end at unit scale: the probe says one job fits
+    // → K = 1, materialized through the uniform pairs artifact
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val want = dedup.Dedup.jaccardPairs(df).collect()
+    val auto = dedup.Dedup.jaccardPairsSliced(df, slices = 0).collect()
+    assert(auto.toSeq == want.toSeq, "auto-K artifact diverged")
   }
 
   test("dedup clusters merge transitive chains A~B~C into one component") {

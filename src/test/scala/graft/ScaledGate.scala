@@ -140,9 +140,23 @@ object ScaledGate {
     // SPARK_GRAFT_GATE_SLOTS overrides the deep-graph slot clamp for
     // the slots-vs-heap trade's OTHER point: 32 slots need ≥22 GiB by
     // the 0.67 GB/core rule, i.e. pair it with SPARK_DRIVER_MEM=24g —
-    // the default certifies the default heap and stays at 12.
-    val slots = sys.env.get("SPARK_GRAFT_GATE_SLOTS").map(_.toInt)
-      .getOrElse(if (deepGraph) 12 else 32)
+    // the default certifies the default heap and stays at 12. The
+    // override applies ONLY to the deep-graph mode it documents
+    // (ADVICE r15: a lingering exported value would otherwise silently
+    // change the certified slot count of INVARIANTS / query-subset
+    // runs too); when it applies, the choice is echoed in the log.
+    val slotOverride = sys.env.get("SPARK_GRAFT_GATE_SLOTS").map(_.toInt)
+    val slots =
+      if (deepGraph) slotOverride.getOrElse(12)
+      else {
+        slotOverride.foreach(s => println(
+          s"GATE note: SPARK_GRAFT_GATE_SLOTS=$s ignored " +
+            "(applies to deep GRAPH-INVARIANTS mode only); slots=32"))
+        32
+      }
+    if (deepGraph && slotOverride.isDefined)
+      println(s"GATE deep-graph slots=${slots} " +
+        "(SPARK_GRAFT_GATE_SLOTS override)")
     val spark = SparkSession.builder()
       .master(s"local[$slots]")
       .config("spark.memory.storageFraction",
@@ -281,8 +295,11 @@ object ScaledGate {
       // K sequential disjoint hash-slices (transient disk ~1/K, output
       // row-identical — DedupSpec). Optional 4th arg overrides; the
       // default keeps low-k gates on the one-job plan they certify.
+      // 0 = auto-K: the gate exercises the mechanical choice (probe +
+      // statfs + the published formula) exactly where a deployment
+      // would — past ~2048× where the one-job plan outruns box disk
       val pairSlices = if (args.length > 3) args(3).toInt
-        else if (k >= 2048) 12 else 1
+        else if (k >= 2048) 0 else 1
       if (pairSlices > 1) println(s"GATE pair-join slices=$pairSlices")
       // shared label cache = the catalog's production shape (one
       // fixpoint for clusters/weights/splits, not three)

@@ -132,6 +132,15 @@ object StreamScaleGate {
     // so state metrics and watermarks merge across the kill.
     def drain(path: String, expectedBatches: Long)(
         build: () => StreamingQuery): Seq[StreamingQuery] = {
+      // A mid-drain kill needs room on both sides of the kill point:
+      // with fewer than ~4 expected batches (or fast batches the
+      // 200 ms poll can miss), q1 can finish NATURALLY before the kill
+      // target is observed, and the kill_middrain/restart checks would
+      // report a spurious gate FAIL instead of a sizing error (ADVICE
+      // r15). Fail fast with the actionable message.
+      require(!restart || expectedBatches >= 4,
+        s"RESTART mode needs expectedBatches >= 4 to kill mid-drain " +
+          s"(got $expectedBatches for $path) — raise n or batch count")
       val q1 = build()
       if (!restart) { q1.awaitTermination(); return Seq(q1) }
       val killAt = math.max(1L, expectedBatches / 2)
@@ -139,8 +148,16 @@ object StreamScaleGate {
           Option(q1.lastProgress).map(_.batchId).getOrElse(-1L) < killAt)
         Thread.sleep(200)
       val killedAt = Option(q1.lastProgress).map(_.batchId).getOrElse(-1L)
+      val diedNaturally = !q1.isActive
       if (q1.isActive) q1.stop()
       q1.awaitTermination()
+      if (diedNaturally)
+        // distinct, diagnosable report: the query outran the poll —
+        // the subsequent kill_middrain check will fail with this
+        // context in the log rather than as an opaque recall miss
+        println(s"STREAMGATE NOTE path=$path q1 completed naturally " +
+          s"before the kill target (batches too fast for the 200 ms " +
+          s"poll) — raise n for a valid mid-drain kill")
       println(s"STREAMGATE KILL path=$path at_batch=$killedAt " +
         s"(target=$killAt of ~$expectedBatches)")
       val q2 = build()
