@@ -334,10 +334,19 @@ object SparkEntry {
     "q_rand_proj" -> t("embeddings")(vector.Similarity.randomProjection(_)),
     "q_mean_pairwise" -> t("embeddings")(vector.Similarity.meanPairwiseDot),
     "q_pmi" -> t("documents")(T.pmiCollocations(_)),
-    "q_lr_quality" -> t("documents")(text.QualityModel.trainAndScore(_)),
-    "q_lr_learnable" ->
-      t("documents")(text.QualityModel.trainAndScoreLength(_)),
-    "q_calibration" -> t("documents")(text.QualityModel.calibration(_)),
+    // the three classifier queries share the session weight cache
+    // (q_lr_learnable and q_calibration train the IDENTICAL length
+    // model; without the key each re-runs the 8 gradient jobs — the
+    // lloydSeq train-once-serve-all precedent, r16)
+    "q_lr_quality" -> ((s, dir) => text.QualityModel.trainAndScore(
+      Tables.load(s, dir, "documents"),
+      cacheKey = Some(s"$dir/documents"))),
+    "q_lr_learnable" -> ((s, dir) => text.QualityModel.trainAndScoreLength(
+      Tables.load(s, dir, "documents"),
+      cacheKey = Some(s"$dir/documents"))),
+    "q_calibration" -> ((s, dir) => text.QualityModel.calibration(
+      Tables.load(s, dir, "documents"),
+      cacheKey = Some(s"$dir/documents"))),
     "q_split_assign" -> t("documents")(operators.Pipeline.splitAssignments),
     "q_temperature_resample" ->
       t("documents")(operators.Pipeline.temperatureResample(_)),

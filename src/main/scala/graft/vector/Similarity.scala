@@ -565,23 +565,31 @@ object Similarity {
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .persist()
     val seq = lloydSeq(corpus, rounds, cacheKey)
-    // each round's k-row inertia result is COLLECTED in-loop (model-
-    // sized driver reads, like the centroids themselves); assignments
-    // are recomputed per round from the model sequence — a map-only
-    // k·d-FMA scan of the PERSISTED corpus, cheaper than the persist/
-    // unpersist churn of caching each round's assignment frame — so
-    // peak storage is the corpus alone and the returned frame is a
-    // local relation with no live cache entries (r9 advice)
-    val perRound = (1 to rounds).flatMap { r =>
+    // the k-row-per-round inertia results are model-sized driver reads
+    // (like the centroids themselves); assignments are recomputed per
+    // round from the model sequence — a map-only k·d-FMA scan of the
+    // PERSISTED corpus, cheaper than the persist/unpersist churn of
+    // caching each round's assignment frame — so peak storage is the
+    // corpus alone and the returned frame is a local relation with no
+    // live cache entries (r9 advice). The R per-round aggregates are
+    // UNIONED and collected in ONE action (r16, guide §1.2 "don't pay
+    // per-step job overhead for independent subplans"): each branch is
+    // the identical join+agg subtree the per-round collect ran — same
+    // exact-decimal arithmetic, same rows — but the R driver round
+    // trips and R job schedules collapse to one.
+    val roundFrames = (1 to rounds).map { r =>
       val assigned = assignToCentroids(corpus, seq(r - 1))
       val mDf = seq(r).toDF("cluster", "centroid")
       assigned.join(broadcast(mDf), "cluster")
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"),
           round(decSum(dist2(col("v"), col("centroid"))), 6).as("inertia"))
-        .collect()
-        .map(x => (r, x.getInt(0), x.getLong(1), x.getDouble(2)))
+        .select(lit(r).as("round"), col("cluster"),
+          col("n_members"), col("inertia"))
     }
+    val perRound = roundFrames.reduce(_.unionAll(_)).collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+      .toSeq
     corpus.unpersist()
     perRound.toDF("round", "cluster", "n_members", "inertia")
       .orderBy(col("round"), col("cluster"))
@@ -765,7 +773,13 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSeq.toDF("query_id", "vec_id")
-    val rows = Seq(1, 2).flatMap { np =>
+    // both probe budgets evaluated in ONE action (r16, guide §1.2):
+    // the two serve+join+agg legs are independent subplans over the
+    // same persisted corpus — unioned, they run under a single job
+    // (identical per-leg plans and arithmetic, so the rows are
+    // bit-identical to the per-budget collects this replaces) instead
+    // of paying two job schedules + two driver round trips.
+    val legs = Seq(1, 2).map { np =>
       val approx = serveTrained(corpus, assigned, mDf, nQueries, k, np)
         .select(col("query_id").as("aq"), col("vec_id").as("av"))
       brute
@@ -774,9 +788,10 @@ object Similarity {
           "left_outer")
         .groupBy(col("query_id"))
         .agg((count(col("av")).cast("double") / lit(k.toDouble)).as("recall"))
-        .collect()
-        .map(r => (np, r.getLong(0), r.getDouble(1)))
+        .select(lit(np).as("nprobe"), col("query_id"), col("recall"))
     }
+    val rows = legs.reduce(_.unionAll(_)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     corpus.unpersist()
     rows.toDF("nprobe", "query_id", "recall")
       .orderBy(col("nprobe"), col("query_id"))
