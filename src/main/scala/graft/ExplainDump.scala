@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: runMain graft.ExplainDump <outDir> <suffix> q_a,q_b,...")
+      sys.exit(2)
+    }
     val Array(outDir, suffix, namesCsv) = args.take(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -31,9 +36,12 @@ object ExplainDump {
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     val names = namesCsv.split(",").map(_.trim).filter(_.nonEmpty)
+    var failed = 0
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
-        case None => System.err.println(s"[explain] unknown query: $name")
+        case None =>
+          System.err.println(s"[explain] unknown query: $name")
+          failed += 1
         case Some(fn) =>
           try {
             val df = fn(spark, sfDir)
@@ -43,9 +51,12 @@ object ExplainDump {
             println(s"[explain] wrote $outDir/${name}_$suffix.txt")
           } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[explain] $name failed: ${e.getMessage}")
+            failed += 1
           }
       }
     }
     spark.stop()
+    // an "evidence" run must not silently miss plan files
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -587,9 +587,14 @@ object Similarity {
         .select(lit(r).as("round"), col("cluster"),
           col("n_members"), col("inertia"))
     }
-    val perRound = roundFrames.reduce(_.unionAll(_)).collect()
-      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
-      .toSeq
+    // rounds = 0 → no frames to union; keep the pre-union contract of
+    // returning an empty result instead of throwing on an empty reduce
+    val perRound = roundFrames.reduceOption(_.unionAll(_)) match {
+      case Some(df) => df.collect()
+        .map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+        .toSeq
+      case None => Seq.empty[(Int, Int, Long, Double)]
+    }
     corpus.unpersist()
     perRound.toDF("round", "cluster", "n_members", "inertia")
       .orderBy(col("round"), col("cluster"))

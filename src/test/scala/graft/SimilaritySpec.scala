@@ -287,6 +287,13 @@ class SimilaritySpec extends AnyFunSuite {
     // actually move (strict decrease), or the trainer degenerated to
     // a no-op
     assert(totals(1) < totals(0) - 1e-4, s"no movement: $totals")
+    // rounds = 0 is a degenerate but allowed call: empty report with
+    // the same schema, not an exception (r16 ADVICE — the union form
+    // must keep the old flatMap path's contract)
+    val zero = vector.Similarity.kmeansTrain(emb, rounds = 0)
+    assert(zero.columns.toSeq ==
+      Seq("round", "cluster", "n_members", "inertia"))
+    assert(zero.collect().isEmpty)
   }
 
   test("ivfTrainedRecall: recall is bounded and never drops when the " +

@@ -170,6 +170,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("weight-cache hits are bit-identical and lang/len keys don't collide") {
+    // the lloydCache precedent (SimilaritySpec): cold (no key) rows are
+    // the baseline; keyed calls must reproduce them on populate AND on
+    // warm hit. Routing the SAME caller key through both tasks also
+    // proves the lang:/len: key prefixes keep the two trajectories
+    // apart — a collision would serve the other task's weights and the
+    // row compare below would fail (the tasks learn different models).
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val key = Some("trainingops-cache-spec")
+    val langCold = rows(text.QualityModel.trainAndScore(docs))
+    val lenCold = rows(text.QualityModel.trainAndScoreLength(docs))
+    assert(langCold != lenCold) // distinct trajectories, so collisions show
+    assert(rows(text.QualityModel.trainAndScore(docs, cacheKey = key))
+      == langCold) // populates lang:<key>
+    assert(rows(text.QualityModel.trainAndScoreLength(docs, cacheKey = key))
+      == lenCold) // populates len:<key> — must NOT see lang's weights
+    // fully-warm hits stay bit-identical to cold retraining
+    assert(rows(text.QualityModel.trainAndScore(docs, cacheKey = key))
+      == langCold)
+    assert(rows(text.QualityModel.trainAndScoreLength(docs, cacheKey = key))
+      == lenCold)
+    // calibration rides the len: entry and stays exact on a warm hit
+    val calCold = rows(text.QualityModel.calibration(docs))
+    assert(rows(text.QualityModel.calibration(docs, cacheKey = key))
+      == calCold)
+  }
+
   test("mean pairwise dot via the Gram identity equals the pair join") {
     // brute-force all ordered pairs on a 60-vector subset and compare
     // with the linear-pass identity computed over the SAME subset
