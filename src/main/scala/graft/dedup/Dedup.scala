@@ -1047,14 +1047,24 @@ object Dedup {
       .select(col("doc_id"), size(shingles(col("text"), n)).as("n_sh"))
     val nMatch = size(filter(zip_with(col("sig_a"), col("sig_b"),
       (p, q) => p === q), v => v))
+    // The signatures RIDE THROUGH the n_common aggregation (first() is
+    // exact here: sig_a/sig_b are functionally determined by the group
+    // key) instead of joining `cand` back against itself — the old
+    // `cand.join(common, ...)` form planned the whole band-index
+    // self-join + signature aggregation TWICE (r17 plan audit). The
+    // re-join was lossless anyway (shared band ⇒ r equal minima ⇒ a
+    // shared shingle ⇒ n_common ≥ 1, see scale note above), so every
+    // cand pair survives and the rows are identical; at scale this
+    // carries 2k longs per candidate-shingle row instead of a second
+    // full corpus signature pass.
     val common = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("h")),
         Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    cand
-      .join(common, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+    common
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("est_jaccard", nMatch.cast("double") / lit(k.toDouble))

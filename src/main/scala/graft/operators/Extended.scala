@@ -503,13 +503,27 @@ object Extended {
     import graft.functions.ThetaSketch
     val spark = events.sparkSession
     import spark.implicits._
-    val per = events.groupBy(col("event_type"))
+    // ONE action for both the per-type sketch agg and the global exact
+    // count (r17, guide §1.2): the two subtrees are independent, so a
+    // plain unionAll lets their stages overlap in a single job instead
+    // of paying two sequential job schedules. This is NOT the rejected
+    // r16 rollup fusion — no Expand, the global branch never touches
+    // the theta-sketch update, each event row is sketched exactly once.
+    // The global row is tagged by a null sentinel in `sk` (event_type
+    // strings can be anything; a null sketch cannot occur in the per-
+    // type branch).
+    val perDf = events.groupBy(col("event_type"))
       .agg(ThetaSketch.thetaSketch(col("event_id")).as("sk"),
         countDistinct(col("event_id")).as("exact_ids"))
+    val globalDf = events
+      .agg(countDistinct(col("event_id")).as("exact_ids"))
+      .select(lit(null).cast("string").as("event_type"),
+        lit(null).cast("binary").as("sk"), col("exact_ids"))
+    val fetched = perDf.unionAll(globalDf)
       .as[(String, Array[Byte], Long)]
-      .collect().sortBy(_._1)
-    val globalExact = events
-      .agg(countDistinct(col("event_id"))).head().getLong(0)
+      .collect()
+    val per = fetched.filter(_._2 != null).sortBy(_._1)
+    val globalExact = fetched.find(_._2 == null).get._3
     def ok(est: Double, exact: Long): Boolean =
       math.abs(est - exact) <= 0.05 * exact
     val rows = per.map { case (t, sk, ex) =>

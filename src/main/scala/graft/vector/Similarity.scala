@@ -206,8 +206,17 @@ object Similarity {
       .select(col("vec_id"), col("label"), posexplode(subSlices(col("v"))))
       .select(col("vec_id"), col("label"), col("pos").as("sub"),
         col("col").as("sv"))
-    // codebook: per (sub, label) exact per-component mean sub-vector
+    // codebook: per (sub, label) exact per-component mean sub-vector.
+    // The explicit isNotNull matches the isnotnull(label) constraint
+    // Catalyst infers into the OTHER codebook consumer (`parts`, whose
+    // `code` is an inner-join key downstream) but cannot push into this
+    // one past the encode window — without it the two codebook
+    // instances canonicalize differently and ReuseExchange cannot fold
+    // them, so the double-explode aggregation ran twice (r17 plan
+    // audit: 2 BroadcastExchange, 0 reused). No labels are null in any
+    // fixture (oracle-pinned at all SFs), so rows are unchanged.
     val codebook = subs
+      .filter(col("label").isNotNull)
       .select(col("sub"), col("label"), posexplode(col("sv")))
       .groupBy(col("sub"), col("label"), col("pos"))
       .agg((decSum(col("col")) / count(lit(1)).cast("double")).as("mc"))
@@ -405,7 +414,16 @@ object Similarity {
     val seeds = exactMeans(corpus.select(col("label"), col("v")), "label")
     val wv = Window.partitionBy(col("vec_id"))
       .orderBy(col("scos").desc, col("label"))
+    // The explicit isNotNull matches the isnotnull(vec_id) constraint
+    // the final `vec_id =!= query_id` join infers into THIS instance of
+    // the assignment subtree but not into the copy under `refined`'s
+    // broadcast — aligned, the two instances canonicalize identically
+    // and ReuseExchange computes the assignment window once (r17 plan
+    // audit: Exchange(19)/Exchange(45) were structural twins separated
+    // only by the pushed filter). vec_id is a never-null key in every
+    // fixture (oracle-pinned at all SFs), so rows are unchanged.
     val assigned = corpus.select(col("vec_id"), col("v"))
+      .filter(col("vec_id").isNotNull)
       .crossJoin(broadcast(seeds))
       .withColumn("scos", cosine(col("v"), col("centroid")))
       .withColumn("r", row_number().over(wv))
