@@ -97,22 +97,117 @@ object QualityModel {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[String, Array[Double]]])
 
-  private def trainOn(documents: DataFrame, label: Column, iters: Int,
-      lr: Double, cacheKey: Option[String] = None): Array[Double] =
-    cacheKey match {
-      case None => computeTrainOn(documents, label, iters, lr)
-      case Some(key) =>
-        val spark = documents.sparkSession
-        var m = weightCache.get(spark)
-        if (m == null) {
-          m = scala.collection.concurrent.TrieMap
-            .empty[String, Array[Double]]
-          val prev = weightCache.putIfAbsent(spark, m)
-          if (prev != null) m = prev
-        }
-        m.getOrElseUpdate(s"$key:i$iters:lr$lr",
-          computeTrainOn(documents, label, iters, lr))
+  private def cacheMap(spark: org.apache.spark.sql.SparkSession)
+      : scala.collection.concurrent.TrieMap[String, Array[Double]] = {
+    var m = weightCache.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+      val prev = weightCache.putIfAbsent(spark, m)
+      if (prev != null) m = prev
     }
+    m
+  }
+
+  private def trainOn(documents: DataFrame, label: Column, iters: Int,
+      lr: Double): Array[Double] = computeTrainOn(documents, label, iters, lr)
+
+  /** Keyed weight lookup shared by both tasks. A MISS trains BOTH
+    * tasks' trajectories in the SAME `iters` gradient actions
+    * ([[computeTrainBoth]]) and populates both entries — in a session
+    * that demands both models (bench, verify) this halves the training
+    * actions: the second task's first consumer becomes a cache hit
+    * instead of its own `iters`-job loop (r17; the r16 cache already
+    * deduped WITHIN a task). No key = the single-task trainer,
+    * unchanged. */
+  private def weightsFor(documents: DataFrame, task: String, iters: Int,
+      lr: Double, cacheKey: Option[String],
+      single: () => Array[Double]): Array[Double] =
+    cacheKey match {
+      case None => single()
+      case Some(k) =>
+        val m = cacheMap(documents.sparkSession)
+        val kl = s"lang:$k:i$iters:lr$lr"
+        val kn = s"len:$k:i$iters:lr$lr"
+        val want = if (task == "lang") kl else kn
+        m.get(want).getOrElse {
+          val (wl, wn) = computeTrainBoth(documents, iters, lr)
+          m.putIfAbsent(kl, wl)
+          m.putIfAbsent(kn, wn)
+          m(want)
+        }
+    }
+
+  /** The corpus-mean length label and its ×1-row broadcast frame —
+    * shared by [[trainAndScoreLength]] and the fused trainer. */
+  private def lenLabeled(documents: DataFrame): (DataFrame, Column) = {
+    val avg = documents.agg(
+      (sum(col("n_chars")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_chars"))
+    val labeled = documents.crossJoin(broadcast(avg))
+    val label = when(col("n_chars").cast("double") >= col("avg_chars"),
+      lit(1.0)).otherwise(lit(0.0))
+    (labeled, label)
+  }
+
+  /** [[features]] with BOTH task labels on each row. */
+  private def featuresBoth(labeled: DataFrame, lenLabel: Column)
+      : DataFrame = {
+    val w = split(lower(col("text")), " ")
+    labeled.select(
+      col("doc_id"),
+      langLabel.as("yl"),
+      lenLabel.as("yn"),
+      (size(w).cast("double") / lit(100.0)).as("x1"),
+      (col("n_chars").cast("double") / size(w).cast("double") /
+        lit(10.0)).as("x2"),
+      (size(filter(w, t => t.isin(stop: _*))).cast("double") /
+        size(w).cast("double")).as("x3"),
+      (size(filter(w, t => t.rlike(alpha))).cast("double") /
+        size(w).cast("double")).as("x4"))
+  }
+
+  /** BOTH trajectories from the same `iters` actions: each round's job
+    * aggregates 10 gradient sums (5 per task) instead of 5 — the extra
+    * sums ride the same scan of the same persisted feature frame, so a
+    * round costs what one task's round cost (~the action floor), not
+    * two. Bit-parity with the single-task trainers: the lang task
+    * currently trains over `features(documents, langLabel)` and here
+    * trains over the ×1-row crossJoined frame — same rows, same x/err
+    * expressions, and the decimal(28,12) gradient sums are
+    * order-independent, so every per-round sum (and hence each IEEE
+    * weight update) is identical; the len task's frame is unchanged.
+    * Pinned by TrainingOpsSpec's cache test (keyed rows == cold
+    * single-task rows for both tasks). */
+  private def computeTrainBoth(documents: DataFrame, iters: Int,
+      lr: Double): (Array[Double], Array[Double]) = {
+    val (labeled, lenLabel) = lenLabeled(documents)
+    val f = featuresBoth(labeled, lenLabel)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var wl = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    var wn = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    try {
+      for (_ <- 1 to iters) {
+        val errL = fastSigmoid(z(wl)) - col("yl")
+        val errN = fastSigmoid(z(wn)) - col("yn")
+        val row = f.agg(
+          gradSum(errL).as("l0"),
+          gradSum(errL * col("x1")).as("l1"),
+          gradSum(errL * col("x2")).as("l2"),
+          gradSum(errL * col("x3")).as("l3"),
+          gradSum(errL * col("x4")).as("l4"),
+          gradSum(errN).as("n0"),
+          gradSum(errN * col("x1")).as("n1"),
+          gradSum(errN * col("x2")).as("n2"),
+          gradSum(errN * col("x3")).as("n3"),
+          gradSum(errN * col("x4")).as("n4"),
+          count(lit(1)).cast("double").as("n")).head()
+        val n = row.getDouble(10)
+        wl = Array.tabulate(5)(j => wl(j) - lr * (row.getDouble(j) / n))
+        wn = Array.tabulate(5)(j => wn(j) - lr * (row.getDouble(5 + j) / n))
+      }
+    } finally f.unpersist()
+    (wl, wn)
+  }
 
   private def computeTrainOn(documents: DataFrame, label: Column,
       iters: Int, lr: Double): Array[Double] = {
@@ -151,8 +246,8 @@ object QualityModel {
   def trainAndScore(documents: DataFrame, iters: Int = 8,
       lr: Double = 1.0, cacheKey: Option[String] = None): DataFrame =
     scoreWith(documents, langLabel,
-      trainOn(documents, langLabel, iters, lr,
-        cacheKey.map(k => s"lang:$k")))
+      weightsFor(documents, "lang", iters, lr, cacheKey,
+        () => computeTrainOn(documents, langLabel, iters, lr)))
 
   private def scoreWith(documents: DataFrame, label: Column,
       ws: Array[Double]): DataFrame = {
@@ -173,14 +268,10 @@ object QualityModel {
     * same oracle generator, different label SQL. */
   def trainAndScoreLength(documents: DataFrame, iters: Int = 8,
       lr: Double = 1.0, cacheKey: Option[String] = None): DataFrame = {
-    val avg = documents.agg(
-      (sum(col("n_chars")).cast("double") /
-        count(lit(1)).cast("double")).as("avg_chars"))
-    val labeled = documents.crossJoin(broadcast(avg))
-    val label = when(col("n_chars").cast("double") >= col("avg_chars"),
-      lit(1.0)).otherwise(lit(0.0))
+    val (labeled, label) = lenLabeled(documents)
     scoreWith(labeled, label,
-      trainOn(labeled, label, iters, lr, cacheKey.map(k => s"len:$k")))
+      weightsFor(documents, "len", iters, lr, cacheKey,
+        () => computeTrainOn(labeled, label, iters, lr)))
   }
 
   /** Calibration (reliability diagram) of the LEARNABLE classifier —
