@@ -42,11 +42,15 @@ import graft.vector.Similarity
   * point from the 64× curve in SCALING.md — 0.35 destroys locality to
   * recall 0.115 and would fail the floor) so the nprobe=1 operating
   * point sits strictly inside (0.9, 1.0) and the monotone and floor
-  * checks have teeth. Saturation caveat (r16 ADVICE): that tuning is
-  * the 64× curve; at 256×/1024× the √N geometry packs orthant groups
-  * densely enough that recall saturates at 1.000 for every probe
-  * budget (SCALING.md tables), so checks 4–5 only bite at 64× unless
-  * the halfstep negative control is run at the larger k too.
+  * checks have teeth. Saturation caveat (r16 ADVICE, r17 measured):
+  * that tuning is the 64× curve; at 256×/1024× the √N geometry packs
+  * orthant groups densely enough that recall saturates at 1.000 for
+  * every probe budget, so checks 4–5 only bite at 64×. The r17
+  * halfstep control AT 256× pins the division of labor: the corrupt
+  * index still fails the gate (exit 1) via `assignment_optimal`
+  * (25,254 of 512,000 misplaced) while the recall floor saturates
+  * past it (0.995 ≥ 0.95) — at scale the structural check is the one
+  * with teeth (SCALING.md §ANN geometry).
   *
   * Negative control: `SPARK_GRAFT_ANN_CORRUPT=halfstep` rebuilds the
   * index with the PRE-r15 defect (lists from the last TRAINING
