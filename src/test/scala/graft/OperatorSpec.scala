@@ -800,6 +800,24 @@ class OperatorSpec extends AnyFunSuite {
     val thresholded = est.filter(_.getDouble(2) >= 0.5)
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(thresholded == lsh)
+    // losslessness pin (r17): the estimator reports EVERY band-collision
+    // candidate pair — the invariant the sig-through-aggregation form
+    // leans on (shared band ⇒ shared shingle ⇒ the inner n_common join
+    // drops nothing). Rebuilt here directly from the band index.
+    val banded = dedup.Dedup.neutralBands(docs)
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        org.apache.spark.sql.functions.col("a.band") ===
+          org.apache.spark.sql.functions.col("b.band") &&
+        org.apache.spark.sql.functions.col("a.band_key") ===
+          org.apache.spark.sql.functions.col("b.band_key") &&
+        org.apache.spark.sql.functions.col("a.doc_id") <
+          org.apache.spark.sql.functions.col("b.doc_id"))
+      .select(org.apache.spark.sql.functions.col("a.doc_id"),
+        org.apache.spark.sql.functions.col("b.doc_id"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.map(r => (r.getLong(0), r.getLong(1))).toSet == cands)
   }
 
   test("calendar dim is gapless and monthly growth chains cents exactly") {
